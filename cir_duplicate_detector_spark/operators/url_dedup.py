@@ -1,0 +1,72 @@
+"""URL exact-duplicate grouping (reference ``cir_duplicate_detector/url.py``).
+
+Semantics (``url.py:32-116``): normalize each url, group rows whose
+normalized url is identical, and annotate every member of a >1-sized
+group with the other members' indexes. With a probe set
+(``indexes_to_check``) only groups containing at least one probed index
+survive — but ALL members of a surviving group are emitted
+(bidirectional, ``url.py:87-109``).
+
+Spark shape: one shuffle. ``collect_list(index) OVER (PARTITION BY
+base_url)`` computes group membership without a groupBy+join back
+(the reference does groupby→apply→merge, three passes). Result arrays are
+``array_sort``-canonical (the reference's list order is an iteration
+artifact — SURVEY §7.4.4).
+
+Scale notes (100 TB): the window shuffle partitions by ``base_url``; a
+pathological URL shared by millions of rows would make a hot partition,
+but the *output semantics* require the full member list per row, so that
+cost is inherent. AQE skew-join handling does not apply to windows;
+callers with known mega-groups should pre-filter them (they are rarely
+meaningful duplicates).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.url import normalize_url
+
+EMPTY_SCHEMA = "index string, url_duplicates array<string>"
+
+
+def find_url_duplicates(
+    df: DataFrame,
+    indexes_to_check: list[str] | None = None,
+) -> DataFrame:
+    """Return ``(index, url_duplicates)`` for rows with >=1 url duplicate.
+
+    ``df`` must have columns ``index`` (unique string) and ``url``
+    (nullable string). Null urls are dropped (reference ``url.py:70-74``).
+    """
+    spark = df.sparkSession
+    if "url" not in df.columns or "index" not in df.columns:
+        raise ValueError("find_url_duplicates requires `index` and `url` columns")
+    if indexes_to_check is not None and len(indexes_to_check) == 0:
+        warnings.warn("indexes_to_check is empty; returning empty result")
+        return spark.createDataFrame([], EMPTY_SCHEMA)
+
+    base = (
+        df.where(F.col("url").isNotNull())
+        .select("index", normalize_url(F.col("url")).alias("base_url"))
+    )
+
+    members = F.collect_list("index").over(Window.partitionBy("base_url"))
+    annotated = base.withColumn("members", members).where(F.size("members") > 1)
+
+    if indexes_to_check is not None:
+        # Keep whole groups that touch the probe set (bidirectional).
+        annotated = annotated.where(
+            F.arrays_overlap(
+                "members", F.lit([str(i) for i in indexes_to_check])
+            )
+        )
+
+    return annotated.select(
+        "index",
+        F.array_sort(F.array_remove("members", F.col("index"))).alias(
+            "url_duplicates"
+        ),
+    ).where(F.size("url_duplicates") > 0)

@@ -1,0 +1,59 @@
+"""SparkSession helpers with engine-recommended configs.
+
+The engine targets large clusters (100 TB-scale inputs); the configs here
+are the ones that matter identically on local[N] and on a real cluster:
+AQE (runtime re-planning, skew-join handling), sane shuffle partitioning,
+Arrow for the few Pandas-UDF paths, and nanosecond-parquet compatibility
+(the driver testdata writes TIMESTAMP(NANOS), which vanilla Spark refuses
+to read).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs every session running this engine should carry. Keys are plain
+# public Spark SQL confs; values chosen for local[N] testing but the
+# cluster-relevant ones (AQE, skew join) are scale-independent.
+RECOMMENDED_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Driver testdata parquet carries INT64 TIMESTAMP(NANOS); read it as
+    # raw nanos (long) and convert explicitly (see sources.tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for pandas_udf / mapInPandas paths (multimodal stubs).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_spark(
+    app_name: str = "cir-duplicate-detector-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's recommended confs.
+
+    On a real cluster leave ``master`` unset and submit normally; locally
+    defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all cores).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+    for key, value in RECOMMENDED_CONFS.items():
+        builder = builder.config(key, value)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark = builder.getOrCreate()
+    # If we attached to a pre-existing session, still make sure the
+    # runtime-settable confs hold.
+    for key, value in RECOMMENDED_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf on a live session; builder already tried
+    return spark

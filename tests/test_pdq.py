@@ -1,0 +1,121 @@
+"""PDQ pipeline unit tests (ports of reference tests/unit/test_pdq_hash.py)."""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from cir_duplicate_detector_spark.operators.pdq import (
+    exploded_hashes,
+    find_pdq_hash_duplicates,
+)
+
+from .conftest import BACKENDS, rows_by_index
+
+PDQ_SCHEMA = "index string, pdq_hash array<string>"
+
+
+@pytest.mark.parametrize("method", BACKENDS)
+def test_golden_pdq(golden_df, method):
+    out = find_pdq_hash_duplicates(
+        golden_df,
+        pqd_hash_similarity_threshold=0.9,
+        duplicate_detection_method=method,
+    )
+    got = rows_by_index(out)
+    assert set(got) == {"UW0001", "UW0002", "UW0003", "UW0004", "UW0005", "UW0007"}
+    assert got["UW0004"]["pdq_hash_duplicates"] == ["UW0005", "UW0007"]
+    assert got["UW0004"]["pdq_hash_similarities"] == [1 - 3 / 256, 1 - 4 / 256]
+    assert got["UW0001"]["pdq_hash_duplicates"] == ["UW0002", "UW0003"]
+
+
+def test_threshold_one_no_fuzzy(golden_df):
+    out = find_pdq_hash_duplicates(
+        golden_df, pqd_hash_similarity_threshold=1.0
+    )
+    got = rows_by_index(out)
+    # Only the exact-identical hashes survive t=1.0.
+    assert set(got) == {"UW0001", "UW0002", "UW0003"}
+
+
+def test_invalid_threshold_raises(golden_df):
+    for bad in (-0.1, 1.1, "abc", None):
+        with pytest.raises(ValueError):
+            find_pdq_hash_duplicates(golden_df, pqd_hash_similarity_threshold=bad)
+
+
+def test_invalid_method_raises(golden_df):
+    with pytest.raises(ValueError, match="method"):
+        find_pdq_hash_duplicates(golden_df, duplicate_detection_method="nope")
+
+
+def test_null_hash_forms_dropped(spark):
+    rows = [("A", ["00" * 32]), ("B", None), ("C", ["00" * 32])]
+    out = find_pdq_hash_duplicates(
+        spark.createDataFrame(rows, PDQ_SCHEMA), pqd_hash_similarity_threshold=0.9
+    )
+    got = rows_by_index(out)
+    assert set(got) == {"A", "C"}
+
+
+def test_literal_dedup(spark):
+    # Same (index, hash) twice must not create self-duplicates or double
+    # distances (reference utils.py:55-87).
+    rows = [("A", ["ab" * 32, "ab" * 32]), ("B", ["ab" * 32])]
+    df = spark.createDataFrame(rows, PDQ_SCHEMA)
+    assert exploded_hashes(df).count() == 2
+    got = rows_by_index(
+        find_pdq_hash_duplicates(df, pqd_hash_similarity_threshold=0.9)
+    )
+    assert got["A"]["pdq_hash_duplicates"] == ["B"]
+    assert got["A"]["pdq_hash_similarities"] == [1.0]
+
+
+def test_empty_probe_list_warns(golden_df):
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = find_pdq_hash_duplicates(golden_df, indexes_to_check=[])
+        assert out.count() == 0
+    assert any("empty" in str(x.message) for x in w)
+
+
+def test_probe_bidirectional_reverse_rows(golden_df):
+    out = find_pdq_hash_duplicates(
+        golden_df,
+        indexes_to_check=["UW0004"],
+        pqd_hash_similarity_threshold=0.9,
+    )
+    got = rows_by_index(out)
+    # UW0004 probed; UW0005/UW0007 appear as reverse-only rows.
+    assert set(got) == {"UW0004", "UW0005", "UW0007"}
+    assert got["UW0005"]["pdq_hash_duplicates"] == ["UW0004"]
+    assert got["UW0007"]["pdq_hash_duplicates"] == ["UW0004"]
+
+
+def test_min_distance_canonicalization(spark):
+    # One index with two hashes matching the same partner at different
+    # distances: keep min(dist) = max(similarity) (SURVEY §7.4.2).
+    h0 = "00" * 32
+    h_d3 = "0" * 63 + "7"  # 3 bits from h0
+    rows = [("A", [h0, h_d3]), ("B", [h0])]
+    got = rows_by_index(
+        find_pdq_hash_duplicates(
+            spark.createDataFrame(rows, PDQ_SCHEMA),
+            pqd_hash_similarity_threshold=0.9,
+        )
+    )
+    assert got["A"]["pdq_hash_similarities"] == [1.0]
+    assert got["B"]["pdq_hash_similarities"] == [1.0]
+
+
+def test_multi_hash_same_index_no_self_match(spark):
+    # Two near hashes on the SAME index must not make it its own duplicate.
+    h0 = "00" * 32
+    h_d3 = "0" * 63 + "7"
+    rows = [("A", [h0, h_d3])]
+    out = find_pdq_hash_duplicates(
+        spark.createDataFrame(rows, PDQ_SCHEMA), pqd_hash_similarity_threshold=0.9
+    )
+    assert out.count() == 0
