@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship composite query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 (plus the large-scale pipeline extensions) with DuckDB
+oracles over the shared parquet tables.
 """
 
 from __future__ import annotations
@@ -13,26 +12,38 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cir_duplicate_detector_spark.plans import ALL_QUERIES
+from cir_duplicate_detector_spark.session import RECOMMENDED_CONFS
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _apply_confs(spark: SparkSession) -> None:
+    for key, value in RECOMMENDED_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full composite duplicate annotation at sf0.001."""
+    _apply_confs(spark)
+    fn, _ = ALL_QUERIES["detect_duplicates"]
+    return fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {}
+    for name, (fn, _sql) in ALL_QUERIES.items():
+        def wrapped(spark, sf_dir, _fn=fn):
+            _apply_confs(spark)
+            return _fn(spark, sf_dir)
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (fn, sql) in ALL_QUERIES.items() if sql is not None
+    }

@@ -1,0 +1,282 @@
+"""Core query registry: every reference operator (SURVEY §2) as a
+(spark_callable, duckdb_oracle_sql) pair over the shared testdata.
+
+Each spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+the oracle string is ANSI SQL DuckDB runs on the same parquet (views
+``documents`` etc. pre-registered by the driver). Column names and array
+ordering are canonicalized identically on both sides (SURVEY §7.4.4) so
+the driver's order-insensitive value-hash matches.
+
+The probe set used by *_probed queries is "every 10th doc_id" — cheap to
+restate in SQL and small enough that the broadcast probe path executes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import detect_duplicates
+from ..functions.hashes import hex_to_chunks
+from ..functions.url import normalize_url
+from ..operators.pdq import (
+    decoded_hashes,
+    exploded_hashes,
+    find_pdq_hash_duplicates,
+)
+from ..operators.url_dedup import find_url_duplicates
+from ..sources.entries import derive_entries, entries_sql
+from ..sources.tables import load_table
+
+PDQ_THRESHOLD = 0.9  # n = 26 bits: planted collisions (0/3/4) match, noise (~128) doesn't
+
+_DUCK_ENTRIES = entries_sql("duckdb")
+
+_DUCK_CHUNKS = ", ".join(
+    f"('0x' || substr(lpad(lower(hash), 64, '0'), {i * 8 + 1}, 8))::BIGINT AS c{i}"
+    for i in range(8)
+)
+# bit_count returns TINYINT in DuckDB; cast before summing (max 256).
+_DUCK_HAMMING = " + ".join(
+    f"bit_count(xor(p.c{i}, c.c{i}))::INT" for i in range(8)
+)
+
+_DUCK_EXPLODED = f"""
+entries AS ({_DUCK_ENTRIES}),
+exploded AS (
+  SELECT DISTINCT "index", hash FROM (
+    SELECT "index", unnest(pdq_hash) AS hash FROM entries WHERE pdq_hash IS NOT NULL
+  ) WHERE hash IS NOT NULL
+),
+chunks AS (SELECT "index", hash, {_DUCK_CHUNKS} FROM exploded)
+"""
+
+_DUCK_URL_BASE = f"""
+entries AS ({_DUCK_ENTRIES}),
+base AS (
+  SELECT "index",
+         regexp_replace(regexp_replace(lower(url), '^[a-z][a-z0-9+.\\-]*://', ''),
+                        '#.*$', '') AS base_url
+  FROM entries WHERE url IS NOT NULL
+),
+grp AS (
+  SELECT base_url, list("index") AS members
+  FROM base GROUP BY base_url HAVING count(*) > 1
+)
+"""
+
+
+def _entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_entries(load_table(spark, sf_dir, "documents"))
+
+
+def _probe_list(spark: SparkSession, sf_dir: str) -> list[str]:
+    docs = load_table(spark, sf_dir, "documents")
+    ids = [r[0] for r in docs.select("doc_id").where("doc_id % 10 = 0").collect()]
+    return [f"UW{i:08d}" for i in sorted(ids)]
+
+
+_DUCK_PROBE = (
+    'SELECT \'UW\' || lpad(cast(doc_id as string), 8, \'0\') FROM documents '
+    "WHERE doc_id % 10 = 0"
+)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_url_normalize(spark, sf_dir):
+    return _entries(spark, sf_dir).where(F.col("url").isNotNull()).select(
+        "index", normalize_url("url").alias("base_url")
+    )
+
+
+SQL_URL_NORMALIZE = f"""
+WITH entries AS ({_DUCK_ENTRIES})
+SELECT "index",
+       regexp_replace(regexp_replace(lower(url), '^[a-z][a-z0-9+.\\-]*://', ''),
+                      '#.*$', '') AS base_url
+FROM entries WHERE url IS NOT NULL
+"""
+
+
+def q_url_duplicates(spark, sf_dir):
+    return find_url_duplicates(_entries(spark, sf_dir))
+
+
+SQL_URL_DUPLICATES = f"""
+WITH {_DUCK_URL_BASE}
+SELECT b."index" AS "index",
+       list_sort(list_filter(g.members, m -> m <> b."index")) AS url_duplicates
+FROM base b JOIN grp g USING (base_url)
+"""
+
+
+def q_url_duplicates_probed(spark, sf_dir):
+    return find_url_duplicates(
+        _entries(spark, sf_dir), indexes_to_check=_probe_list(spark, sf_dir)
+    )
+
+
+SQL_URL_DUPLICATES_PROBED = f"""
+WITH {_DUCK_URL_BASE}
+SELECT b."index" AS "index",
+       list_sort(list_filter(g.members, m -> m <> b."index")) AS url_duplicates
+FROM base b JOIN grp g USING (base_url)
+WHERE EXISTS (SELECT 1 FROM ({_DUCK_PROBE}) t(i) WHERE list_contains(g.members, t.i))
+"""
+
+
+def q_hash_explode_dedup(spark, sf_dir):
+    # P3/P4/P6: null-drop, explode, literal dedup.
+    return exploded_hashes(_entries(spark, sf_dir))
+
+
+SQL_HASH_EXPLODE_DEDUP = f"""
+WITH {_DUCK_EXPLODED}
+SELECT "index", hash FROM exploded
+"""
+
+
+def q_hash_decode(spark, sf_dir):
+    # P7: hex -> 8x32-bit chunks, flattened for hash-stable comparison.
+    decoded = decoded_hashes(_entries(spark, sf_dir))
+    return decoded.select(
+        "index",
+        "hash",
+        *[F.col("chunks")[i].alias(f"c{i}") for i in range(8)],
+    )
+
+
+SQL_HASH_DECODE = f"""
+WITH {_DUCK_EXPLODED}
+SELECT * FROM chunks
+"""
+
+
+def _pdq_pairs_df(spark, sf_dir, probed: bool):
+    entries = _entries(spark, sf_dir)
+    corpus = decoded_hashes(entries)
+    from ..functions.hashes import chunks_hamming  # local to avoid cycle
+
+    probe = corpus
+    if probed:
+        probe = corpus.where(
+            F.col("index").isin(_probe_list(spark, sf_dir))
+        )
+    p = probe.select(F.col("index").alias("p_index"), F.col("chunks").alias("pc"))
+    c = corpus.select(F.col("index").alias("c_index"), F.col("chunks").alias("cc"))
+    return (
+        (F.broadcast(p) if probed else p)
+        .crossJoin(c)
+        .where(F.col("p_index") != F.col("c_index"))
+        .withColumn("dist", chunks_hamming(F.col("pc"), F.col("cc")))
+        .where(F.col("dist") <= 26)
+        .groupBy(F.col("p_index").alias("index"), F.col("c_index").alias("dup"))
+        .agg(F.min("dist").cast("bigint").alias("dist"))
+    )
+
+
+def q_pdq_pairs(spark, sf_dir):
+    # A2/A3 flat view: matching pairs with min Hamming distance (t=0.9).
+    return _pdq_pairs_df(spark, sf_dir, probed=False)
+
+
+SQL_PDQ_PAIRS = f"""
+WITH {_DUCK_EXPLODED}
+SELECT p."index" AS "index", c."index" AS dup, min({_DUCK_HAMMING})::BIGINT AS dist
+FROM chunks p, chunks c
+WHERE p."index" <> c."index" AND {_DUCK_HAMMING} <= 26
+GROUP BY 1, 2
+"""
+
+
+def _duck_pdq_result(probe_filter: str) -> str:
+    return f"""
+WITH {_DUCK_EXPLODED},
+pairs AS (
+  SELECT p."index" AS idx, c."index" AS dup, min({_DUCK_HAMMING}) AS dist
+  FROM chunks p, chunks c
+  WHERE p."index" <> c."index" AND {_DUCK_HAMMING} <= 26 {probe_filter}
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT idx, dup, dist FROM pairs
+  UNION ALL SELECT dup, idx, dist FROM pairs
+),
+best AS (SELECT idx, dup, min(dist) AS dist FROM sym GROUP BY idx, dup)
+SELECT idx AS "index",
+       list(dup ORDER BY dup) AS pdq_hash_duplicates,
+       list(1 - dist / 256.0 ORDER BY dup) AS pdq_hash_similarities
+FROM best GROUP BY idx
+"""
+
+
+def q_pdq_duplicates_naive(spark, sf_dir):
+    return find_pdq_hash_duplicates(
+        _entries(spark, sf_dir),
+        pqd_hash_similarity_threshold=PDQ_THRESHOLD,
+        duplicate_detection_method="naive",
+    )
+
+
+def q_pdq_duplicates_banded(spark, sf_dir):
+    return find_pdq_hash_duplicates(
+        _entries(spark, sf_dir),
+        pqd_hash_similarity_threshold=PDQ_THRESHOLD,
+        duplicate_detection_method="banded",
+    )
+
+
+SQL_PDQ_DUPLICATES = _duck_pdq_result("")
+
+
+def q_pdq_duplicates_probed(spark, sf_dir):
+    return find_pdq_hash_duplicates(
+        _entries(spark, sf_dir),
+        indexes_to_check=_probe_list(spark, sf_dir),
+        pqd_hash_similarity_threshold=PDQ_THRESHOLD,
+        duplicate_detection_method="naive",
+    )
+
+
+SQL_PDQ_DUPLICATES_PROBED = _duck_pdq_result(
+    f'AND p."index" IN ({_DUCK_PROBE})'
+)
+
+
+def q_detect_duplicates(spark, sf_dir):
+    return detect_duplicates(
+        _entries(spark, sf_dir),
+        pqd_hash_similarity_threshold=PDQ_THRESHOLD,
+        pdq_duplicate_detection_method="auto",
+        validate=False,
+    )
+
+
+SQL_DETECT_DUPLICATES = f"""
+WITH {_DUCK_URL_BASE},
+url_result AS (
+  SELECT b."index" AS "index",
+         list_sort(list_filter(g.members, m -> m <> b."index")) AS url_duplicates
+  FROM base b JOIN grp g USING (base_url)
+),
+pdq_result AS ({_duck_pdq_result("")})
+SELECT coalesce(u."index", p."index") AS "index",
+       u.url_duplicates,
+       p.pdq_hash_duplicates,
+       p.pdq_hash_similarities
+FROM url_result u FULL OUTER JOIN pdq_result p ON u."index" = p."index"
+"""
+
+
+CORE_QUERIES: dict[str, tuple] = {
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "url_duplicates": (q_url_duplicates, SQL_URL_DUPLICATES),
+    "url_duplicates_probed": (q_url_duplicates_probed, SQL_URL_DUPLICATES_PROBED),
+    "hash_explode_dedup": (q_hash_explode_dedup, SQL_HASH_EXPLODE_DEDUP),
+    "hash_decode": (q_hash_decode, SQL_HASH_DECODE),
+    "pdq_pairs": (q_pdq_pairs, SQL_PDQ_PAIRS),
+    "pdq_duplicates_naive": (q_pdq_duplicates_naive, SQL_PDQ_DUPLICATES),
+    "pdq_duplicates_banded": (q_pdq_duplicates_banded, SQL_PDQ_DUPLICATES),
+    "pdq_duplicates_probed": (q_pdq_duplicates_probed, SQL_PDQ_DUPLICATES_PROBED),
+    "detect_duplicates": (q_detect_duplicates, SQL_DETECT_DUPLICATES),
+}
