@@ -1,0 +1,93 @@
+"""Benchmark harness: runs the engine's headline queries and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+Each query is materialized through the noop sink so every output column
+is computed (a bare count() would let Catalyst prune work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from cir_duplicate_detector_spark.plans import ALL_QUERIES
+from cir_duplicate_detector_spark.session import get_spark
+
+# Headline set: the reference workload (pdq joins at its recommended
+# operating point) + URL grouping + composite + the scale extensions.
+HEADLINE = [
+    "detect_duplicates",
+    "url_duplicates",
+    "pdq_duplicates_naive",
+    "pdq_duplicates_banded",
+    "pdq_duplicates_probed",
+    "pdq_pairs",
+    # extensions (present once their registries land)
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "knn_cosine_bruteforce",
+    "knn_cosine_lsh",
+    "text_quality",
+    "token_count",
+    "lang_id",
+    "doc_fingerprint",
+    "events_window",
+    "events_sessionize",
+    "tpch_q1",
+    "tpch_q3",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark(
+        app_name="cir-dup-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Pay JVM/codegen/Arrow warmup once, outside any timed query.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in ALL_QUERIES:
+            continue
+        fn, _ = ALL_QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 3)
+        total += elapsed
+        print(f"# {name}: {elapsed:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

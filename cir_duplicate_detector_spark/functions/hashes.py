@@ -67,6 +67,44 @@ def chunks_hamming(a: Column, b: Column) -> Column:
     )
 
 
+NUM_CHUNKS64 = 4  # hot-path representation: 4 flat 64-bit columns
+
+
+def hex_to_chunks64(hex_col: Column | str) -> list[Column]:
+    """Decode a 64-hex hash into FOUR flat signed-64-bit columns.
+
+    The hot-path representation: flat bigint columns keep the Hamming
+    predicate entirely in whole-stage codegen with zero per-row array
+    allocation (the ``array<bigint>`` form pays an allocation per pair in
+    a similarity join). ``conv`` can only parse 15 hex chars safely into
+    a signed long, so each 16-hex chunk is assembled from two 8-hex
+    halves with a bit shift (shift/or are pure bit ops — no ANSI
+    overflow).
+    """
+    col = F.col(hex_col) if isinstance(hex_col, str) else hex_col
+    padded = F.lpad(F.lower(col), 64, "0")
+    out = []
+    for i in range(NUM_CHUNKS64):
+        hi = F.conv(F.substring(padded, i * 16 + 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(padded, i * 16 + 9, 8), 16, 10).cast("long")
+        out.append(F.shiftleft(hi, 32).bitwiseOR(lo))
+    return out
+
+
+def hamming64(left_prefix: str, right_prefix: str) -> Column:
+    """Hamming distance over two sets of flat 64-bit chunk columns
+    (named ``{prefix}0..{prefix}3``) — a single codegen'd expression of
+    xor/bit_count/add, no arrays, no UDF.
+    """
+    total = None
+    for i in range(NUM_CHUNKS64):
+        term = F.bit_count(
+            F.col(f"{left_prefix}{i}").bitwiseXOR(F.col(f"{right_prefix}{i}"))
+        )
+        total = term if total is None else total + term
+    return total
+
+
 def hex_to_bits(hex_col: Column | str) -> Column:
     """Decode hex to the reference's binary-string form: ``bin(int(hex,16))``
     left-padded to 256 — so length is ``max(256, bit_length(value))``.

@@ -36,9 +36,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashes import (
     HASH_BITS,
+    NUM_CHUNKS64,
     calculate_absolute_threshold,
-    chunks_hamming,
+    hamming64,
     hex_to_chunks,
+    hex_to_chunks64,
     similarity_from_distance,
 )
 
@@ -74,8 +76,26 @@ def exploded_hashes(df: DataFrame) -> DataFrame:
 
 
 def decoded_hashes(df: DataFrame) -> DataFrame:
-    """Attach the 8×32-bit chunk decoding (reference P7)."""
-    return exploded_hashes(df).withColumn("chunks", hex_to_chunks("hash"))
+    """Attach the hash decoding (reference P7): 8×32-bit ``chunks`` array
+    (SQL-oracle-friendly form) plus 4 flat 64-bit ``h0..h3`` columns (the
+    similarity-join hot path; see :func:`..functions.hashes.hex_to_chunks64`).
+    """
+    exploded = exploded_hashes(df)
+    cols = hex_to_chunks64("hash")
+    return exploded.select(
+        "index",
+        "hash",
+        hex_to_chunks("hash").alias("chunks"),
+        *[c.alias(f"h{i}") for i, c in enumerate(cols)],
+    )
+
+
+def _hash_side(df: DataFrame, prefix: str) -> DataFrame:
+    return df.select(
+        F.col("index").alias(f"{prefix}index"),
+        F.col("hash").alias(f"{prefix}hash"),
+        *[F.col(f"h{i}").alias(f"{prefix}h{i}") for i in range(NUM_CHUNKS64)],
+    )
 
 
 def _naive_pairs(
@@ -83,22 +103,26 @@ def _naive_pairs(
 ) -> DataFrame:
     """All-pairs scan: probe × corpus, keep dist<=n, self excluded.
 
-    The entire predicate runs in whole-stage codegen; with a restricted
-    probe set the probe side is broadcast so the corpus never shuffles
-    (mirrors the reference's asymmetric probe/corpus shape, P9).
+    The Hamming predicate is a flat xor/bit_count expression inside
+    whole-stage codegen. Physical shape: one side broadcast, the other
+    repartitioned to full parallelism (a single small parquet file would
+    otherwise pin the entire O(N·M) scan to one task). With a restricted
+    probe set the probe is broadcast and the corpus streams (the
+    reference's asymmetric probe/corpus shape, P9); for the full
+    self-join the corpus is broadcast — inherently single-machine-sized,
+    which is what the naive backend is for (the scale path is banded).
     """
-    p = probe.select(
-        F.col("index").alias("p_index"), F.col("chunks").alias("p_chunks")
-    )
-    c = corpus.select(
-        F.col("index").alias("c_index"), F.col("chunks").alias("c_chunks")
-    )
-    left = F.broadcast(p) if broadcast_probe else p
-    dist = chunks_hamming(F.col("p_chunks"), F.col("c_chunks"))
+    spark = probe.sparkSession
+    slices = spark.sparkContext.defaultParallelism * 2
+    p = _hash_side(probe, "p_")
+    c = _hash_side(corpus, "c_")
+    if broadcast_probe:
+        joined = c.repartition(slices).crossJoin(F.broadcast(p))
+    else:
+        joined = p.repartition(slices).crossJoin(F.broadcast(c))
     return (
-        left.crossJoin(c)
-        .where(F.col("p_index") != F.col("c_index"))
-        .withColumn("dist", dist)
+        joined.where(F.col("p_index") != F.col("c_index"))
+        .withColumn("dist", hamming64("p_h", "c_h"))
         .where(F.col("dist") <= F.lit(n_bits))
         .select(F.col("p_index").alias("index"), F.col("c_index").alias("dup"), "dist")
     )
@@ -120,31 +144,36 @@ def _bands(df: DataFrame, k: int, w: int, prefix: str) -> DataFrame:
     )
     return df.select(
         F.col("index").alias(f"{prefix}index"),
-        F.col("hash").alias(f"{prefix}hash"),
-        F.col("chunks").alias(f"{prefix}chunks"),
+        *[F.col(f"h{i}").alias(f"{prefix}h{i}") for i in range(NUM_CHUNKS64)],
         F.posexplode(band_vals).alias("band_id", "band_val"),
     )
 
 
 def _banded_pairs(probe: DataFrame, corpus: DataFrame, n_bits: int) -> DataFrame:
-    """MIH candidate join + exact verify (shuffle-hash-join shaped)."""
+    """MIH candidate join + exact verify.
+
+    Shuffle-hash-join shaped: band rows hash-partition by
+    (band_id, band_val), so the candidate join scales out with the
+    cluster; AQE's skew handling covers pathological bands (e.g. the
+    all-zero band of near-black images). Candidates are verified inline
+    with the flat codegen Hamming predicate — duplicate candidates from
+    multi-band collisions are NOT pre-deduped (that extra shuffle costs
+    more than re-running a few xor/bit_counts); the downstream
+    min-distance aggregation dedups pairs anyway.
+    """
     layout = _pick_band_layout(n_bits)
     if layout is None:
         return _naive_pairs(probe, corpus, n_bits, broadcast_probe=False)
     k, w = layout
     pb = _bands(probe, k, w, "p_")
     cb = _bands(corpus, k, w, "c_")
-    candidates = (
+    return (
         pb.join(cb, ["band_id", "band_val"])
         .where(F.col("p_index") != F.col("c_index"))
-        # One verify per hash pair, however many bands collide.
-        .dropDuplicates(["p_index", "p_hash", "c_index", "c_hash"])
-    )
-    dist = chunks_hamming(F.col("p_chunks"), F.col("c_chunks"))
-    return (
-        candidates.withColumn("dist", dist)
+        .withColumn("dist", hamming64("p_h", "c_h"))
         .where(F.col("dist") <= F.lit(n_bits))
-        .select(F.col("p_index").alias("index"), F.col("c_index").alias("dup"), "dist")
+        .groupBy(F.col("p_index").alias("index"), F.col("c_index").alias("dup"))
+        .agg(F.min("dist").alias("dist"))
     )
 
 

@@ -153,25 +153,16 @@ SELECT * FROM chunks
 
 
 def _pdq_pairs_df(spark, sf_dir, probed: bool):
+    from ..operators.pdq import _naive_pairs  # physical strategy reuse
+
     entries = _entries(spark, sf_dir)
     corpus = decoded_hashes(entries)
-    from ..functions.hashes import chunks_hamming  # local to avoid cycle
-
     probe = corpus
     if probed:
-        probe = corpus.where(
-            F.col("index").isin(_probe_list(spark, sf_dir))
-        )
-    p = probe.select(F.col("index").alias("p_index"), F.col("chunks").alias("pc"))
-    c = corpus.select(F.col("index").alias("c_index"), F.col("chunks").alias("cc"))
-    return (
-        (F.broadcast(p) if probed else p)
-        .crossJoin(c)
-        .where(F.col("p_index") != F.col("c_index"))
-        .withColumn("dist", chunks_hamming(F.col("pc"), F.col("cc")))
-        .where(F.col("dist") <= 26)
-        .groupBy(F.col("p_index").alias("index"), F.col("c_index").alias("dup"))
-        .agg(F.min("dist").cast("bigint").alias("dist"))
+        probe = corpus.where(F.col("index").isin(_probe_list(spark, sf_dir)))
+    pairs = _naive_pairs(probe, corpus, 26, broadcast_probe=probed)
+    return pairs.groupBy("index", "dup").agg(
+        F.min("dist").cast("bigint").alias("dist")
     )
 
 

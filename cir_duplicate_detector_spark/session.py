@@ -20,6 +20,12 @@ from pyspark.sql import SparkSession
 RECOMMENDED_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
+    # AQE sizes partitions by shuffle BYTES; the engine's similarity-join
+    # verify stages are CPU-dense per byte (xor/bit_count over narrow
+    # rows), so a byte-based advisory of 64MB under-parallelizes them.
+    # 8MB keeps those stages wide without fragmenting IO-bound stages.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8MB",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Driver testdata parquet carries INT64 TIMESTAMP(NANOS); read it as
     # raw nanos (long) and convert explicitly (see sources.tables).
