@@ -1,0 +1,181 @@
+"""Document deduplication operators for large-scale pipelines:
+
+* exact duplicates — md5(text) hash-groupBy (one shuffle)
+* MinHash + LSH near-duplicates — shingle → 16-way minhash signature →
+  4×4 LSH banding → candidate equi-join → exact Jaccard verify
+* SimHash signatures — 60-bit majority-vote fingerprints
+* n-gram Jaccard — exact set similarity between probe docs and corpus
+
+All candidate generation is equi-join shaped (scales out on shuffle
+keys); exact verification only touches candidate pairs. Hash functions
+are the md5-based 60-bit family (functions.text.hash60) so every stage
+has a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import hash60, word_shingles
+
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # bands of 4 rows each
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, members, group_size).
+
+    One hash-aggregate shuffle; group keys are 128-bit md5 so collisions
+    are negligible and the group list is the dedup decision record.
+    """
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+            F.count("*").alias("group_size"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) pairs — the set representation
+    used by minhash, jaccard, and containment measures.
+    """
+    return (
+        docs.select("doc_id", F.explode(word_shingles("text", n)).alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+        .select("doc_id", hash60(F.col("sh")).alias("sh_hash"), "sh")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, m0..m{k-1}): k-way minhash signature in ONE shuffle —
+    the k hash lanes are computed as parallel min-aggregates over the
+    exploded shingle set rather than k passes.
+    """
+    shingles = (
+        docs.select("doc_id", F.explode(word_shingles("text")).alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+    lanes = [
+        hash60(F.col("sh"), seed=str(j)).alias(f"h{j}") for j in range(k)
+    ]
+    return (
+        shingles.select("doc_id", *lanes)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{j}").alias(f"m{j}") for j in range(k)])
+    )
+
+
+def lsh_candidates(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate pairs (a < b) sharing at least one LSH band.
+
+    Band key = md5 of the band's signature rows; the self-join is an
+    equi-join on (band_id, band_key) — shuffle-partitioned, scale-out.
+    """
+    rows = MINHASH_K // bands
+    band_cols = []
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
+            )
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    left = banded.select(
+        F.col("doc_id").alias("a"), "band_id", "band_key"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b"), "band_id", "band_key"
+    )
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs.
+
+    ``shingles`` = (doc_id, sh_hash) distinct. Intersection sizes come
+    from one equi-join on sh_hash restricted to candidates; union =
+    |A| + |B| - |A∩B|. Jaccard is an exact int/int division, so the
+    oracle matches bitwise.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Semi-restrict each side to docs that appear in any candidate pair
+    # BEFORE the inverted-index join, so the sh_hash join only touches
+    # candidate documents (candidate sets are tiny next to the corpus).
+    sa = shingles.join(
+        candidates.select(F.col("a").alias("doc_id")).distinct(), "doc_id", "semi"
+    ).select(F.col("doc_id").alias("a"), "sh_hash")
+    sb = shingles.join(
+        candidates.select(F.col("b").alias("doc_id")).distinct(), "doc_id", "semi"
+    ).select(F.col("doc_id").alias("b"), "sh_hash")
+    inter = (
+        sa.join(sb, "sh_hash")
+        .join(candidates, ["a", "b"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup detection: signatures → banded
+    candidates → exact Jaccard ≥ threshold. Returns (a, b, jaccard), a<b.
+    """
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidates(sigs)
+    shingles = shingle_sets(docs).select("doc_id", "sh_hash")
+    return jaccard_pairs(shingles, cands, threshold)
+
+
+SIMHASH_BITS = 60
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """60-bit SimHash per document: per-token 60-bit hashes vote ±count
+    on each bit position; bit set iff the weighted sum is positive.
+
+    Spark shape: explode → (doc, token) count aggregate → 60 conditional
+    sums in ONE groupBy pass → bit reassembly. No UDFs, two shuffles.
+    """
+    from ..functions.text import tokens
+
+    tok = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .select("doc_id", "cnt", hash60(F.col("tok")).alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return voted.select("doc_id", sim.alias("simhash"))

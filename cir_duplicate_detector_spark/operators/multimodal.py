@@ -1,0 +1,77 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched Pandas UDFs (mapInPandas).
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked deterministic stub (`_fake_decode`); everything around it
+— binary column handling, metadata schema, mapInPandas batch shape,
+partitioning — is real and is the part that matters on a cluster. A
+production deployment swaps `_fake_decode` for a real codec (PIL/ffmpeg)
+without touching the Spark plumbing; that hot-swap point mirrors the
+reference's posture of treating hash *computation* as an upstream
+concern (reference pyproject declares pdqhash but never imports it —
+SURVEY header).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, content_md5 string, feature60 bigint"
+)
+
+MEDIA_SCHEMA = "doc_id bigint, media_type string, payload binary, n_bytes bigint"
+
+
+def to_media(docs: DataFrame) -> DataFrame:
+    """Wrap documents as a media table: payload = utf-8 bytes standing in
+    for image/audio blobs, with typed metadata columns.
+    """
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+    )
+
+
+def _fake_decode(payload: bytes) -> int:
+    """STUB decode step — deterministic stand-in for a real media codec.
+
+    Returns a 60-bit feature derived from the payload's md5. Replace
+    with e.g. PIL image decode + PDQ hash computation in production;
+    the surrounding Spark plumbing is codec-agnostic.
+    """
+    import hashlib
+
+    return int(hashlib.md5(payload).hexdigest()[:15], 16)
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    mapInPandas streams record batches through Python once — the decode
+    path is the only place this engine leaves the JVM, and it is
+    batch-vectorized (no per-row Python round trips).
+    """
+    import hashlib
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.str.len().astype("int64"),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "feature60": payloads.map(_fake_decode).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)

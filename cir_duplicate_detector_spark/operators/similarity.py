@@ -1,0 +1,192 @@
+"""Vector similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: probe×corpus
+  cross join with a codegen'd dot product (broadcast probes,
+  repartitioned corpus — same shape as the naive Hamming join)
+* sign-random-projection LSH top-k — the scale path: 16-bit hyperplane
+  sketch buckets candidates through an equi-join, then exact re-rank
+  within buckets
+
+All arithmetic is float→double widened and sequentially folded, which
+both Spark and DuckDB evaluate identically, so brute-force results have
+a bit-exact oracle. Hyperplane weights are ±1 derived from the md5-based
+hash60 family — deterministic, seedless, reproducible on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.text import hash60
+
+
+def dot64(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm64(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def knn_bruteforce(
+    vectors: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
+
+    Ties broken by neighbor_id so ranking is total and deterministic.
+    """
+    spark = vectors.sparkSession
+    slices = spark.sparkContext.defaultParallelism * 2
+    base = vectors.select(
+        "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
+    )
+    probes = base.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    corpus = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = dot64(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    scored = (
+        corpus.repartition(slices)
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+N_PLANES = 16
+
+
+def srp_sketch(emb: Column, n_planes: int = N_PLANES) -> Column:
+    """Sign-random-projection sketch: bit p = [sum_d w(p,d)·emb[d] > 0]
+    with deterministic ±1 weights w(p,d) = parity of hash60("p:d").
+
+    Returned as a bigint bucket key. Plane weights are constant-folded
+    per (p, d) at plan build — the per-row work is adds only.
+    """
+    sketch = None
+    # Weights are plan-time constants: python computes the hash parity.
+    import hashlib
+
+    def weight(p: int, d: int) -> int:
+        h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+        return 1 if int(h[:15], 16) & 1 else -1
+
+    for p in range(n_planes):
+        acc = None
+        for d in range(64):
+            term = emb[d].cast("double") * F.lit(float(weight(p, d)))
+            acc = term if acc is None else acc + term
+        bit = F.when(acc > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sketch = bit if sketch is None else sketch + bit
+    return sketch
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Approximate cosine top-k: SRP-bucket equi-join, exact re-rank
+    within the bucket. Scale path — candidate volume is bucket-local, the
+    join shuffles by sketch key. Recall < 1 by construction (a probe may
+    rank fewer than k neighbors if its bucket is small).
+    """
+    base = vectors.select(
+        "vec_id",
+        "embedding",
+        norm64(F.col("embedding")).alias("nrm"),
+        srp_sketch(F.col("embedding")).alias("bucket"),
+    )
+    probes = base.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
+    )
+    corpus = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        "bucket",
+    )
+    cos = dot64(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    scored = (
+        probes.join(corpus, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cosine >= threshold) via
+    the SRP bucket join — near-identical vectors share all sketch bits.
+    """
+    base = vectors.select(
+        "vec_id",
+        "embedding",
+        norm64(F.col("embedding")).alias("nrm"),
+        srp_sketch(F.col("embedding")).alias("bucket"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        "bucket",
+    )
+    cos = dot64(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators over a documents table: token counting,
+quality scoring, language identification, document fingerprinting.
+
+All pure Catalyst expressions (JVM-side regex / array ops; no Python in
+the hot path), so they scale linearly with the scan and stay inside
+whole-stage codegen. Ratios are single exact divisions and score
+formulas fixed expression trees, so the DuckDB oracle reproduces every
+double bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import char_shingles, hash60, tokens
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+# Same pattern compiles identically under Java regex and RE2 (DuckDB).
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+PUNCT_PATTERN = "[.,;:!?]"
+
+# Tiny per-language stopword lexicons for the n-gram/stopword heuristic.
+# Deterministic tie-break: first language in this order wins ties.
+LANG_LEXICONS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of", "to", "in", "is"]),
+    ("es", ["el", "la", "de", "que", "y", "los"]),
+    ("de", ["der", "die", "und", "das", "ist", "nicht"]),
+    ("fr", ["le", "les", "et", "des", "un", "est"]),
+]
+
+STOPWORDS_EN = LANG_LEXICONS[0][1]
+
+
+def _count_matches(col, pattern: str):
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast(
+        "bigint"
+    )
+
+
+def lang_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens_ws, n_tokens_bpe): whitespace tokens and a
+    BPE-style pre-tokenization count (letters/digits/punct runs).
+    """
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens_ws"),
+        _count_matches(F.col("text"), BPE_PATTERN).alias("n_tokens_bpe"),
+    )
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + a composite score per document."""
+    ws = tokens("text")
+    n_chars = F.length("text").cast("bigint")
+    n_words = F.size(ws).cast("bigint")
+    punct = _count_matches(F.col("text"), PUNCT_PATTERN)
+    stop = _count_matches(F.col("text"), lang_pattern(STOPWORDS_EN))
+    avg_word_len = (n_chars - (n_words - 1)) / n_words  # chars net of single spaces
+    punct_ratio = punct / n_chars
+    stop_ratio = stop / n_words
+    score = (
+        F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-lexicon language ID with deterministic tie-breaking.
+
+    Scores = per-language stopword hit counts; the CASE cascade picks
+    the first language (in LANG_LEXICONS order) whose score equals the
+    maximum; all-zero scores -> 'und' (undetermined).
+    """
+    scores = {
+        lang: _count_matches(F.lower(F.col("text")), lang_pattern(words))
+        for lang, words in LANG_LEXICONS
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang, _ in LANG_LEXICONS:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang, _ in LANG_LEXICONS],
+        pred.alias("lang_pred"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, k: int = 8, bottom: int = 4) -> DataFrame:
+    """Bottom-k sketch fingerprint: the ``bottom`` smallest 60-bit hashes
+    of the document's distinct char k-gram shingles — a compact,
+    order-stable signature for containment/near-dup screening
+    (winnowing-style document fingerprinting).
+
+    Output is flat (doc_id, fp_rank, fp_hash) for hash-stable comparison.
+    """
+    shingled = docs.select(
+        "doc_id", F.explode(char_shingles("text", k)).alias("sh")
+    ).dropDuplicates(["doc_id", "sh"])
+    hashed = shingled.select(
+        "doc_id", hash60(F.col("sh")).alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        hashed.withColumn("fp_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("fp_rank") <= bottom)
+        .select("doc_id", "fp_rank", F.col("h").alias("fp_hash"))
+    )

@@ -1,0 +1,518 @@
+"""Extension query registry: the large-scale training-data-pipeline
+operators (dedup, similarity search, text analysis, multimodal, event
+windows, analytics) bound to the driver testdata, each with a DuckDB
+oracle wherever the semantics are SQL-expressible.
+
+Floating-point discipline (everything here is checked by value-hash):
+* money-like sums accumulate in DECIMAL (exact, order-independent) and
+  cast to double at the end;
+* ratios/similarities are single divisions of exact integers;
+* cosine scores are sequential double folds, which Spark's aggregate()
+  and DuckDB's list_sum() evaluate in the same order (verified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60_sql
+from ..operators import dedup, events, multimodal, similarity, textops
+from ..sources.derived import derive_near_dup_corpus, near_dup_corpus_sql
+from ..sources.tables import load_table
+from ..streaming.windows import streaming_tumbling_window
+
+_ND = near_dup_corpus_sql("duckdb")
+
+_DUCK_WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')"
+
+# word-3-gram shingles (functions.text.word_shingles twin)
+_DUCK_SHINGLES = f"""
+CASE WHEN len({_DUCK_WORDS}) < 3 THEN [text]
+     ELSE [array_to_string(list_slice({_DUCK_WORDS}, i, i + 2), ' ')
+           for i in range(1, len({_DUCK_WORDS}) - 1)] END
+"""
+
+
+def _docs_nd(spark, sf_dir):
+    return derive_near_dup_corpus(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------ dedup
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs_nd(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH docs_nd AS ({_ND})
+SELECT md5(text) AS text_hash,
+       list_sort(list(doc_id)) AS members,
+       count(*) AS group_size
+FROM docs_nd GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+_DUCK_SHINGLE_SET = f"""
+docs_nd AS ({_ND}),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM docs_nd
+  )
+),
+shh AS (SELECT doc_id, {hash60_sql('sh')} AS sh_hash FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id)
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_near_duplicates(_docs_nd(spark, sf_dir), threshold=0.5)
+
+
+_LANES = ",\n    ".join(
+    f"min({hash60_sql('sh', seed_expr=repr(str(j)))}) AS m{j}"
+    for j in range(dedup.MINHASH_K)
+)
+_BAND_ROWS = dedup.MINHASH_K // dedup.LSH_BANDS
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"""SELECT doc_id, {b} AS band_id, md5({" || ',' || ".join(
+        f"cast(m{b * _BAND_ROWS + r} as string)" for r in range(_BAND_ROWS)
+    )}) AS band_key FROM sigs"""
+    for b in range(dedup.LSH_BANDS)
+)
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_DUCK_SHINGLE_SET},
+sigs AS (
+  SELECT doc_id, {_LANES}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r USING (band_id, band_key)
+  WHERE l.doc_id < r.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
+  GROUP BY c.a, c.b
+)
+SELECT i2.a, i2.b, i2.i / (sa.n + sb.n - i2.i) AS jaccard
+FROM inter i2
+JOIN sizes sa ON sa.doc_id = i2.a
+JOIN sizes sb ON sb.doc_id = i2.b
+WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _docs_nd(spark, sf_dir)
+    shingles = dedup.shingle_sets(docs).select("doc_id", "sh_hash")
+    probes = shingles.where(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        probes.select(F.col("doc_id").alias("a"), "sh_hash")
+        .join(shingles.select(F.col("doc_id").alias("b"), "sh_hash"), "sh_hash")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a"
+        )
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .where(F.col("jaccard") >= 0.3)
+        .select("a", "b", "jaccard")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_DUCK_SHINGLE_SET},
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM shh x JOIN shh y ON y.sh_hash = x.sh_hash AND x.doc_id <> y.doc_id
+  WHERE x.doc_id % 50 = 0 AND x.doc_id < 1000000
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT i2.a, i2.b, i2.i / (sa.n + sb.n - i2.i) AS jaccard
+FROM inter i2
+JOIN sizes sa ON sa.doc_id = i2.a
+JOIN sizes sb ON sb.doc_id = i2.b
+WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.3
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_signatures(_docs_nd(spark, sf_dir))
+
+
+_SIMHASH_VOTES = ",\n    ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{i}"
+    for i in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_BITS_EXPR = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(dedup.SIMHASH_BITS)
+)
+
+SQL_DEDUP_SIMHASH = f"""
+WITH docs_nd AS ({_ND}),
+tok AS (
+  SELECT doc_id, tok, count(*) AS cnt, {hash60_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest({_DUCK_WORDS}) AS tok FROM docs_nd)
+  GROUP BY doc_id, tok
+),
+voted AS (
+  SELECT doc_id, {_SIMHASH_VOTES}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, ({_SIMHASH_BITS_EXPR})::BIGINT AS simhash FROM voted
+"""
+
+
+# ------------------------------------------------------- similarity search
+
+def _knn_probe_ids(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [
+        r[0] for r in emb.select("vec_id").where("vec_id % 20 = 0").collect()
+    ]
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(emb, _knn_probe_ids(spark, sf_dir), k=5)
+
+
+SQL_KNN_BRUTEFORCE = """
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65), j -> q.e[j] * c.e[j]))
+           / (q.nrm * c.nrm) AS cosine
+  FROM n q, n c
+  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  )::BIGINT AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_knn_lsh(spark, sf_dir):
+    # Approximate (bucket-local) — no SQL oracle; driver runs the weaker
+    # rows-only check. Exactness is covered by q_knn_bruteforce.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_lsh(emb, _knn_probe_ids(spark, sf_dir), k=5)
+
+
+# ------------------------------------------------------------ text analysis
+
+def q_text_quality(spark, sf_dir):
+    return textops.text_quality(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_EN = textops.lang_pattern(textops.STOPWORDS_EN)
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         len({_DUCK_WORDS})::BIGINT AS n_words,
+         len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS punct,
+         len(regexp_extract_all(text, '{_STOP_EN}'))::BIGINT AS stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       (n_chars - (n_words - 1)) / n_words AS avg_word_len,
+       punct / n_chars AS punct_ratio,
+       stop / n_words AS stopword_ratio,
+       0.4 * least(stop / n_words * 4, 1.0)
+       + 0.3 * least(cast(n_words as double) / 100.0, 1.0)
+       + 0.3 * (1.0 - least(punct / n_chars * 10, 1.0)) AS quality_score
+FROM t
+"""
+
+
+def q_token_count(spark, sf_dir):
+    return textops.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len({_DUCK_WORDS})::BIGINT AS n_tokens_ws,
+       len(regexp_extract_all(text, '{textops.BPE_PATTERN}'))::BIGINT AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return textops.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_lang_id() -> str:
+    scores = {
+        lang: f"len(regexp_extract_all(lower(text), '{textops.lang_pattern(ws)}'))::BIGINT"
+        for lang, ws in textops.LANG_LEXICONS
+    }
+    score_cols = ",\n       ".join(
+        f"{expr} AS score_{lang}" for lang, expr in scores.items()
+    )
+    langs = [lang for lang, _ in textops.LANG_LEXICONS]
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    cascade = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH s AS (
+  SELECT doc_id, {score_cols}
+  FROM documents
+)
+SELECT doc_id, {", ".join(f"score_{l}" for l in langs)}, {cascade} AS lang_pred
+FROM s
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return textops.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN length(text) < 8 THEN [text]
+           ELSE [substr(text, i, 8) for i in range(1, length(text) - 6)] END
+    ) AS sh FROM documents
+  )
+),
+h AS (SELECT doc_id, {hash60_sql('sh')} AS h FROM sh)
+SELECT doc_id, fp_rank, h AS fp_hash FROM (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h)::BIGINT AS fp_rank
+  FROM h
+) WHERE fp_rank <= 4
+"""
+
+
+# ------------------------------------------------------------- multimodal
+
+def q_multimodal_features(spark, sf_dir):
+    media = multimodal.to_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+SQL_MULTIMODAL_FEATURES = f"""
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_md5,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS feature60
+FROM documents
+"""
+
+
+# ----------------------------------------------------------------- events
+
+def q_events_window(spark, sf_dir):
+    return events.tumbling_window(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_WINDOW = f"""
+SELECT (epoch_us(ts) // {events.HOUR_US}) * {events.HOUR_US} AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       cast(sum(value::DECIMAL(18,2)) as double) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_window_streaming(spark, sf_dir):
+    return streaming_tumbling_window(spark, sf_dir)
+
+
+def q_events_sessionize(spark, sf_dir):
+    return events.sessionize(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+),
+b AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > {events.SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS boundary
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT *, sum(boundary) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING
+  )::BIGINT AS session_id FROM b
+)
+SELECT user_id, session_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       count(*) AS n_events,
+       cast(sum(value::DECIMAL(18,2)) as double) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_events_json(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_id, event_type, json_extract_string(props, '$.k')::BIGINT AS k_val
+FROM events
+"""
+
+
+# -------------------------------------------------------------- analytics
+
+def q_tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(12,2)") + dec("l_tax"))
+    out = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-06-30").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out.withColumn(
+        "avg_qty", F.col("sum_qty") / F.col("count_order")
+    ).withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(l_quantity::DECIMAL(12,2)) as double) AS sum_qty,
+       cast(sum(l_extendedprice::DECIMAL(12,2)) as double) AS sum_base_price,
+       cast(sum(l_extendedprice::DECIMAL(12,2)
+                * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) as double)
+         AS sum_disc_price,
+       cast(sum(l_extendedprice::DECIMAL(12,2)
+                * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))
+                * (1::DECIMAL(12,2) + l_tax::DECIMAL(12,2))) as double)
+         AS sum_charge,
+       count(*) AS count_order,
+       cast(sum(l_quantity::DECIMAL(12,2)) as double) / count(*) AS avg_qty,
+       cast(sum(l_extendedprice::DECIMAL(12,2)) as double) / count(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-06-30'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    cutoff = F.lit("1998-06-30").cast("timestamp_ntz")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate_d"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate::DATE AS o_orderdate_d,
+       cast(sum(l_extendedprice::DECIMAL(12,2)
+                * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) as double)
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY l_orderkey, o_orderdate::DATE
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_window_topn(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+SQL_WINDOW_TOPN = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         )::BIGINT AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+EXTENSION_QUERIES: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "knn_cosine_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
+    "knn_cosine_lsh": (q_knn_lsh, None),  # approximate: rows-only check
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "events_window_streaming": (q_events_window_streaming, SQL_EVENTS_WINDOW),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_json": (q_events_json, SQL_EVENTS_JSON),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "window_topn": (q_window_topn, SQL_WINDOW_TOPN),
+}

@@ -31,7 +31,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts arrives as raw nanos (long); expose microseconds + timestamp.
-        df = df.withColumn("ts_us", (F.col("ts") / 1000).cast("long")).withColumn(
+        # Integer div, NOT `/`: double division loses precision on
+        # epoch-nano magnitudes (> 2^53) and lands a microsecond off.
+        df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts_ts", F.timestamp_micros(F.col("ts_us"))
         )
     return df

@@ -1,0 +1,71 @@
+"""Structured Streaming twins of the batch event operators.
+
+The tumbling-window aggregation runs as a real streaming query —
+file-source ``readStream`` → event-time window with watermark →
+memory sink — driven to completion with an availableNow trigger, so a
+batch caller gets back an ordinary DataFrame whose contents match the
+batch operator (and the same DuckDB oracle) exactly.
+
+On a live cluster the same plan runs continuously: swap the trigger for
+a processing-time one and the memory sink for kafka/delta; the watermark
+(1 hour) bounds state for late data.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.events import HOUR_US
+
+
+def streaming_tumbling_window(
+    spark: SparkSession, sf_dir: str, width_us: int = HOUR_US
+) -> DataFrame:
+    """Run the tumbling-window aggregation as a streaming query over the
+    events parquet and return the final result table.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file stream source requires a DIRECTORY; stage the single
+    # parquet file into a temp dir via symlink (zero-copy).
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    seconds = width_us // 1_000_000
+    agg = (
+        stream.withWatermark("ts_ts", "1 hour")
+        .groupBy(F.window("ts_ts", f"{seconds} seconds"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,146 @@
+"""Semantic tests for the pipeline-extension operators (the oracle
+parity suite checks engine-vs-DuckDB equivalence; these check the
+operators do the *right thing* on planted structures).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from cir_duplicate_detector_spark.operators import (
+    dedup,
+    events,
+    multimodal,
+    similarity,
+    textops,
+)
+from cir_duplicate_detector_spark.sources.derived import derive_near_dup_corpus
+from cir_duplicate_detector_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DOCS_SCHEMA = "doc_id bigint, text string"
+
+
+def test_exact_duplicates_planted(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "aa bb cc"), (3, "unique text"), (4, "aa bb cc")],
+        DOCS_SCHEMA,
+    )
+    got = dedup.exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0]["members"] == [1, 2, 4]
+    assert got[0]["group_size"] == 3
+
+
+def test_minhash_finds_mutants(spark):
+    docs = derive_near_dup_corpus(load_table(spark, SF_DIR, "documents"))
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    # Exact copies (doc_id % 11 == 0 -> +2_000_000) have jaccard 1.0.
+    assert pairs[(0, 2_000_000)] == 1.0
+    assert pairs[(11, 2_000_011)] == 1.0
+    # Truncation mutants (doc_id % 5 == 0 -> +1_000_000) are near 1.
+    assert pairs[(5, 1_000_005)] > 0.7
+
+
+def test_simhash_identical_for_copies(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "a completely different sentence here")],
+        DOCS_SCHEMA,
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+    assert 0 <= sig[1] < (1 << 60)
+
+
+def test_knn_self_similarity_excluded_and_ranked(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = similarity.knn_bruteforce(emb, [0, 20], k=3).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_query.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        sims = [r["cosine"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_knn_lsh_subset_of_bruteforce_space(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    lsh = similarity.knn_lsh(emb, [0, 20, 40], k=5).collect()
+    # bucket-local: every returned neighbor shares the probe's sketch,
+    # ranks are contiguous from 1
+    for q in {r["query_id"] for r in lsh}:
+        ranks = sorted(r["rank"] for r in lsh if r["query_id"] == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_sessionize_gap_semantics(spark):
+    us = 1_000_000
+    rows = [
+        # user 1: two events 10 min apart (one session), then 40 min gap
+        (1, 1, 0 * us, 10.0),
+        (2, 1, 600 * us, 10.0),
+        (3, 1, 3000 * us, 5.0),
+        # user 2: single event
+        (4, 2, 0 * us, 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_us bigint, value double"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): r
+        for r in events.sessionize(ev, gap_us=events.SESSION_GAP_US).collect()
+    }
+    assert len(got) == 3
+    assert got[(1, 0)]["n_events"] == 2
+    assert got[(1, 1)]["n_events"] == 1
+    assert got[(2, 0)]["n_events"] == 1
+    assert got[(1, 0)]["sum_value"] == 20.0
+
+
+def test_multimodal_features_match_hashlib(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    media = multimodal.to_media(docs)
+    feats = multimodal.extract_features(media).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(feats) == 5
+    for r in feats:
+        raw = texts[r["doc_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(raw)
+        assert r["content_md5"] == hashlib.md5(raw).hexdigest()
+        assert r["feature60"] == int(hashlib.md5(raw).hexdigest()[:15], 16)
+
+
+def test_lang_id_deterministic_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "el perro y la casa de que"),
+         (3, "xyzzy plugh")],
+        DOCS_SCHEMA,
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in textops.lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_fingerprint_shape(spark):
+    docs = spark.createDataFrame([(1, "abcdefghijklmno")], DOCS_SCHEMA)
+    got = textops.doc_fingerprint(docs).collect()
+    assert [r["fp_rank"] for r in sorted(got, key=lambda r: r["fp_rank"])] == [
+        1,
+        2,
+        3,
+        4,
+    ]
+    hashes = [r["fp_hash"] for r in sorted(got, key=lambda r: r["fp_rank"])]
+    assert hashes == sorted(hashes)
