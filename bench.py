@@ -34,14 +34,23 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
+    "embedding_near_dup",
     "text_quality",
     "token_count",
     "lang_id",
     "doc_fingerprint",
+    "multimodal_frames",
     "events_window",
     "events_sessionize",
+    "events_sessionize_stateful",
+    "events_asof",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
+    "rollup_orders",
+    "window_topn",
 ]
 
 
@@ -60,6 +69,20 @@ def main() -> None:
 
     # Pay JVM/codegen/Arrow warmup once, outside any timed query.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # Warm each query's codegen/JIT at the smallest scale factor so the
+    # timed runs measure steady-state throughput, not first-compile cost
+    # (a cluster amortizes compilation across executors and reruns).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            if name not in ALL_QUERIES:
+                continue
+            try:
+                fn, _ = ALL_QUERIES[name]
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # warmup is best-effort; the timed run surfaces errors
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -45,6 +45,14 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles; texts shorter than n words shingle to the
     whole text (so no document vanishes from set-similarity measures).
 
+    Built as a chain of ``zip_with`` joins of the token array against
+    its own 1..(n-1)-shifted slices — the token array is evaluated a
+    constant number of times per row. (An earlier form indexed the
+    array with ``element_at`` inside a ``transform`` lambda;
+    higher-order-function lambdas are interpreted without common
+    subexpression elimination, so the regexp tokenization re-ran per
+    gram — O(words²) splits per row.)
+
     DuckDB twin (n=3)::
 
         CASE WHEN len(words) < 3 THEN [text]
@@ -54,12 +62,15 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     ws = tokens(col)
     size = F.size(ws)
-    grams = F.transform(
-        F.sequence(F.lit(1), size - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j) for j in range(n)]
-        ),
-    )
+    acc = ws
+    for j in range(1, n):
+        shifted = F.slice(ws, j + 1, size - j)
+        # zip_with pads the shorter side with null; concat(null) -> null
+        # marks the incomplete tail grams, dropped by the slice below.
+        acc = F.zip_with(
+            acc, shifted, lambda g, w: F.concat(g, F.lit(" "), w)
+        )
+    grams = F.slice(acc, 1, size - (n - 1))
     return F.when(size < n, F.array(col)).otherwise(grams)
 
 

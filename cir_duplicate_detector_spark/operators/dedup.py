@@ -21,6 +21,28 @@ from ..functions.text import hash60, word_shingles
 MINHASH_K = 16  # signature length
 LSH_BANDS = 4  # bands of 4 rows each
 
+# Universal-hash lane family over the base 60-bit shingle hash:
+#   lane_j(h) = (a_j * (h mod P) + b_j) mod P,  P = 2^31 - 1 (Mersenne).
+# One md5 per shingle feeds all K lanes (vs K md5s); the arithmetic
+# stays below 2^59 so it is exact in a signed 64-bit lane on both
+# engines (Spark runs ANSI mode — no silent overflow allowed).
+MINHASH_P = (1 << 31) - 1
+
+
+def _lane_params(j: int) -> tuple[int, int]:
+    """Deterministic per-lane multiplier/offset (plan-time constants)."""
+    import hashlib
+
+    a = (int(hashlib.md5(f"a{j}".encode()).hexdigest()[:7], 16) << 1) | 1
+    b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:7], 16)
+    return a, b
+
+
+def lane_hash(h, j: int):
+    """Spark column for lane j; DuckDB twin: ``(a*(h%P)+b)%P``."""
+    a, b = _lane_params(j)
+    return (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
+
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical texts: (text_hash, members, group_size).
@@ -50,17 +72,18 @@ def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, m0..m{k-1}): k-way minhash signature in ONE shuffle —
-    the k hash lanes are computed as parallel min-aggregates over the
-    exploded shingle set rather than k passes.
+def minhash_signatures(
+    shingles: DataFrame, k: int = MINHASH_K
+) -> DataFrame:
+    """(doc_id, m0..m{k-1}): k-way minhash signature in ONE shuffle.
+
+    ``shingles`` = distinct (doc_id, sh_hash) from :func:`shingle_sets`.
+    The k lanes are arithmetic rehashes of the single 60-bit base hash
+    (no per-lane md5), aggregated as parallel mins in one groupBy pass
+    with map-side partials.
     """
-    shingles = (
-        docs.select("doc_id", F.explode(word_shingles("text")).alias("sh"))
-        .dropDuplicates(["doc_id", "sh"])
-    )
     lanes = [
-        hash60(F.col("sh"), seed=str(j)).alias(f"h{j}") for j in range(k)
+        lane_hash(F.col("sh_hash"), j).alias(f"h{j}") for j in range(k)
     ]
     return (
         shingles.select("doc_id", *lanes)
@@ -110,26 +133,41 @@ def jaccard_pairs(
     from one equi-join on sh_hash restricted to candidates; union =
     |A| + |B| - |A∩B|. Jaccard is an exact int/int division, so the
     oracle matches bitwise.
+
+    LSH selectivity makes the candidate set small relative to the
+    corpus BY DESIGN, so every candidate-shaped side is broadcast: the
+    semi-restrictions and the pair filter become map-side joins and the
+    only shuffles left are the sh_hash inverted-index join and the
+    count aggregates.
     """
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = F.broadcast(candidates.select("a", "b"))
     # Semi-restrict each side to docs that appear in any candidate pair
-    # BEFORE the inverted-index join, so the sh_hash join only touches
-    # candidate documents (candidate sets are tiny next to the corpus).
+    # BEFORE the inverted-index join (broadcast semi — no corpus shuffle).
     sa = shingles.join(
-        candidates.select(F.col("a").alias("doc_id")).distinct(), "doc_id", "semi"
+        F.broadcast(candidates.select(F.col("a").alias("doc_id")).distinct()),
+        "doc_id",
+        "semi",
     ).select(F.col("doc_id").alias("a"), "sh_hash")
     sb = shingles.join(
-        candidates.select(F.col("b").alias("doc_id")).distinct(), "doc_id", "semi"
+        F.broadcast(candidates.select(F.col("b").alias("doc_id")).distinct()),
+        "doc_id",
+        "semi",
     ).select(F.col("doc_id").alias("b"), "sh_hash")
+    sizes_a = F.broadcast(
+        sa.groupBy("a").agg(F.count("*").alias("na"))
+    )
+    sizes_b = F.broadcast(
+        sb.groupBy("b").agg(F.count("*").alias("nb"))
+    )
     inter = (
         sa.join(sb, "sh_hash")
-        .join(candidates, ["a", "b"])
+        .join(cand, ["a", "b"], "semi")
         .groupBy("a", "b")
         .agg(F.count("*").alias("i"))
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        inter.join(sizes_a, "a")
+        .join(sizes_b, "b")
         .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -139,10 +177,22 @@ def jaccard_pairs(
 def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """End-to-end MinHash+LSH near-dup detection: signatures → banded
     candidates → exact Jaccard ≥ threshold. Returns (a, b, jaccard), a<b.
+
+    The shingle set is computed ONCE and persisted: signatures, both
+    sides of the verify join, and the size aggregate all read it. At
+    cluster scale this persist is the difference between one shingle
+    pass and four (spill-to-disk storage level keeps it safe when the
+    set outgrows executor memory).
     """
-    sigs = minhash_signatures(docs)
+    from pyspark import StorageLevel
+
+    shingles = (
+        shingle_sets(docs)
+        .select("doc_id", "sh_hash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs = minhash_signatures(shingles)
     cands = lsh_candidates(sigs)
-    shingles = shingle_sets(docs).select("doc_id", "sh_hash")
     return jaccard_pairs(shingles, cands, threshold)
 
 

@@ -75,3 +75,43 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             )
 
     return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_no bigint, frame_text string, frame_md5 string"
+)
+
+
+def frame_sample(
+    media: DataFrame, frame_chars: int = 32, stride: int = 4
+) -> DataFrame:
+    """Frame decomposition + sampling over the payload column — the
+    video-keyframe-shaped pipeline: decode (stub), split into fixed-
+    width frames, keep every ``stride``-th frame, fingerprint each.
+
+    One Arrow-batched pass (mapInPandas); the row explosion happens
+    inside the Python worker, so upstream stages never materialize the
+    unsampled frames. A production deployment replaces the utf-8 "
+    "decode with ffmpeg frame extraction; schema and batch shape hold.
+    """
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_no": [], "frame_text": [], "frame_md5": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                n_frames = (len(text) + frame_chars - 1) // frame_chars
+                for fno in range(0, n_frames, stride):
+                    ft = text[fno * frame_chars : (fno + 1) * frame_chars]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(fno)
+                    out["frame_text"].append(ft)
+                    out["frame_md5"].append(
+                        hashlib.md5(ft.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)

@@ -85,27 +85,37 @@ def knn_bruteforce(
 N_PLANES = 16
 
 
-def srp_sketch(emb: Column, n_planes: int = N_PLANES) -> Column:
-    """Sign-random-projection sketch: bit p = [sum_d w(p,d)·emb[d] > 0]
-    with deterministic ±1 weights w(p,d) = parity of hash60("p:d").
-
-    Returned as a bigint bucket key. Plane weights are constant-folded
-    per (p, d) at plan build — the per-row work is adds only.
-    """
-    sketch = None
-    # Weights are plan-time constants: python computes the hash parity.
+def srp_weight(p: int, d: int) -> int:
+    """Deterministic ±1 hyperplane weight: parity of md5(f"{p}:{d}")."""
     import hashlib
 
-    def weight(p: int, d: int) -> int:
-        h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
-        return 1 if int(h[:15], 16) & 1 else -1
+    h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+    return 1 if int(h[:15], 16) & 1 else -1
 
+
+def srp_sketch(emb: Column, n_planes: int = N_PLANES, dim: int = 64) -> Column:
+    """Sign-random-projection sketch: bit p = [sum_d w(p,d)·emb[d] > 0]
+    with deterministic ±1 weights (:func:`srp_weight`), returned as a
+    bigint bucket key.
+
+    Each plane's weights ship as a literal array folded through
+    ``zip_with``+``aggregate`` — the generated code is a tight loop per
+    plane instead of a 64-term unrolled expression tree (the unrolled
+    form blew past JIT/codegen budgets and dominated the whole query's
+    runtime at plan-compile time). Fold order is left-to-right, matching
+    the oracle's ``list_sum(list_transform(...))`` exactly.
+    """
+    sketch = None
     for p in range(n_planes):
-        acc = None
-        for d in range(64):
-            term = emb[d].cast("double") * F.lit(float(weight(p, d)))
-            acc = term if acc is None else acc + term
-        bit = F.when(acc > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        w = F.array(*[F.lit(float(srp_weight(p, d))) for d in range(dim)])
+        s = F.aggregate(
+            F.zip_with(emb, w, lambda x, wd: x.cast("double") * wd),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sketch = bit if sketch is None else sketch + bit
     return sketch
 

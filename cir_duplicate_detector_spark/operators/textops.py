@@ -10,7 +10,7 @@ double bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import char_shingles, hash60, tokens
 
@@ -108,16 +108,25 @@ def doc_fingerprint(docs: DataFrame, k: int = 8, bottom: int = 4) -> DataFrame:
     (winnowing-style document fingerprinting).
 
     Output is flat (doc_id, fp_rank, fp_hash) for hash-stable comparison.
+
+    Entirely array-native per row (distinct → hash → sort → slice inside
+    one projection): zero shuffles, zero row explosion — the shingle
+    blow-up never leaves the expression, so the operator scales with the
+    scan alone. (The first cut exploded to rows and ranked with a
+    window; that shuffled |text| rows per document for a 4-row answer.)
     """
-    shingled = docs.select(
-        "doc_id", F.explode(char_shingles("text", k)).alias("sh")
-    ).dropDuplicates(["doc_id", "sh"])
-    hashed = shingled.select(
-        "doc_id", hash60(F.col("sh")).alias("h")
+    fp = F.slice(
+        F.array_sort(
+            F.transform(
+                F.array_distinct(char_shingles("text", k)),
+                lambda g: hash60(g),
+            )
+        ),
+        1,
+        bottom,
     )
-    w = Window.partitionBy("doc_id").orderBy("h")
-    return (
-        hashed.withColumn("fp_rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("fp_rank") <= bottom)
-        .select("doc_id", "fp_rank", F.col("h").alias("fp_hash"))
+    return docs.select("doc_id", F.posexplode(fp)).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("fp_rank"),
+        F.col("col").alias("fp_hash"),
     )

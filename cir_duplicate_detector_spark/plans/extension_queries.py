@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import hash60_sql
 from ..operators import dedup, events, multimodal, similarity, textops
-from ..sources.derived import derive_near_dup_corpus, near_dup_corpus_sql
+from ..sources.derived import (
+    derive_near_dup_corpus,
+    derive_near_dup_embeddings,
+    near_dup_corpus_sql,
+    near_dup_embeddings_sql,
+)
 from ..sources.tables import load_table
 from ..streaming.windows import streaming_tumbling_window
 
@@ -68,9 +73,14 @@ def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_near_duplicates(_docs_nd(spark, sf_dir), threshold=0.5)
 
 
+def _lane_sql(j: int) -> str:
+    a, b = dedup._lane_params(j)
+    p = dedup.MINHASH_P
+    return f"({a} * (sh_hash % {p}) + {b}) % {p}"
+
+
 _LANES = ",\n    ".join(
-    f"min({hash60_sql('sh', seed_expr=repr(str(j)))}) AS m{j}"
-    for j in range(dedup.MINHASH_K)
+    f"min({_lane_sql(j)}) AS m{j}" for j in range(dedup.MINHASH_K)
 )
 _BAND_ROWS = dedup.MINHASH_K // dedup.LSH_BANDS
 _BAND_SELECTS = "\n  UNION ALL\n".join(
@@ -84,7 +94,7 @@ SQL_DEDUP_MINHASH = f"""
 WITH {_DUCK_SHINGLE_SET},
 sigs AS (
   SELECT doc_id, {_LANES}
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 ),
 bands AS (
   {_BAND_SELECTS}
@@ -214,10 +224,87 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 
 def q_knn_lsh(spark, sf_dir):
-    # Approximate (bucket-local) — no SQL oracle; driver runs the weaker
-    # rows-only check. Exactness is covered by q_knn_bruteforce.
+    # Approximate by construction (bucket-local candidates), but fully
+    # deterministic: the oracle replicates the SRP sketch bit-for-bit,
+    # so even the approximate path is value-hash-checked.
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.knn_lsh(emb, _knn_probe_ids(spark, sf_dir), k=5)
+
+
+def _srp_planes_values() -> str:
+    rows = []
+    for p in range(similarity.N_PLANES):
+        w = ", ".join(
+            str(float(similarity.srp_weight(p, d))) for d in range(64)
+        )
+        rows.append(f"({p}, [{w}])")
+    return ", ".join(rows)
+
+
+# Shared CTE: per-vector SRP bucket, same fold order as the Spark side
+# (list_sum over list_transform == aggregate over zip_with).
+_DUCK_SRP_BUCKETED = f"""
+n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+planes AS (SELECT * FROM (VALUES {_srp_planes_values()}) t(p, w)),
+nb AS (
+  SELECT vec_id, e, nrm,
+         sum(CASE WHEN list_sum(list_transform(range(1, 65), j -> e[j] * w[j])) > 0
+                  THEN 1 << p ELSE 0 END)::BIGINT AS bucket
+  FROM n CROSS JOIN planes
+  GROUP BY vec_id, e, nrm
+)
+"""
+
+SQL_KNN_LSH = f"""
+WITH {_DUCK_SRP_BUCKETED},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65), j -> q.e[j] * c.e[j]))
+           / (q.nrm * c.nrm) AS cosine
+  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % 20 = 0
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  )::BIGINT AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    corpus = derive_near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return similarity.embedding_near_duplicates(corpus, threshold=0.95)
+
+
+_ND_EMB = near_dup_embeddings_sql("duckdb")
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH emb_nd AS ({_ND_EMB}),
+n AS (
+  SELECT vec_id, embedding AS e,
+         sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm
+  FROM emb_nd
+),
+planes AS (SELECT * FROM (VALUES {_srp_planes_values()}) t(p, w)),
+nb AS (
+  SELECT vec_id, e, nrm,
+         sum(CASE WHEN list_sum(list_transform(range(1, 65), j -> e[j] * w[j])) > 0
+                  THEN 1 << p ELSE 0 END)::BIGINT AS bucket
+  FROM n CROSS JOIN planes
+  GROUP BY vec_id, e, nrm
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       list_sum(list_transform(range(1, 65), j -> a.e[j] * b.e[j]))
+         / (a.nrm * b.nrm) AS cosine
+FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, 65), j -> a.e[j] * b.e[j]))
+        / (a.nrm * b.nrm) >= 0.95
+"""
 
 
 # ------------------------------------------------------------ text analysis
@@ -291,7 +378,12 @@ SQL_LANG_ID = _sql_lang_id()
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    return textops.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+    # Widen the single-file scan: the per-row shingle/md5 work is CPU-
+    # dense and would otherwise run at the scan's file-split width.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return textops.doc_fingerprint(docs)
 
 
 SQL_DOC_FINGERPRINT = f"""
@@ -471,6 +563,226 @@ LIMIT 10
 """
 
 
+def q_tpch_q6(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT cast(sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(12,2))
+            as double) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        # The c_nationkey = s_nationkey equality makes this the classic
+        # "local supplier" join; supplier/nation/region are dimension
+        # tables — Catalyst broadcasts them under the default threshold.
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       cast(sum(l_extendedprice::DECIMAL(12,2)
+                * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) as double)
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+TPCH_Q18_QTY = 160
+
+
+def q_tpch_q18(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .where(F.col("qty") > TPCH_Q18_QTY)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate_d"),
+            "o_totalprice",
+            F.col("qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate::DATE AS o_orderdate_d,
+       o_totalprice, qty::DOUBLE AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(12,2)) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING qty > {TPCH_Q18_QTY}
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_rollup_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_totalprice"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       cast(sum(o_totalprice::DECIMAL(18,2)) as double) AS sum_totalprice,
+       GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_events_asof(spark, sf_dir):
+    """As-of (backward) join within the event stream: each click is
+    annotated with the user's most recent prior purchase — expressed as
+    an ignore-nulls running last_value in one window pass, the
+    shuffle-minimal Spark formulation of an as-of join against the same
+    stream.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts_us")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("last_purchase_ts_us", last_purchase)
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            "last_purchase_ts_us",
+            (F.col("ts_us") - F.col("last_purchase_ts_us")).alias(
+                "since_purchase_us"
+            ),
+        )
+    )
+
+
+SQL_EVENTS_ASOF = """
+SELECT user_id, event_id, ts_us, last_purchase_ts_us,
+       ts_us - last_purchase_ts_us AS since_purchase_us
+FROM (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_purchase_ts_us
+  FROM events
+)
+WHERE event_type = 'click'
+"""
+
+
+def q_events_sessionize_stateful(spark, sf_dir):
+    from ..streaming.stateful import streaming_sessionize
+
+    return streaming_sessionize(spark, sf_dir)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return multimodal.frame_sample(multimodal.to_media(docs))
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH fr AS (
+  SELECT doc_id, text,
+         unnest([i for i in range(0, (length(text) + 31) // 32)]) AS fno
+  FROM documents
+)
+SELECT doc_id, fno AS frame_no,
+       substr(text, fno * 32 + 1, 32) AS frame_text,
+       md5(substr(text, fno * 32 + 1, 32)) AS frame_md5
+FROM fr WHERE fno % 4 = 0
+"""
+
+
 def q_window_topn(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -502,17 +814,28 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "knn_cosine_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
-    "knn_cosine_lsh": (q_knn_lsh, None),  # approximate: rows-only check
+    "knn_cosine_lsh": (q_knn_lsh, SQL_KNN_LSH),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_window_streaming": (q_events_window_streaming, SQL_EVENTS_WINDOW),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_sessionize_stateful": (
+        q_events_sessionize_stateful,
+        SQL_EVENTS_SESSIONIZE,
+    ),
+    "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "window_topn": (q_window_topn, SQL_WINDOW_TOPN),
 }

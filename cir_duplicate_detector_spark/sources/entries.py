@@ -85,7 +85,16 @@ def entries_sql(dialect: str) -> str:
 
 
 def derive_entries(documents: DataFrame) -> DataFrame:
-    """Spark-side derivation — same SQL text as the oracle's CTE."""
+    """Spark-side derivation — same SQL text as the oracle's CTE.
+
+    The scan is widened to the cluster's parallelism first: everything
+    downstream (hash synthesis, explode, hex decode) is CPU-dense, and a
+    small single-file parquet input would otherwise pin it to one or two
+    scan partitions. On real many-file inputs the repartition collapses
+    into the natural file-split width at trivial cost (the projected
+    columns are slim).
+    """
     spark = documents.sparkSession
+    width = spark.sparkContext.defaultParallelism
     documents.createOrReplaceTempView("documents")
-    return spark.sql(entries_sql("spark"))
+    return spark.sql(entries_sql("spark")).repartition(width)
