@@ -9,10 +9,17 @@ scheme-less input entirely into ``path``, so ``example.com/p`` and
 (reference ``tests/unit/test_url.py:28-47``).
 
 That behavior is exactly: strip a leading ``scheme://`` if present, strip
-a ``#fragment`` suffix, over the lowercased string. Two regexp_replace
-calls — fully codegen'd, no UDF, and the same RE2-compatible patterns run
-verbatim in the DuckDB oracle. (Spark's ``parse_url`` does NOT match the
+a ``#fragment`` suffix, then drop an EMPTY trailing params/query marker
+(urlparse emits ``;params`` / ``?query`` only when non-empty, so a bare
+trailing ``;`` or ``?`` disappears — found by the hypothesis property
+test against a urlparse model). All regexp_replace — fully codegen'd, no
+UDF, anchored RE2-compatible patterns (no lookahead) so the same rules
+run in the DuckDB oracle. (Spark's ``parse_url`` does NOT match the
 scheme-less case, so it is deliberately not used.)
+
+Known divergence, out of practical scope: a ``;`` terminating the
+NETLOC of a scheme-ful URL (``http://host;?q``) is treated as empty
+params here but kept by urlparse.
 """
 
 from __future__ import annotations
@@ -23,21 +30,39 @@ from pyspark.sql import Column, functions as F
 # lowercasing, [a-z][a-z0-9+.\-]* followed by "://".
 SCHEME_PATTERN = r"^[a-z][a-z0-9+.\-]*://"
 FRAGMENT_PATTERN = r"#.*$"
+# Empty-params/query cleanup. `^[^?]*` anchors each rule to the part
+# before the FIRST '?', so markers inside a non-empty query survive.
+EMPTY_PARAMS_BEFORE_QUERY = r"^([^?]*);\?"  # "p;?q" -> "p?q"
+EMPTY_PARAMS_AT_END = r"^([^?]*);$"  # "p;"  -> "p"
+EMPTY_QUERY_AT_END = r"^([^?]*)\?$"  # "p?"  -> "p"
 
 
 def normalize_url(url: Column | str) -> Column:
-    """Lowercase, drop ``scheme://`` prefix and ``#fragment`` suffix."""
+    """Lowercase, drop ``scheme://`` prefix, ``#fragment`` suffix, and
+    empty trailing ``;``/``?`` markers."""
     col = F.col(url) if isinstance(url, str) else url
-    return F.regexp_replace(
+    out = F.regexp_replace(
         F.regexp_replace(F.lower(col), SCHEME_PATTERN, ""),
         FRAGMENT_PATTERN,
         "",
     )
+    out = F.regexp_replace(out, EMPTY_PARAMS_BEFORE_QUERY, "$1?")
+    out = F.regexp_replace(out, EMPTY_PARAMS_AT_END, "$1")
+    return F.regexp_replace(out, EMPTY_QUERY_AT_END, "$1")
 
 
-# The same normalization for the DuckDB oracle (ANSI SQL, RE2 regex).
+# Drop-in alias matching the reference's public name
+# (``cir_duplicate_detector/url.py:11`` exports ``extract_base_url``).
+extract_base_url = normalize_url
+
+
+# The same normalization for the DuckDB oracle (ANSI SQL, RE2 regex;
+# DuckDB's replacement syntax is \1 where Java's is $1).
 def normalize_url_sql(expr: str) -> str:
-    return (
+    out = (
         "regexp_replace(regexp_replace(lower(" + expr + "), "
         "'^[a-z][a-z0-9+.\\-]*://', ''), '#.*$', '')"
     )
+    out = f"regexp_replace({out}, '^([^?]*);\\?', '\\1?')"
+    out = f"regexp_replace({out}, '^([^?]*);$', '\\1')"
+    return f"regexp_replace({out}, '^([^?]*)\\?$', '\\1')"

@@ -61,35 +61,46 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle-hash) pairs — the set representation
-    used by minhash, jaccard, and containment measures.
+def hashed_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, hs): each document's distinct 60-bit shingle hashes as a
+    per-row array. Pure projection — the shingle set never leaves the
+    row, so building it costs zero shuffles at any scale.
     """
-    return (
-        docs.select("doc_id", F.explode(word_shingles("text", n)).alias("sh"))
-        .dropDuplicates(["doc_id", "sh"])
-        .select("doc_id", hash60(F.col("sh")).alias("sh_hash"), "sh")
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(word_shingles("text", n), lambda s: hash60(s))
+        ).alias("hs"),
+    )
+
+
+def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Flat distinct (doc_id, sh_hash) pairs — the exploded form used by
+    the Jaccard inverted-index join. Distinctness comes from the per-row
+    ``array_distinct`` (no dropDuplicates shuffle).
+    """
+    return hashed_shingle_arrays(docs, n).select(
+        "doc_id", F.explode("hs").alias("sh_hash")
     )
 
 
 def minhash_signatures(
-    shingles: DataFrame, k: int = MINHASH_K
+    hashed: DataFrame, k: int = MINHASH_K
 ) -> DataFrame:
-    """(doc_id, m0..m{k-1}): k-way minhash signature in ONE shuffle.
-
-    ``shingles`` = distinct (doc_id, sh_hash) from :func:`shingle_sets`.
-    The k lanes are arithmetic rehashes of the single 60-bit base hash
-    (no per-lane md5), aggregated as parallel mins in one groupBy pass
-    with map-side partials.
+    """(doc_id, m0..m{k-1}): k-way minhash signature, computed entirely
+    per-row — each lane is an ``array_min`` over an arithmetic rehash of
+    the shingle-hash array (:func:`hashed_shingle_arrays`). No explode,
+    no aggregation: signature construction is shuffle-free regardless of
+    corpus size, which is what lets the LSH band join be the FIRST
+    shuffle of the whole pipeline.
     """
     lanes = [
-        lane_hash(F.col("sh_hash"), j).alias(f"h{j}") for j in range(k)
+        F.array_min(
+            F.transform("hs", lambda h: lane_hash(h, j))
+        ).alias(f"m{j}")
+        for j in range(k)
     ]
-    return (
-        shingles.select("doc_id", *lanes)
-        .groupBy("doc_id")
-        .agg(*[F.min(f"h{j}").alias(f"m{j}") for j in range(k)])
-    )
+    return hashed.select("doc_id", *lanes)
 
 
 def lsh_candidates(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
@@ -178,21 +189,21 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5) -> DataFram
     """End-to-end MinHash+LSH near-dup detection: signatures → banded
     candidates → exact Jaccard ≥ threshold. Returns (a, b, jaccard), a<b.
 
-    The shingle set is computed ONCE and persisted: signatures, both
-    sides of the verify join, and the size aggregate all read it. At
-    cluster scale this persist is the difference between one shingle
-    pass and four (spill-to-disk storage level keeps it safe when the
-    set outgrows executor memory).
+    Signature construction is per-row (shuffle-free); the band join is
+    the first shuffle, and the Jaccard verify only explodes shingles for
+    candidate documents. Recomputing the shingle arrays on the verify
+    branch is cheaper than persisting them: it is one md5 per shingle
+    per pass, applied only to the candidate-restricted side.
     """
     from pyspark import StorageLevel
 
-    shingles = (
-        shingle_sets(docs)
-        .select("doc_id", "sh_hash")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sigs = minhash_signatures(shingles)
-    cands = lsh_candidates(sigs)
+    hashed = hashed_shingle_arrays(docs)
+    sigs = minhash_signatures(hashed)
+    # The candidate set feeds four broadcast branches of the verify
+    # join; persist it so the band self-join runs once, not per branch.
+    # It is small by LSH design (pairs sharing a 4-lane band).
+    cands = lsh_candidates(sigs).persist(StorageLevel.MEMORY_AND_DISK)
+    shingles = hashed.select("doc_id", F.explode("hs").alias("sh_hash"))
     return jaccard_pairs(shingles, cands, threshold)
 
 

@@ -166,6 +166,83 @@ def knn_lsh(
     )
 
 
+def knn_ivf(
+    vectors: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    centroid_mod: int = 40,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style approximate cosine top-k: partition the corpus into
+    inverted lists by nearest centroid, search only the ``nprobe``
+    lists nearest each query, exact re-rank inside them.
+
+    Centroids are the deterministic sample ``vec_id % centroid_mod == 0``
+    (a real deployment would k-means them; selection strategy is
+    orthogonal to the join shape). The build pass — score every vector
+    against the broadcast centroid set and keep the argmax — is one
+    map-side cross join plus a ``max_by`` aggregate; the probe pass is
+    an equi-join on centroid id. Both are the canonical scale-out
+    shapes: no all-pairs work anywhere.
+    """
+    base = vectors.select(
+        "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
+    )
+    cents = F.broadcast(
+        base.where(F.col("vec_id") % centroid_mod == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    cos_c = dot64(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
+    scored_c = base.crossJoin(cents).withColumn("ccos", cos_c)
+    # Ties broken toward the smallest centroid id: max of (ccos, -cid).
+    member = scored_c.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cid", "embedding", "nrm"),
+            F.struct(F.col("ccos"), (-F.col("cid")).alias("neg_cid")),
+        ).alias("m")
+    ).select(
+        F.col("m.cid").alias("cid"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("m.embedding").alias("c_emb"),
+        F.col("m.nrm").alias("c_nrm"),
+    )
+    probes = scored_c.where(F.col("vec_id").isin(probe_ids))
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    probe_lists = (
+        probes.withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "cid",
+        )
+    )
+    cos = dot64(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    cand = (
+        probe_lists.join(member, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import detect_duplicates
 from ..functions.hashes import hex_to_chunks
-from ..functions.url import normalize_url
+from ..functions.url import normalize_url, normalize_url_sql
 from ..operators.pdq import (
     decoded_hashes,
     exploded_hashes,
@@ -53,9 +53,7 @@ chunks AS (SELECT "index", hash, {_DUCK_CHUNKS} FROM exploded)
 _DUCK_URL_BASE = f"""
 entries AS ({_DUCK_ENTRIES}),
 base AS (
-  SELECT "index",
-         regexp_replace(regexp_replace(lower(url), '^[a-z][a-z0-9+.\\-]*://', ''),
-                        '#.*$', '') AS base_url
+  SELECT "index", {normalize_url_sql('url')} AS base_url
   FROM entries WHERE url IS NOT NULL
 ),
 grp AS (
@@ -91,9 +89,7 @@ def q_url_normalize(spark, sf_dir):
 
 SQL_URL_NORMALIZE = f"""
 WITH entries AS ({_DUCK_ENTRIES})
-SELECT "index",
-       regexp_replace(regexp_replace(lower(url), '^[a-z][a-z0-9+.\\-]*://', ''),
-                      '#.*$', '') AS base_url
+SELECT "index", {normalize_url_sql('url')} AS base_url
 FROM entries WHERE url IS NOT NULL
 """
 

@@ -276,6 +276,52 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def q_knn_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf(emb, _knn_probe_ids(spark, sf_dir), k=5)
+
+
+SQL_KNN_IVF = """
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
+sc AS (
+  SELECT n.vec_id, n.e, n.nrm, c.cid,
+         list_sum(list_transform(range(1, 65), j -> n.e[j] * c.ce[j]))
+           / (n.nrm * c.cnrm) AS ccos
+  FROM n CROSS JOIN cent c
+),
+member AS (
+  SELECT vec_id AS neighbor_id, e, nrm, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid)
+              AS rn FROM sc
+  ) WHERE rn = 1
+),
+probe_lists AS (
+  SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid)
+              AS rn
+    FROM sc WHERE vec_id % 20 = 0
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT p.query_id, m.neighbor_id,
+         list_sum(list_transform(range(1, 65), j -> p.qe[j] * m.e[j]))
+           / (p.qnrm * m.nrm) AS cosine
+  FROM probe_lists p JOIN member m USING (cid)
+  WHERE p.query_id <> m.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  )::BIGINT AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     corpus = derive_near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
     return similarity.embedding_near_duplicates(corpus, threshold=0.95)
@@ -815,6 +861,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "knn_cosine_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_cosine_lsh": (q_knn_lsh, SQL_KNN_LSH),
+    "knn_cosine_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

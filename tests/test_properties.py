@@ -1,0 +1,181 @@
+"""Property-based tests (hypothesis): the Catalyst expression kernels
+against independent pure-Python models of the reference semantics.
+
+Each property generates a BATCH of inputs and runs one Spark job over
+the batch, so hypothesis gets real coverage without per-example job
+overhead. Models are written from the reference's documented semantics
+(SURVEY §2.2 U1, §2.4 A1/A2, §2.3 P7), not from our Spark code.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cir_duplicate_detector_spark.functions.hashes import (
+    bits_hamming,
+    calculate_absolute_threshold,
+    chunks_hamming,
+    hex_to_bits,
+    hex_to_chunks,
+    hex_to_chunks64,
+)
+from cir_duplicate_detector_spark.functions.url import normalize_url
+
+HEX = "0123456789abcdef"
+
+hex_hash = st.text(alphabet=HEX, min_size=1, max_size=64)
+hex_hash_256 = st.text(alphabet=HEX, min_size=64, max_size=64)
+hex_hash_long = st.text(alphabet=HEX, min_size=1, max_size=96)
+
+SETTINGS = settings(max_examples=8, deadline=None)
+
+
+# --- pure-python models of the reference semantics -----------------------
+
+def model_hex_to_binary(h: str, length: int = 256) -> str:
+    # reference utils.py:32-52: bin(int(h,16)) zero-filled to `length`.
+    return format(int(h, 16), "b").zfill(length)
+
+
+def model_hamming(b1: str, b2: str) -> int:
+    # reference utils.py:90-105: left-aligned mismatches; excess
+    # positions of the longer string all count as mismatches.
+    n = max(len(b1), len(b2))
+    p1, p2 = b1.ljust(n, "\0"), b2.ljust(n, "\0")
+    return sum(c1 != c2 for c1, c2 in zip(p1, p2))
+
+
+def model_extract_base_url(url: str) -> str:
+    # reference url.py:11-29: lowercase whole url, urlparse, emit
+    # netloc + path [+ ";" params] [+ "?" query] (drop scheme+fragment).
+    p = urlparse(url.lower())
+    out = p.netloc + p.path
+    if p.params:
+        out += ";" + p.params
+    if p.query:
+        out += "?" + p.query
+    return out
+
+
+# --- url strategy: structured URL-ish strings ----------------------------
+
+_host = st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True)
+# Params (";x") only after a path segment: a ";" directly on the netloc
+# of a scheme-ful URL is the one documented divergence from urlparse
+# (see functions/url.py docstring), so the model test excludes it.
+_path = st.from_regex(
+    r"(/[A-Za-z0-9._\-]{0,8}){0,4}(/[A-Za-z0-9._\-]{0,6};[A-Za-z0-9=]{0,6})?",
+    fullmatch=True,
+)
+_query = st.one_of(st.just(""), st.from_regex(r"\?[A-Za-z0-9=&]{0,12}", fullmatch=True))
+_frag = st.one_of(st.just(""), st.from_regex(r"#[A-Za-z0-9/?=]{0,12}", fullmatch=True))
+_scheme = st.sampled_from(["", "http://", "https://", "HTTPS://", "ftp://", "x+y-z.1://"])
+
+urls = st.builds(
+    lambda s, h, p, q, f: s + h + p + q + f, _scheme, _host, _path, _query, _frag
+)
+
+
+def _run_batch(spark, values, expr, n_cols=1):
+    if n_cols == 1:
+        df = spark.createDataFrame([(v,) for v in values], "a string")
+    else:
+        df = spark.createDataFrame(list(values), "a string, b string")
+    return [r[0] for r in df.select(expr).collect()]
+
+
+@SETTINGS
+@given(st.lists(hex_hash, min_size=1, max_size=32))
+def test_hex_to_chunks_reassembles_to_int(spark, hashes):
+    got = _run_batch(spark, hashes, hex_to_chunks("a").alias("c"))
+    for h, chunks in zip(hashes, got):
+        val = 0
+        for c in chunks:
+            val = (val << 32) | c
+        assert val == int(h, 16), h
+
+
+@SETTINGS
+@given(st.lists(hex_hash_256, min_size=1, max_size=32))
+def test_chunks64_equals_chunks32_value(spark, hashes):
+    df = spark.createDataFrame([(v,) for v in hashes], "a string")
+    cols64 = hex_to_chunks64("a")
+    rows = df.select(
+        hex_to_chunks("a").alias("c32"),
+        *[c.alias(f"h{i}") for i, c in enumerate(cols64)],
+    ).collect()
+    for h, r in zip(hashes, rows):
+        v32 = 0
+        for c in r["c32"]:
+            v32 = (v32 << 32) | c
+        v64 = 0
+        for i in range(4):
+            v64 = (v64 << 64) | (r[f"h{i}"] & ((1 << 64) - 1))
+        assert v64 == v32 == int(h, 16), h
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(hex_hash_256, hex_hash_256), min_size=1, max_size=32
+    )
+)
+def test_chunks_hamming_matches_popcount(spark, pairs):
+    df = spark.createDataFrame(list(pairs), "a string, b string")
+    got = [
+        r[0]
+        for r in df.select(
+            chunks_hamming(hex_to_chunks("a"), hex_to_chunks("b")).alias("d")
+        ).collect()
+    ]
+    for (a, b), d in zip(pairs, got):
+        assert d == bin(int(a, 16) ^ int(b, 16)).count("1"), (a, b)
+
+
+@SETTINGS
+@given(st.lists(hex_hash_long, min_size=1, max_size=32))
+def test_hex_to_bits_matches_reference_zfill(spark, hashes):
+    got = _run_batch(spark, hashes, hex_to_bits("a").alias("b"))
+    for h, bits in zip(hashes, got):
+        assert bits == model_hex_to_binary(h), h
+
+
+@SETTINGS
+@given(
+    st.lists(st.tuples(hex_hash_long, hex_hash_long), min_size=1, max_size=32)
+)
+def test_bits_hamming_matches_reference_padding(spark, pairs):
+    df = spark.createDataFrame(list(pairs), "a string, b string")
+    got = [
+        r[0]
+        for r in df.select(
+            bits_hamming(hex_to_bits("a"), hex_to_bits("b")).alias("d")
+        ).collect()
+    ]
+    for (a, b), d in zip(pairs, got):
+        want = model_hamming(model_hex_to_binary(a), model_hex_to_binary(b))
+        assert d == want, (a, b)
+
+
+@SETTINGS
+@given(st.lists(urls, min_size=1, max_size=32))
+def test_normalize_url_matches_urlparse_model(spark, batch):
+    got = _run_batch(spark, batch, normalize_url("a").alias("u"))
+    for u, norm in zip(batch, got):
+        assert norm == model_extract_base_url(u), u
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_absolute_threshold_matches_reference_rounding(t):
+    assert calculate_absolute_threshold(256, t) == int(round(256 * (1 - t)))
+
+
+@pytest.mark.parametrize("bad", [-0.1, 1.1, "abc", None])
+def test_absolute_threshold_rejects_invalid(bad):
+    with pytest.raises(ValueError):
+        calculate_absolute_threshold(256, bad)
