@@ -69,3 +69,44 @@ def streaming_tumbling_window(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def streaming_dedup_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming ingest with an exactly-once file sink: events stream →
+    per-key dedup (``dropDuplicates`` on event_id, state bounded by the
+    watermark) → parquet append with a checkpoint.
+
+    The checkpoint carries source offsets + sink commit log, so
+    re-running over the same input is a no-op — the restart-resume
+    guarantee a 100 TB ingest pipeline depends on
+    (``tests/test_streaming_sink.py`` restarts the query and asserts
+    zero duplicate output).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="events_sink_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts_ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+    )
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

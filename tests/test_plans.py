@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: the scale-critical plan shapes from
+SCALE.md, asserted so a refactor cannot silently regress them."""
+
+from __future__ import annotations
+
+import pytest
+
+from cir_duplicate_detector_spark.plans import ALL_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    fn, _ = ALL_QUERIES[name]
+    return ALL_QUERIES[name][0](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q5_pushdown_and_broadcast(spark):
+    plan = _plan(spark, "tpch_q5")
+    # Dimension filter reaches the parquet scan.
+    assert "EqualTo(r_name,ASIA)" in plan
+    # Date range pushed to the orders scan.
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # All five dimension joins broadcast; only the final agg shuffles.
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("Exchange hashpartitioning") <= 1
+    # Column pruning: lineitem scan must not read l_comment-sized width.
+    assert "ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint" in plan
+
+
+def test_pdq_probed_broadcasts_probe_side(spark):
+    plan = _plan(spark, "pdq_duplicates_probed")
+    # Probe-set pushdown: the restricted probe side is broadcast and the
+    # corpus streams (reference P9's asymmetric shape).
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pdq_banded_is_equijoin(spark):
+    plan = _plan(spark, "pdq_duplicates_banded")
+    # The banded candidate join must be hash-partitioned (scale-out),
+    # never a nested-loop cross join.
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_signatures_shuffle_free(spark):
+    from cir_duplicate_detector_spark.operators import dedup
+    from cir_duplicate_detector_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").selectExpr(
+        "doc_id", "text"
+    )
+    sigs = dedup.minhash_signatures(dedup.hashed_shingle_arrays(docs))
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    # Per-row signature construction: no exchange anywhere in the plan.
+    assert "Exchange" not in plan
+
+
+def test_doc_fingerprint_shuffle_free_before_explode(spark):
+    from cir_duplicate_detector_spark.operators import textops
+    from cir_duplicate_detector_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        textops.doc_fingerprint(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
