@@ -49,6 +49,11 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q18",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q22_like",
+    "events_distinct_users",
+    "dup_overlap",
     "rollup_orders",
     "window_topn",
 ]

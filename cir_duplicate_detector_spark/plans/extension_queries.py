@@ -829,6 +829,172 @@ FROM fr WHERE fno % 4 = 0
 """
 
 
+def q_tpch_q13(spark, sf_dir):
+    """Order-count histogram (left outer join keeps zero-order
+    customers) — double aggregation, the classic q13 shape."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Promo revenue share — conditional aggregate ratio over a
+    broadcast part join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    rev = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    joined = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    ).join(part, F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT 100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice::DECIMAL(12,2)
+                                  * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))
+                             ELSE 0::DECIMAL(12,2) END) as double)
+       / cast(sum(l_extendedprice::DECIMAL(12,2)
+                  * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) as double)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_tpch_q22_like(spark, sf_dir):
+    """Lapsed wealthy customers: above-average balance, no order since
+    2000 — scalar aggregate subquery + anti join, grouped by nation.
+    The threshold is an exact decimal sum divided once in double, so
+    the boundary comparison is bit-identical across engines.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    stats = cust.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    wealthy = cust.crossJoin(F.broadcast(stats)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    lapsed = wealthy.join(
+        orders, wealthy.c_custkey == orders.o_custkey, "anti"
+    )
+    return lapsed.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_custs"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
+SQL_TPCH_Q22_LIKE = """
+SELECT c_nationkey, count(*) AS n_custs,
+       cast(sum(c_acctbal::DECIMAL(18,2)) as double) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT cast(sum(c_acctbal::DECIMAL(18,2)) as double)
+                          / count(*) FROM customer)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def q_events_distinct_users(spark, sf_dir):
+    """Exact distinct aggregation (expands to a two-phase plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_EVENTS_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_dup_overlap(spark, sf_dir):
+    """Set operations over the two duplicate families: entries flagged
+    by BOTH url and pdq (INTERSECT), url-only (EXCEPT), pdq-only
+    (EXCEPT), labeled and unioned."""
+    from ..operators.pdq import find_pdq_hash_duplicates
+    from ..operators.url_dedup import find_url_duplicates
+    from .core_queries import PDQ_THRESHOLD, _entries
+
+    entries = _entries(spark, sf_dir)
+    url_idx = find_url_duplicates(entries).select("index")
+    pdq_idx = find_pdq_hash_duplicates(
+        entries,
+        pqd_hash_similarity_threshold=PDQ_THRESHOLD,
+        duplicate_detection_method="banded",
+    ).select("index")
+    both = url_idx.intersect(pdq_idx).withColumn("family", F.lit("both"))
+    url_only = url_idx.exceptAll(pdq_idx).withColumn(
+        "family", F.lit("url_only")
+    )
+    pdq_only = pdq_idx.exceptAll(url_idx).withColumn(
+        "family", F.lit("pdq_only")
+    )
+    return both.unionAll(url_only).unionAll(pdq_only)
+
+
+def _sql_dup_overlap() -> str:
+    from .core_queries import SQL_URL_DUPLICATES, _duck_pdq_result
+
+    return f"""
+WITH u AS (SELECT "index" FROM ({SQL_URL_DUPLICATES})),
+p AS (SELECT "index" FROM ({_duck_pdq_result("")}))
+SELECT "index", 'both' AS family FROM (SELECT * FROM u INTERSECT SELECT * FROM p)
+UNION ALL
+SELECT "index", 'url_only' AS family FROM (SELECT * FROM u EXCEPT ALL SELECT * FROM p)
+UNION ALL
+SELECT "index", 'pdq_only' AS family FROM (SELECT * FROM p EXCEPT ALL SELECT * FROM u)
+"""
+
+
 def q_window_topn(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -883,6 +1049,11 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q22_like": (q_tpch_q22_like, SQL_TPCH_Q22_LIKE),
+    "events_distinct_users": (q_events_distinct_users, SQL_EVENTS_DISTINCT_USERS),
+    "dup_overlap": (q_dup_overlap, _sql_dup_overlap()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "window_topn": (q_window_topn, SQL_WINDOW_TOPN),
 }
