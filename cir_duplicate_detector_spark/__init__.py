@@ -50,6 +50,7 @@ def detect_duplicates(
     pqd_hash_similarity_threshold: float = 0.8,
     pdq_duplicate_detection_method: str = "naive",
     validate: bool = True,
+    max_hex_len: int | None = None,
 ) -> DataFrame:
     """Composite duplicate annotation (reference ``__init__.py:11-118``).
 
@@ -99,6 +100,7 @@ def detect_duplicates(
             indexes_to_check,
             pqd_hash_similarity_threshold,
             pdq_duplicate_detection_method,
+            max_hex_len=max_hex_len,
         )
         out = out.join(pdq_dups, "index", "left")
         result_cols += ["pdq_hash_duplicates", "pdq_hash_similarities"]

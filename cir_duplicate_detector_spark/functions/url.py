@@ -17,9 +17,13 @@ UDF, anchored RE2-compatible patterns (no lookahead) so the same rules
 run in the DuckDB oracle. (Spark's ``parse_url`` does NOT match the
 scheme-less case, so it is deliberately not used.)
 
-Known divergence, out of practical scope: a ``;`` terminating the
-NETLOC of a scheme-ful URL (``http://host;?q``) is treated as empty
-params here but kept by urlparse.
+Known divergences, out of practical scope (both hypothesis-found):
+* a ``;`` terminating the NETLOC of a scheme-ful URL (``http://host;?q``)
+  is treated as empty params here but kept by urlparse;
+* urlparse splits ``;params`` only for schemes in ``urllib``'s
+  ``uses_params`` list ('', http, https, ftp, …) — for an unknown scheme
+  (``weird://h/p;``) it keeps the ``;`` while we strip it. Reference
+  inputs are http/https/scheme-less, all in the list.
 """
 
 from __future__ import annotations

@@ -37,8 +37,10 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.hashes import (
     HASH_BITS,
     NUM_CHUNKS64,
+    bits_hamming,
     calculate_absolute_threshold,
     hamming64,
+    hex_to_bits,
     hex_to_chunks,
     hex_to_chunks64,
     similarity_from_distance,
@@ -128,6 +130,40 @@ def _naive_pairs(
     )
 
 
+def _bits_pairs(
+    probe: DataFrame, corpus: DataFrame, n_bits: int, broadcast_probe: bool
+) -> DataFrame:
+    """General-length path: hashes longer than 64 hex chars (reference
+    ``tests/unit/test_pdq_hash.py:126-146`` — longer hashes still match,
+    similarity still normalized by 256). Decodes to the reference's
+    binary-string form and compares with the padded Hamming kernel.
+    Slower than the chunked fast path; only selected when long hashes
+    are actually present.
+    """
+    spark = probe.sparkSession
+    slices = spark.sparkContext.defaultParallelism * 2
+    p = probe.select(
+        F.col("index").alias("p_index"), hex_to_bits("hash").alias("p_bits")
+    )
+    c = corpus.select(
+        F.col("index").alias("c_index"), hex_to_bits("hash").alias("c_bits")
+    )
+    if broadcast_probe:
+        joined = c.repartition(slices).crossJoin(F.broadcast(p))
+    else:
+        joined = p.repartition(slices).crossJoin(F.broadcast(c))
+    return (
+        joined.where(F.col("p_index") != F.col("c_index"))
+        .withColumn("dist", bits_hamming(F.col("p_bits"), F.col("c_bits")))
+        .where(F.col("dist") <= F.lit(n_bits))
+        .select(
+            F.col("p_index").alias("index"), F.col("c_index").alias("dup"), "dist"
+        )
+        .groupBy("index", "dup")
+        .agg(F.min("dist").alias("dist"))
+    )
+
+
 def _pick_band_layout(n_bits: int) -> tuple[int, int] | None:
     """Smallest band count whose pigeonhole bound covers ``n_bits``."""
     for k, w in _BAND_LAYOUTS:
@@ -205,6 +241,7 @@ def find_pdq_hash_duplicates(
     indexes_to_check: list[str] | None = None,
     pqd_hash_similarity_threshold: float = 0.2,
     duplicate_detection_method: str = "bk-tree",
+    max_hex_len: int | None = None,
 ) -> DataFrame:
     """Entries whose PDQ hash is within the similarity threshold of
     another entry's. ``df`` needs ``index`` (unique string) and
@@ -214,6 +251,12 @@ def find_pdq_hash_duplicates(
     (``pdq_hash.py:76-81``: t=0.2, method "bk-tree"); note the top-level
     :func:`~cir_duplicate_detector_spark.detect_duplicates` uses t=0.8 and
     "naive", faithfully replicating the reference's inconsistency.
+
+    ``max_hex_len``: longest hash hex length, or None to detect it with
+    a small eager scan. Hashes longer than 64 hex chars route to the
+    general binary-string path (reference parity: longer hashes match,
+    similarity stays normalized by 256); pass ``64`` when the caller can
+    guarantee standard 256-bit hashes to skip the detection scan.
     """
     spark = df.sparkSession
     if "pdq_hash" not in df.columns or "index" not in df.columns:
@@ -234,6 +277,23 @@ def find_pdq_hash_duplicates(
     if indexes_to_check is not None and len(indexes_to_check) == 0:
         warnings.warn("indexes_to_check is empty; returning empty result")
         return spark.createDataFrame([], RESULT_SCHEMA)
+
+    exploded = exploded_hashes(df)
+    if max_hex_len is None:
+        max_hex_len = (
+            exploded.agg(F.max(F.length("hash")).alias("m")).first()["m"] or 0
+        )
+
+    if max_hex_len > 64:
+        probe = exploded
+        broadcast_probe = False
+        if indexes_to_check is not None:
+            probe = exploded.where(
+                F.col("index").isin([str(i) for i in indexes_to_check])
+            )
+            broadcast_probe = True
+        pairs = _bits_pairs(probe, exploded, n_bits, broadcast_probe)
+        return symmetrize_and_aggregate(pairs)
 
     corpus = decoded_hashes(df)
     if indexes_to_check is not None:

@@ -202,6 +202,7 @@ def q_pdq_duplicates_naive(spark, sf_dir):
         _entries(spark, sf_dir),
         pqd_hash_similarity_threshold=PDQ_THRESHOLD,
         duplicate_detection_method="naive",
+        max_hex_len=64,
     )
 
 
@@ -210,6 +211,7 @@ def q_pdq_duplicates_banded(spark, sf_dir):
         _entries(spark, sf_dir),
         pqd_hash_similarity_threshold=PDQ_THRESHOLD,
         duplicate_detection_method="banded",
+        max_hex_len=64,
     )
 
 
@@ -222,6 +224,7 @@ def q_pdq_duplicates_probed(spark, sf_dir):
         indexes_to_check=_probe_list(spark, sf_dir),
         pqd_hash_similarity_threshold=PDQ_THRESHOLD,
         duplicate_detection_method="naive",
+        max_hex_len=64,
     )
 
 
@@ -236,6 +239,7 @@ def q_detect_duplicates(spark, sf_dir):
         pqd_hash_similarity_threshold=PDQ_THRESHOLD,
         pdq_duplicate_detection_method="auto",
         validate=False,
+        max_hex_len=64,
     )
 
 

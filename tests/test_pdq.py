@@ -119,3 +119,42 @@ def test_multi_hash_same_index_no_self_match(spark):
         spark.createDataFrame(rows, PDQ_SCHEMA), pqd_hash_similarity_threshold=0.9
     )
     assert out.count() == 0
+
+
+def test_longer_hash_than_256_bits(spark):
+    # Reference tests/unit/test_pdq_hash.py:126-146: hashes longer than
+    # 64 hex chars still match, similarity still normalized by 256.
+    long_a = "f" * 70
+    long_b = "f" * 69 + "e"  # distance 1 from long_a
+    far = "0" * 70
+    df = spark.createDataFrame(
+        [("A", [long_a]), ("B", [long_b]), ("C", [far])],
+        "index string, pdq_hash array<string>",
+    )
+    out = {
+        r["index"]: r.asDict()
+        for r in find_pdq_hash_duplicates(
+            df, pqd_hash_similarity_threshold=0.99
+        ).collect()
+    }
+    assert set(out) == {"A", "B"}
+    assert out["A"]["pdq_hash_duplicates"] == ["B"]
+    assert out["A"]["pdq_hash_similarities"] == [1.0 - 1 / 256]
+
+
+def test_longer_hash_mixed_lengths_excess_counts(spark):
+    # A 64-hex and a 66-hex hash: the extra 8 bits all count as
+    # mismatches (reference utils.py:90-105 padding semantics).
+    base = "a" * 64
+    longer = "a" * 64 + "00"
+    df = spark.createDataFrame(
+        [("A", [base]), ("B", [longer])],
+        "index string, pdq_hash array<string>",
+    )
+    # bits(A) = 256-bit form of 0xaaa..; bits(B) = 264-bit form — left-
+    # aligned comparison shifts, so distance is large; just assert the
+    # pipeline runs and excludes the pair at a tight threshold.
+    out = find_pdq_hash_duplicates(
+        df, pqd_hash_similarity_threshold=0.99
+    ).collect()
+    assert out == []

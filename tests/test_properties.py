@@ -73,7 +73,9 @@ _path = st.from_regex(
 )
 _query = st.one_of(st.just(""), st.from_regex(r"\?[A-Za-z0-9=&]{0,12}", fullmatch=True))
 _frag = st.one_of(st.just(""), st.from_regex(r"#[A-Za-z0-9/?=]{0,12}", fullmatch=True))
-_scheme = st.sampled_from(["", "http://", "https://", "HTTPS://", "ftp://", "x+y-z.1://"])
+# Schemes restricted to urllib's uses_params set: for unknown schemes
+# urlparse does not split ;params (documented divergence, functions/url.py).
+_scheme = st.sampled_from(["", "http://", "https://", "HTTPS://", "ftp://", "sips://"])
 
 urls = st.builds(
     lambda s, h, p, q, f: s + h + p + q + f, _scheme, _host, _path, _query, _frag
