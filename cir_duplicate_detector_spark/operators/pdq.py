@@ -164,12 +164,26 @@ def _bits_pairs(
     )
 
 
-def _pick_band_layout(n_bits: int) -> tuple[int, int] | None:
-    """Smallest band count whose pigeonhole bound covers ``n_bits``."""
+def _pick_band_layout(
+    n_bits: int, n_hashes: int | None = None
+) -> tuple[int, int] | None:
+    """Smallest band count whose pigeonhole bound covers ``n_bits``.
+
+    With ``n_hashes`` given, additionally require the layout to be
+    SELECTIVE for that corpus size: expected random-collision candidates
+    are ~``k·N²/16^w``, so demand ``16^w ≥ 4·k·N`` (≈ N/4 spurious
+    candidates total). Without this check a wide threshold (e.g. n=26 →
+    32 bands of 8 bits, value space 256) degenerates the candidate join
+    to hundreds of millions of pairs — measurably WORSE than the blocked
+    cross join. This is the same math wall that makes the reference's
+    BK-tree lose to its naive scan below t≈0.91 (README.md:88).
+    """
     for k, w in _BAND_LAYOUTS:
         if n_bits <= k - 1:
+            if n_hashes is not None and (16 ** w) < 4 * k * max(n_hashes, 1):
+                return None  # wider layouts cover n but are even less selective
             return k, w
-    return None  # n > 63: no layout is selective; caller falls back
+    return None  # n > 63: no layout covers the bound; caller falls back
 
 
 def _bands(df: DataFrame, k: int, w: int, prefix: str) -> DataFrame:
@@ -272,8 +286,8 @@ def find_pdq_hash_duplicates(
             f"unknown duplicate_detection_method {duplicate_detection_method!r};"
             f" expected one of {sorted(_METHOD_ALIASES)}"
         )
-    if method == "auto":
-        method = "banded" if n_bits <= 31 else "naive"
+    # "auto" resolves after the corpus size is known (below): banded only
+    # when a pigeonhole layout exists AND is selective for this corpus.
     if indexes_to_check is not None and len(indexes_to_check) == 0:
         warnings.warn("indexes_to_check is empty; returning empty result")
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -303,6 +317,17 @@ def find_pdq_hash_duplicates(
     else:
         probe = corpus
         broadcast_probe = False
+
+    if method == "auto":
+        # One cheap eager count decides the physical strategy — the same
+        # information the reference's user encodes by hand when choosing
+        # naive vs bk-tree per the README crossover guidance.
+        n_hashes = exploded.count()
+        method = (
+            "banded"
+            if _pick_band_layout(n_bits, n_hashes) is not None
+            else "naive"
+        )
 
     if method == "naive":
         pairs = _naive_pairs(probe, corpus, n_bits, broadcast_probe)

@@ -28,6 +28,12 @@ from ..sources.entries import derive_entries, entries_sql
 from ..sources.tables import load_table
 
 PDQ_THRESHOLD = 0.9  # n = 26 bits: planted collisions (0/3/4) match, noise (~128) doesn't
+# The banded backend is exercised where banding is SELECTIVE (n = 5 →
+# 8 bands × 32-bit values): at n = 26 the only pigeonhole-valid layout
+# has an 8-bit value space and the candidate join degenerates below the
+# cross join (see operators.pdq._pick_band_layout). Planted collisions
+# (0/3/4 bits) still all match at n = 5.
+PDQ_BANDED_THRESHOLD = 0.98
 
 _DUCK_ENTRIES = entries_sql("duckdb")
 
@@ -176,13 +182,13 @@ GROUP BY 1, 2
 """
 
 
-def _duck_pdq_result(probe_filter: str) -> str:
+def _duck_pdq_result(probe_filter: str, n_bits: int = 26) -> str:
     return f"""
 WITH {_DUCK_EXPLODED},
 pairs AS (
   SELECT p."index" AS idx, c."index" AS dup, min({_DUCK_HAMMING}) AS dist
   FROM chunks p, chunks c
-  WHERE p."index" <> c."index" AND {_DUCK_HAMMING} <= 26 {probe_filter}
+  WHERE p."index" <> c."index" AND {_DUCK_HAMMING} <= {n_bits} {probe_filter}
   GROUP BY 1, 2
 ),
 sym AS (
@@ -209,13 +215,14 @@ def q_pdq_duplicates_naive(spark, sf_dir):
 def q_pdq_duplicates_banded(spark, sf_dir):
     return find_pdq_hash_duplicates(
         _entries(spark, sf_dir),
-        pqd_hash_similarity_threshold=PDQ_THRESHOLD,
+        pqd_hash_similarity_threshold=PDQ_BANDED_THRESHOLD,
         duplicate_detection_method="banded",
         max_hex_len=64,
     )
 
 
 SQL_PDQ_DUPLICATES = _duck_pdq_result("")
+SQL_PDQ_DUPLICATES_BANDED = _duck_pdq_result("", n_bits=5)
 
 
 def q_pdq_duplicates_probed(spark, sf_dir):
@@ -267,7 +274,7 @@ CORE_QUERIES: dict[str, tuple] = {
     "hash_decode": (q_hash_decode, SQL_HASH_DECODE),
     "pdq_pairs": (q_pdq_pairs, SQL_PDQ_PAIRS),
     "pdq_duplicates_naive": (q_pdq_duplicates_naive, SQL_PDQ_DUPLICATES),
-    "pdq_duplicates_banded": (q_pdq_duplicates_banded, SQL_PDQ_DUPLICATES),
+    "pdq_duplicates_banded": (q_pdq_duplicates_banded, SQL_PDQ_DUPLICATES_BANDED),
     "pdq_duplicates_probed": (q_pdq_duplicates_probed, SQL_PDQ_DUPLICATES_PROBED),
     "detect_duplicates": (q_detect_duplicates, SQL_DETECT_DUPLICATES),
 }
