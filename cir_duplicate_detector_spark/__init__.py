@@ -26,21 +26,38 @@ from .functions.hashes import (
     hex_to_bits,
     hex_to_chunks,
 )
-from .functions.url import normalize_url
+from .functions.url import extract_base_url, normalize_url
+from .operators import (  # noqa: F401 — public extension namespaces
+    dedup,
+    events,
+    multimodal,
+    similarity,
+    skew,
+    textops,
+)
 from .operators.pdq import find_pdq_hash_duplicates
 from .operators.url_dedup import find_url_duplicates
 
 __version__ = "0.1.0"
 
 __all__ = [
+    # reference API surface (SURVEY §2.6)
     "detect_duplicates",
     "find_url_duplicates",
     "find_pdq_hash_duplicates",
     "normalize_url",
+    "extract_base_url",
     "hex_to_chunks",
     "hex_to_bits",
     "chunks_hamming",
     "calculate_absolute_threshold",
+    # extension operator namespaces
+    "dedup",
+    "similarity",
+    "textops",
+    "events",
+    "multimodal",
+    "skew",
 ]
 
 

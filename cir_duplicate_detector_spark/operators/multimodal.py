@@ -77,6 +77,38 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, orig_bytes bigint, resized_bytes bigint, resized_md5 string"
+)
+
+
+def resize_stub(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize/downsample step of the media pipeline — STUB codec.
+
+    The deterministic stand-in truncates the payload to ``target_bytes``
+    (a real deployment swaps in PIL thumbnail / ffmpeg scale); the Spark
+    plumbing — binary column in, Arrow batches through one Python pass,
+    metadata about both sizes out — is the production shape.
+    """
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b)[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": pdf["payload"].str.len().astype("int64"),
+                    "resized_bytes": resized.str.len().astype("int64"),
+                    "resized_md5": resized.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = (
     "doc_id bigint, frame_no bigint, frame_text string, frame_md5 string"
 )

@@ -809,6 +809,23 @@ def q_events_sessionize_stateful(spark, sf_dir):
     return streaming_sessionize(spark, sf_dir)
 
 
+def q_multimodal_resize(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_stub(multimodal.to_media(docs))
+
+
+# Byte truncation == char truncation here: the testdata text is pure
+# ASCII (verified octet_length == length at every SF); DuckDB md5 hashes
+# the UTF-8 bytes of the VARCHAR.
+SQL_MULTIMODAL_RESIZE = """
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS orig_bytes,
+       octet_length(encode(substr(text, 1, 64)))::BIGINT AS resized_bytes,
+       md5(substr(text, 1, 64)) AS resized_md5
+FROM documents
+"""
+
+
 def q_multimodal_frames(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -1035,6 +1052,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_window_streaming": (q_events_window_streaming, SQL_EVENTS_WINDOW),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
