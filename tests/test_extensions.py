@@ -144,3 +144,74 @@ def test_fingerprint_shape(spark):
     ]
     hashes = [r["fp_hash"] for r in sorted(got, key=lambda r: r["fp_rank"])]
     assert hashes == sorted(hashes)
+
+
+def test_frame_sample_semantics(spark):
+    text = "x" * 100  # 4 frames of 32 chars (last = 4 chars), stride 4
+    docs = spark.createDataFrame([(1, text)], DOCS_SCHEMA)
+    got = multimodal.frame_sample(multimodal.to_media(docs)).collect()
+    assert [r["frame_no"] for r in got] == [0]  # only frame 0 of 4 sampled
+    assert got[0]["frame_text"] == "x" * 32
+    long_docs = spark.createDataFrame([(2, "y" * 200)], DOCS_SCHEMA)
+    got2 = multimodal.frame_sample(multimodal.to_media(long_docs)).collect()
+    assert sorted(r["frame_no"] for r in got2) == [0, 4]  # 7 frames, stride 4
+
+
+def test_resize_stub_truncates(spark):
+    docs = spark.createDataFrame([(1, "a" * 100), (2, "b" * 10)], DOCS_SCHEMA)
+    got = {r["doc_id"]: r for r in
+           multimodal.resize_stub(multimodal.to_media(docs)).collect()}
+    assert got[1]["orig_bytes"] == 100 and got[1]["resized_bytes"] == 64
+    assert got[2]["orig_bytes"] == 10 and got[2]["resized_bytes"] == 10
+    assert got[1]["resized_md5"] == hashlib.md5(b"a" * 64).hexdigest()
+
+
+def test_knn_ivf_ranked_and_self_excluded(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = similarity.knn_ivf(emb, [0, 40], k=3).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == {0, 40}
+    for q, rows in by_query.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_asof_join_prior_purchase(spark):
+    from cir_duplicate_detector_spark.plans.extension_queries import (
+        q_events_asof,
+    )
+    # Not using the query (needs sf_dir); replicate the operator inline.
+    from pyspark.sql import Window
+
+    us = 1_000_000
+    rows = [
+        (1, 1, 0 * us, "purchase"),
+        (2, 1, 10 * us, "click"),     # after purchase @0
+        (3, 1, 20 * us, "purchase"),
+        (4, 1, 30 * us, "click"),     # after purchase @20
+        (5, 2, 5 * us, "click"),      # user 2 never purchased -> null
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_us bigint, event_type string"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_p = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("ts_us")),
+        ignorenulls=True,
+    ).over(w)
+    got = {
+        r["event_id"]: r["lp"]
+        for r in ev.withColumn("lp", last_p)
+        .where(F.col("event_type") == "click")
+        .collect()
+    }
+    assert got[2] == 0 * us
+    assert got[4] == 20 * us
+    assert got[5] is None
