@@ -53,6 +53,7 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q22_like",
     "events_distinct_users",
+    "events_quantiles",
     "dup_overlap",
     "rollup_orders",
     "window_topn",

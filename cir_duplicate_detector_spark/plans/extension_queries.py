@@ -973,6 +973,33 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_quantiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per event type — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the continuous
+    quantile definition, so even interpolated values match bitwise.
+    (``percentile_approx`` is the at-scale variant; it has no exact
+    oracle, so the registered query is the exact form.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       min(value) AS v_min,
+       max(value) AS v_max
+FROM events GROUP BY event_type
+"""
+
+
 def q_dup_overlap(spark, sf_dir):
     """Set operations over the two duplicate families: entries flagged
     by BOTH url and pdq (INTERSECT), url-only (EXCEPT), pdq-only
@@ -986,7 +1013,8 @@ def q_dup_overlap(spark, sf_dir):
     pdq_idx = find_pdq_hash_duplicates(
         entries,
         pqd_hash_similarity_threshold=PDQ_THRESHOLD,
-        duplicate_detection_method="banded",
+        duplicate_detection_method="auto",
+        max_hex_len=64,
     ).select("index")
     both = url_idx.intersect(pdq_idx).withColumn("family", F.lit("both"))
     url_only = url_idx.exceptAll(pdq_idx).withColumn(
@@ -1071,6 +1099,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q22_like": (q_tpch_q22_like, SQL_TPCH_Q22_LIKE),
     "events_distinct_users": (q_events_distinct_users, SQL_EVENTS_DISTINCT_USERS),
+    "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "dup_overlap": (q_dup_overlap, _sql_dup_overlap()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "window_topn": (q_window_topn, SQL_WINDOW_TOPN),
