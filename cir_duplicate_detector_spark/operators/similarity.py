@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..functions.text import hash60
 
 
 def dot64(a: Column, b: Column) -> Column:

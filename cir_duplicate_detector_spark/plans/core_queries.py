@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import detect_duplicates
-from ..functions.hashes import hex_to_chunks
 from ..functions.url import normalize_url, normalize_url_sql
 from ..operators.pdq import (
     decoded_hashes,

@@ -16,7 +16,7 @@ no double/leading/trailing whitespace in the testdata texts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
 
 def near_dup_corpus_sql(dialect: str) -> str:

@@ -28,7 +28,7 @@ Both dialects live here side by side so they cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 # translate() tables: XOR each hex digit by 0x7 / 0xF.
 _HEX = "0123456789abcdef"

@@ -180,10 +180,7 @@ def test_knn_ivf_ranked_and_self_excluded(spark):
 
 
 def test_asof_join_prior_purchase(spark):
-    from cir_duplicate_detector_spark.plans.extension_queries import (
-        q_events_asof,
-    )
-    # Not using the query (needs sf_dir); replicate the operator inline.
+    # Replicates the registered as-of operator on a hand-built frame.
     from pyspark.sql import Window
 
     us = 1_000_000

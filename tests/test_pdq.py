@@ -5,7 +5,6 @@ from __future__ import annotations
 import warnings
 
 import pytest
-from pyspark.sql import functions as F
 
 from cir_duplicate_detector_spark.operators.pdq import (
     exploded_hashes,

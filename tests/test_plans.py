@@ -3,8 +3,6 @@ SCALE.md, asserted so a refactor cannot silently regress them."""
 
 from __future__ import annotations
 
-import pytest
-
 from cir_duplicate_detector_spark.plans import ALL_QUERIES
 
 SF = "/root/testdata/sf0.001"

@@ -13,7 +13,6 @@ from urllib.parse import urlparse
 
 import pytest
 from hypothesis import given, settings, strategies as st
-from pyspark.sql import functions as F
 
 from cir_duplicate_detector_spark.functions.hashes import (
     bits_hamming,

@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import warnings
 
-import pytest
-from pyspark.sql import functions as F
 
 from cir_duplicate_detector_spark.functions.url import normalize_url
 from cir_duplicate_detector_spark.operators.url_dedup import find_url_duplicates
