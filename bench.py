@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
     "embedding_near_dup",

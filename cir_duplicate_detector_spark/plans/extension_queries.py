@@ -160,6 +160,51 @@ WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.3
 """
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric set containment |A∩B|/|A| — catches documents fully
+    embedded in larger ones, which symmetric Jaccard under-scores (the
+    truncation mutants in the derived corpus are exactly this shape:
+    containment(mutant ⊂ original) = 1.0)."""
+    docs = _docs_nd(spark, sf_dir)
+    shingles = dedup.shingle_sets(docs)
+    probes = shingles.where(
+        (F.col("doc_id") % 50 == 0) | (F.col("doc_id") >= 1_000_000)
+    ).withColumnRenamed("doc_id", "a")
+    sizes_a = probes.groupBy("a").agg(F.count("*").alias("na"))
+    inter = (
+        probes.join(
+            shingles.withColumnRenamed("doc_id", "b"), "sh_hash"
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(F.broadcast(sizes_a), "a")
+        .withColumn("containment", F.col("i") / F.col("na"))
+        .where(F.col("containment") >= 0.8)
+        .select("a", "b", "containment")
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {_DUCK_SHINGLE_SET},
+probes AS (
+  SELECT doc_id AS a, sh_hash FROM shh
+  WHERE doc_id % 50 = 0 OR doc_id >= 1000000
+),
+inter AS (
+  SELECT p.a, s.doc_id AS b, count(*) AS i
+  FROM probes p JOIN shh s ON s.sh_hash = p.sh_hash AND s.doc_id <> p.a
+  GROUP BY p.a, s.doc_id
+)
+SELECT i2.a, i2.b, i2.i / sa.n AS containment
+FROM inter i2
+JOIN (SELECT a, count(*) AS n FROM probes GROUP BY a) sa ON sa.a = i2.a
+WHERE i2.i / sa.n >= 0.8
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_signatures(_docs_nd(spark, sf_dir))
 
@@ -1070,6 +1115,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "knn_cosine_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_cosine_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "knn_cosine_ivf": (q_knn_ivf, SQL_KNN_IVF),
