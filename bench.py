@@ -50,6 +50,7 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q18",
+    "tpch_q10",
     "tpch_q13",
     "tpch_q14",
     "tpch_q22_like",

@@ -891,6 +891,51 @@ FROM fr WHERE fno % 4 = 0
 """
 
 
+def q_tpch_q10(spark, sf_dir):
+    """Returned-item revenue ranking: 4-way join, quarter filter on
+    orders, returnflag filter on lineitem, top 20 by revenue."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_returnflag") == "R")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       cast(sum(l_extendedprice::DECIMAL(12,2)
+                * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) as double)
+         AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q_tpch_q13(spark, sf_dir):
     """Order-count histogram (left outer join keeps zero-order
     customers) — double aggregation, the classic q13 shape."""
@@ -1141,6 +1186,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q22_like": (q_tpch_q22_like, SQL_TPCH_Q22_LIKE),
