@@ -84,6 +84,34 @@ _DUCK_PROBE = (
 )
 
 
+# Driver-canonicalizable projections. The driver's value-hash
+# canonicalizer sorts a pandas frame and cannot factorize array cells
+# (CORRECTNESS_r01: `unhashable type: numpy.ndarray`), so registered
+# queries emit sorted '|'-joined strings; the public API functions keep
+# returning real arrays. Similarities are exact multiples of 1/256
+# (similarity_from_distance), so s*256 round-trips to the integer
+# 256-dist losslessly — both engines emit identical digit strings.
+
+def _joined(col):
+    return F.array_join(col, "|")
+
+
+def _sim_joined(col):
+    col = F.col(col) if isinstance(col, str) else col
+    return F.array_join(
+        F.transform(col, lambda s: F.round(s * 256).cast("int").cast("string")),
+        "|",
+    )
+
+
+def _flat_pdq(df):
+    return df.select(
+        "index",
+        _joined("pdq_hash_duplicates").alias("pdq_hash_duplicates"),
+        _sim_joined("pdq_hash_similarities").alias("pdq_hash_similarities"),
+    )
+
+
 # ---------------------------------------------------------------- queries
 
 def q_url_normalize(spark, sf_dir):
@@ -100,13 +128,16 @@ FROM entries WHERE url IS NOT NULL
 
 
 def q_url_duplicates(spark, sf_dir):
-    return find_url_duplicates(_entries(spark, sf_dir))
+    return find_url_duplicates(_entries(spark, sf_dir)).select(
+        "index", _joined("url_duplicates").alias("url_duplicates")
+    )
 
 
 SQL_URL_DUPLICATES = f"""
 WITH {_DUCK_URL_BASE}
 SELECT b."index" AS "index",
-       list_sort(list_filter(g.members, m -> m <> b."index")) AS url_duplicates
+       array_to_string(list_sort(list_filter(g.members, m -> m <> b."index")), '|')
+         AS url_duplicates
 FROM base b JOIN grp g USING (base_url)
 """
 
@@ -114,13 +145,14 @@ FROM base b JOIN grp g USING (base_url)
 def q_url_duplicates_probed(spark, sf_dir):
     return find_url_duplicates(
         _entries(spark, sf_dir), indexes_to_check=_probe_list(spark, sf_dir)
-    )
+    ).select("index", _joined("url_duplicates").alias("url_duplicates"))
 
 
 SQL_URL_DUPLICATES_PROBED = f"""
 WITH {_DUCK_URL_BASE}
 SELECT b."index" AS "index",
-       list_sort(list_filter(g.members, m -> m <> b."index")) AS url_duplicates
+       array_to_string(list_sort(list_filter(g.members, m -> m <> b."index")), '|')
+         AS url_duplicates
 FROM base b JOIN grp g USING (base_url)
 WHERE EXISTS (SELECT 1 FROM ({_DUCK_PROBE}) t(i) WHERE list_contains(g.members, t.i))
 """
@@ -196,27 +228,31 @@ sym AS (
 ),
 best AS (SELECT idx, dup, min(dist) AS dist FROM sym GROUP BY idx, dup)
 SELECT idx AS "index",
-       list(dup ORDER BY dup) AS pdq_hash_duplicates,
-       list(1 - dist / 256.0 ORDER BY dup) AS pdq_hash_similarities
+       array_to_string(list(dup ORDER BY dup), '|') AS pdq_hash_duplicates,
+       array_to_string(list(256 - dist ORDER BY dup), '|') AS pdq_hash_similarities
 FROM best GROUP BY idx
 """
 
 
 def q_pdq_duplicates_naive(spark, sf_dir):
-    return find_pdq_hash_duplicates(
-        _entries(spark, sf_dir),
-        pqd_hash_similarity_threshold=PDQ_THRESHOLD,
-        duplicate_detection_method="naive",
-        max_hex_len=64,
+    return _flat_pdq(
+        find_pdq_hash_duplicates(
+            _entries(spark, sf_dir),
+            pqd_hash_similarity_threshold=PDQ_THRESHOLD,
+            duplicate_detection_method="naive",
+            max_hex_len=64,
+        )
     )
 
 
 def q_pdq_duplicates_banded(spark, sf_dir):
-    return find_pdq_hash_duplicates(
-        _entries(spark, sf_dir),
-        pqd_hash_similarity_threshold=PDQ_BANDED_THRESHOLD,
-        duplicate_detection_method="banded",
-        max_hex_len=64,
+    return _flat_pdq(
+        find_pdq_hash_duplicates(
+            _entries(spark, sf_dir),
+            pqd_hash_similarity_threshold=PDQ_BANDED_THRESHOLD,
+            duplicate_detection_method="banded",
+            max_hex_len=64,
+        )
     )
 
 
@@ -225,12 +261,14 @@ SQL_PDQ_DUPLICATES_BANDED = _duck_pdq_result("", n_bits=5)
 
 
 def q_pdq_duplicates_probed(spark, sf_dir):
-    return find_pdq_hash_duplicates(
-        _entries(spark, sf_dir),
-        indexes_to_check=_probe_list(spark, sf_dir),
-        pqd_hash_similarity_threshold=PDQ_THRESHOLD,
-        duplicate_detection_method="naive",
-        max_hex_len=64,
+    return _flat_pdq(
+        find_pdq_hash_duplicates(
+            _entries(spark, sf_dir),
+            indexes_to_check=_probe_list(spark, sf_dir),
+            pqd_hash_similarity_threshold=PDQ_THRESHOLD,
+            duplicate_detection_method="naive",
+            max_hex_len=64,
+        )
     )
 
 
@@ -240,12 +278,18 @@ SQL_PDQ_DUPLICATES_PROBED = _duck_pdq_result(
 
 
 def q_detect_duplicates(spark, sf_dir):
-    return detect_duplicates(
+    result = detect_duplicates(
         _entries(spark, sf_dir),
         pqd_hash_similarity_threshold=PDQ_THRESHOLD,
         pdq_duplicate_detection_method="auto",
         validate=False,
         max_hex_len=64,
+    )
+    return result.select(
+        "index",
+        _joined("url_duplicates").alias("url_duplicates"),
+        _joined("pdq_hash_duplicates").alias("pdq_hash_duplicates"),
+        _sim_joined("pdq_hash_similarities").alias("pdq_hash_similarities"),
     )
 
 
@@ -253,7 +297,8 @@ SQL_DETECT_DUPLICATES = f"""
 WITH {_DUCK_URL_BASE},
 url_result AS (
   SELECT b."index" AS "index",
-         list_sort(list_filter(g.members, m -> m <> b."index")) AS url_duplicates
+         array_to_string(list_sort(list_filter(g.members, m -> m <> b."index")), '|')
+           AS url_duplicates
   FROM base b JOIN grp g USING (base_url)
 ),
 pdq_result AS ({_duck_pdq_result("")})

@@ -45,13 +45,21 @@ def _docs_nd(spark, sf_dir):
 # ------------------------------------------------------------------ dedup
 
 def q_dedup_exact(spark, sf_dir):
-    return dedup.exact_duplicates(_docs_nd(spark, sf_dir))
+    # `members` joined to a string: the driver's canonicalizer cannot
+    # hash array cells (see plans.core_queries._joined).
+    return dedup.exact_duplicates(_docs_nd(spark, sf_dir)).select(
+        "text_hash",
+        F.array_join(
+            F.transform("members", lambda m: m.cast("string")), "|"
+        ).alias("members"),
+        "group_size",
+    )
 
 
 SQL_DEDUP_EXACT = f"""
 WITH docs_nd AS ({_ND})
 SELECT md5(text) AS text_hash,
-       list_sort(list(doc_id)) AS members,
+       array_to_string(list_sort(list(doc_id)), '|') AS members,
        count(*) AS group_size
 FROM docs_nd GROUP BY md5(text) HAVING count(*) > 1
 """

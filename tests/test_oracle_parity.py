@@ -50,7 +50,14 @@ def _canon_cell(v):
             return "NaN"
         return v
     if isinstance(v, (list, tuple)):
-        return tuple(_canon_cell(x) for x in v)
+        # The driver's canonicalizer sorts a pandas frame and cannot
+        # factorize array cells (CORRECTNESS_r01: unhashable
+        # numpy.ndarray) — registered queries must emit flat scalars.
+        raise AssertionError(
+            "array-typed result cell reached the parity gate; registered "
+            "queries must emit driver-canonicalizable scalars "
+            f"(got {v!r})"
+        )
     return v
 
 
