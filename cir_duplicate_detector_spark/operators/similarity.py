@@ -119,40 +119,94 @@ def srp_sketch(emb: Column, n_planes: int = N_PLANES, dim: int = 64) -> Column:
     return sketch
 
 
+LSH_BANDS = 4
+LSH_BAND_BITS = 8
+
+
+def srp_band_buckets(
+    emb: Column,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BAND_BITS,
+    dim: int = 64,
+) -> Column:
+    """Per-band SRP bucket keys as ``array<bigint>``: band ``b`` sketches
+    planes ``b*bits .. b*bits+bits-1`` into a ``bits``-bit key.
+
+    Multi-table banding is what makes SRP usable for recall: a single
+    wide sketch (e.g. 16 bits over a small corpus) has ~2^-16 collision
+    probability and returns nothing; k tables of w bits each give k
+    independent chances at a 2^-w collision — candidates are the UNION
+    across tables, then exactly re-ranked. (Round-1 `knn_cosine_lsh` was
+    vacuously green — 0 rows on both engines — for exactly this reason.)
+    """
+    out = []
+    for b in range(bands):
+        bucket = None
+        for i in range(bits):
+            p = b * bits + i
+            w = F.array(*[F.lit(float(srp_weight(p, d))) for d in range(dim)])
+            s = F.aggregate(
+                F.zip_with(emb, w, lambda x, wd: x.cast("double") * wd),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bucket = bit if bucket is None else bucket + bit
+        out.append(bucket)
+    return F.array(*out)
+
+
 def knn_lsh(
     vectors: DataFrame,
     probe_ids: list[int],
     k: int = 5,
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BAND_BITS,
 ) -> DataFrame:
-    """Approximate cosine top-k: SRP-bucket equi-join, exact re-rank
-    within the bucket. Scale path — candidate volume is bucket-local, the
-    join shuffles by sketch key. Recall < 1 by construction (a probe may
-    rank fewer than k neighbors if its bucket is small).
+    """Approximate cosine top-k: banded SRP candidate generation
+    (:func:`srp_band_buckets`), candidates unioned across bands, exact
+    re-rank. Scale path — every join is an equi-join on
+    ``(band_id, bucket)``, shuffle-partitioned; candidate volume is
+    bucket-local. Recall < 1 by construction (a probe ranks fewer than
+    ``k`` neighbors if its buckets are sparse).
     """
     base = vectors.select(
         "vec_id",
         "embedding",
         norm64(F.col("embedding")).alias("nrm"),
-        srp_sketch(F.col("embedding")).alias("bucket"),
+        srp_band_buckets(F.col("embedding"), bands, bits).alias("buckets"),
     )
-    probes = base.where(F.col("vec_id").isin(probe_ids)).select(
+    banded = base.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.posexplode("buckets").alias("band_id", "bucket"),
+    )
+    probes = banded.where(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
+        "band_id",
         "bucket",
     )
-    corpus = base.select(
+    corpus = banded.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
+        "band_id",
         "bucket",
     )
     cos = dot64(F.col("q_emb"), F.col("c_emb")) / (
         F.col("q_nrm") * F.col("c_nrm")
     )
     scored = (
-        probes.join(corpus, "bucket")
+        probes.join(corpus, ["band_id", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        # Union the band tables: a pair colliding in several bands is one
+        # candidate. Dedup BEFORE the dot product so it runs once per pair.
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cos)
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -284,9 +284,9 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(emb, _knn_probe_ids(spark, sf_dir), k=5)
 
 
-def _srp_planes_values() -> str:
+def _srp_planes_values(n_planes: int = similarity.N_PLANES) -> str:
     rows = []
-    for p in range(similarity.N_PLANES):
+    for p in range(n_planes):
         w = ", ".join(
             str(float(similarity.srp_weight(p, d))) for d in range(64)
         )
@@ -312,14 +312,37 @@ nb AS (
 )
 """
 
+# Banded twin of similarity.srp_band_buckets: plane p belongs to band
+# p // BITS and contributes bit 1 << (p % BITS) to that band's bucket.
+_LSH_N_PLANES = similarity.LSH_BANDS * similarity.LSH_BAND_BITS
+_LSH_BITS = similarity.LSH_BAND_BITS
+
 SQL_KNN_LSH = f"""
-WITH {_DUCK_SRP_BUCKETED},
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+planes AS (SELECT * FROM (VALUES {_srp_planes_values(_LSH_N_PLANES)}) t(p, w)),
+nb AS (
+  SELECT vec_id, e, nrm, p // {_LSH_BITS} AS band_id,
+         sum(CASE WHEN list_sum(list_transform(range(1, 65), j -> e[j] * w[j])) > 0
+                  THEN 1 << (p % {_LSH_BITS}) ELSE 0 END)::BIGINT AS bucket
+  FROM n CROSS JOIN planes
+  GROUP BY vec_id, e, nrm, p // {_LSH_BITS}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM nb q JOIN nb c ON q.band_id = c.band_id AND q.bucket = c.bucket
+  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  SELECT cand.query_id, cand.neighbor_id,
          list_sum(list_transform(range(1, 65), j -> q.e[j] * c.e[j]))
            / (q.nrm * c.nrm) AS cosine
-  FROM nb q JOIN nb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-  WHERE q.vec_id % 20 = 0
+  FROM cand
+  JOIN n q ON q.vec_id = cand.query_id
+  JOIN n c ON c.vec_id = cand.neighbor_id
 )
 SELECT query_id, neighbor_id, rank, cosine FROM (
   SELECT *, row_number() OVER (
