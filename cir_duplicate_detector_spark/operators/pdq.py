@@ -100,28 +100,61 @@ def _hash_side(df: DataFrame, prefix: str) -> DataFrame:
     )
 
 
+def _grid_joined(p: DataFrame, c: DataFrame, grid: int) -> DataFrame:
+    """Distributed block-nested-loop: every probe row meets every corpus
+    row exactly once, with NO broadcast of either side.
+
+    Each row hashes to its own block (``crc32(index) % grid``) and is
+    replicated across the other axis, so block ``(i, j)`` holds probe
+    block ``i`` × corpus block ``j`` — a grid of ``grid²`` independent
+    cross products, shuffle-partitioned on the block key. Replication is
+    ``grid``× per side (≈√partitions), the textbook BNL trade; nothing
+    ever ships to the driver or an executor's broadcast memory, so the
+    O(N·M) scan distributes at any corpus size.
+    """
+    # Repartition BEFORE the ×grid explode (narrow from here on): a
+    # single small parquet file is one scan partition, which would pin
+    # the whole O(N·M) probe work to one task when the optimizer
+    # broadcasts the small grid side instead of shuffling.
+    slices = p.sparkSession.sparkContext.defaultParallelism * 2
+    span = F.explode(F.sequence(F.lit(0), F.lit(grid - 1)))
+    pg = p.repartition(slices).withColumn(
+        "g_i", F.pmod(F.crc32(F.col("p_index")), F.lit(grid)).cast("int")
+    ).withColumn("g_j", span)
+    cg = c.withColumn(
+        "g_j", F.pmod(F.crc32(F.col("c_index")), F.lit(grid)).cast("int")
+    ).withColumn("g_i", span)
+    return pg.join(cg, ["g_i", "g_j"]).drop("g_i", "g_j")
+
+
+def _grid_size(spark) -> int:
+    import math
+
+    return max(2, math.isqrt(spark.sparkContext.defaultParallelism * 2))
+
+
 def _naive_pairs(
     probe: DataFrame, corpus: DataFrame, n_bits: int, broadcast_probe: bool
 ) -> DataFrame:
     """All-pairs scan: probe × corpus, keep dist<=n, self excluded.
 
     The Hamming predicate is a flat xor/bit_count expression inside
-    whole-stage codegen. Physical shape: one side broadcast, the other
-    repartitioned to full parallelism (a single small parquet file would
-    otherwise pin the entire O(N·M) scan to one task). With a restricted
-    probe set the probe is broadcast and the corpus streams (the
-    reference's asymmetric probe/corpus shape, P9); for the full
-    self-join the corpus is broadcast — inherently single-machine-sized,
-    which is what the naive backend is for (the scale path is banded).
+    whole-stage codegen. Physical shape: with a restricted probe set the
+    probe is broadcast and the corpus streams (the reference's
+    asymmetric probe/corpus shape, P9); the full self-join uses the
+    block-grid join (:func:`_grid_joined`) — the O(N²) comparison count
+    is inherent to the naive backend, but the memory footprint must not
+    be: broadcasting the whole corpus OOMs executors long before the
+    math finishes at scale.
     """
     spark = probe.sparkSession
-    slices = spark.sparkContext.defaultParallelism * 2
     p = _hash_side(probe, "p_")
     c = _hash_side(corpus, "c_")
     if broadcast_probe:
+        slices = spark.sparkContext.defaultParallelism * 2
         joined = c.repartition(slices).crossJoin(F.broadcast(p))
     else:
-        joined = p.repartition(slices).crossJoin(F.broadcast(c))
+        joined = _grid_joined(p, c, _grid_size(spark))
     return (
         joined.where(F.col("p_index") != F.col("c_index"))
         .withColumn("dist", hamming64("p_h", "c_h"))
@@ -141,7 +174,6 @@ def _bits_pairs(
     are actually present.
     """
     spark = probe.sparkSession
-    slices = spark.sparkContext.defaultParallelism * 2
     p = probe.select(
         F.col("index").alias("p_index"), hex_to_bits("hash").alias("p_bits")
     )
@@ -149,9 +181,10 @@ def _bits_pairs(
         F.col("index").alias("c_index"), hex_to_bits("hash").alias("c_bits")
     )
     if broadcast_probe:
+        slices = spark.sparkContext.defaultParallelism * 2
         joined = c.repartition(slices).crossJoin(F.broadcast(p))
     else:
-        joined = p.repartition(slices).crossJoin(F.broadcast(c))
+        joined = _grid_joined(p, c, _grid_size(spark))
     return (
         joined.where(F.col("p_index") != F.col("c_index"))
         .withColumn("dist", bits_hamming(F.col("p_bits"), F.col("c_bits")))
@@ -199,7 +232,12 @@ def _bands(df: DataFrame, k: int, w: int, prefix: str) -> DataFrame:
     )
 
 
-def _banded_pairs(probe: DataFrame, corpus: DataFrame, n_bits: int) -> DataFrame:
+def _banded_pairs(
+    probe: DataFrame,
+    corpus: DataFrame,
+    n_bits: int,
+    broadcast_probe: bool = False,
+) -> DataFrame:
     """MIH candidate join + exact verify.
 
     Shuffle-hash-join shaped: band rows hash-partition by
@@ -213,7 +251,9 @@ def _banded_pairs(probe: DataFrame, corpus: DataFrame, n_bits: int) -> DataFrame
     """
     layout = _pick_band_layout(n_bits)
     if layout is None:
-        return _naive_pairs(probe, corpus, n_bits, broadcast_probe=False)
+        # Preserve the caller's probe/corpus asymmetry when falling back:
+        # a restricted probe set stays the broadcast side.
+        return _naive_pairs(probe, corpus, n_bits, broadcast_probe)
     k, w = layout
     pb = _bands(probe, k, w, "p_")
     cb = _bands(corpus, k, w, "c_")
@@ -232,11 +272,25 @@ def symmetrize_and_aggregate(pairs: DataFrame) -> DataFrame:
     keep one distance per (index, dup) — canonicalized to min(dist) =
     max(similarity), SURVEY §7.4.2 — and aggregate sorted parallel lists.
     """
-    sym = pairs.union(
-        pairs.select(
-            F.col("dup").alias("index"), F.col("index").alias("dup"), "dist"
-        )
-    )
+    # Both orientations from ONE pass over `pairs` (a union of two
+    # selects would recompute the upstream O(N·M) similarity scan per
+    # branch — Spark does not share non-cached subplans).
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("index").alias("index"),
+                    F.col("dup").alias("dup"),
+                    F.col("dist").alias("dist"),
+                ),
+                F.struct(
+                    F.col("dup").alias("index"),
+                    F.col("index").alias("dup"),
+                    F.col("dist").alias("dist"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.index", "e.dup", "e.dist")
     best = sym.groupBy("index", "dup").agg(F.min("dist").alias("dist"))
     agg = best.groupBy("index").agg(
         F.array_sort(F.collect_list(F.struct("dup", "dist"))).alias("ms")
@@ -332,5 +386,5 @@ def find_pdq_hash_duplicates(
     if method == "naive":
         pairs = _naive_pairs(probe, corpus, n_bits, broadcast_probe)
     else:
-        pairs = _banded_pairs(probe, corpus, n_bits)
+        pairs = _banded_pairs(probe, corpus, n_bits, broadcast_probe)
     return symmetrize_and_aggregate(pairs)

@@ -33,6 +33,38 @@ def test_pdq_probed_broadcasts_probe_side(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_pdq_naive_self_join_never_broadcasts_corpus(spark):
+    # The no-probe naive scan must distribute as a block-grid join. With
+    # auto-broadcast off (emulating a corpus whose stats exceed the
+    # threshold — the 100 TB case), the plan must be a shuffle equi-join
+    # on the block key: no broadcast of either side, no cartesian
+    # product. (At small sizes Catalyst MAY broadcast the grid side —
+    # that is a size-based optimizer choice, not a plan-shape hint.)
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "pdq_duplicates_naive")
+        assert "BroadcastExchange" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_grid_join_covers_all_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from cir_duplicate_detector_spark.operators.pdq import _grid_joined
+
+    p = spark.range(37).select(F.col("id").cast("string").alias("p_index"))
+    c = spark.range(41).select(F.col("id").cast("string").alias("c_index"))
+    got = _grid_joined(p, c, 4)
+    # Every (probe, corpus) pair exactly once — the BNL contract.
+    assert got.count() == 37 * 41
+    assert got.distinct().count() == 37 * 41
+
+
 def test_pdq_banded_is_equijoin(spark):
     plan = _plan(spark, "pdq_duplicates_banded")
     # The banded candidate join must be hash-partitioned (scale-out),
