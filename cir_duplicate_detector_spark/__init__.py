@@ -63,7 +63,7 @@ __all__ = [
 
 def detect_duplicates(
     df: DataFrame,
-    indexes_to_check: list[str] | None = None,
+    indexes_to_check: list[str] | DataFrame | None = None,
     pqd_hash_similarity_threshold: float = 0.8,
     pdq_duplicate_detection_method: str = "naive",
     validate: bool = True,
@@ -82,6 +82,10 @@ def detect_duplicates(
     ``validate=True`` runs two eager guard jobs (index uniqueness,
     emptiness) like the reference's ValueErrors/warnings; pass ``False``
     to keep the plan fully lazy on very large inputs.
+
+    ``indexes_to_check`` may be a list (plan literal — the reference
+    shape, for small probe sets) or a DataFrame (broadcast semi-join —
+    for probe sets that are query outputs; no driver round-trip).
     """
     cols = df.columns
     has_url = "url" in cols

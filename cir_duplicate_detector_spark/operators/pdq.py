@@ -45,6 +45,7 @@ from ..functions.hashes import (
     hex_to_chunks64,
     similarity_from_distance,
 )
+from .probes import probe_column_frame
 
 RESULT_SCHEMA = (
     "index string, pdq_hash_duplicates array<string>, "
@@ -306,7 +307,7 @@ def symmetrize_and_aggregate(pairs: DataFrame) -> DataFrame:
 
 def find_pdq_hash_duplicates(
     df: DataFrame,
-    indexes_to_check: list[str] | None = None,
+    indexes_to_check: list[str] | DataFrame | None = None,
     pqd_hash_similarity_threshold: float = 0.2,
     duplicate_detection_method: str = "bk-tree",
     max_hex_len: int | None = None,
@@ -314,6 +315,11 @@ def find_pdq_hash_duplicates(
     """Entries whose PDQ hash is within the similarity threshold of
     another entry's. ``df`` needs ``index`` (unique string) and
     ``pdq_hash`` (``array<string>`` of hex hashes, nullable).
+
+    ``indexes_to_check``: list → plan-literal ``isin`` (reference shape,
+    small probe sets); DataFrame → broadcast semi-join (probe sets that
+    are query outputs; no driver round-trip). Either way the restricted
+    probe side is the broadcast side of the similarity join (P9).
 
     Defaults mirror the reference's inner function
     (``pdq_hash.py:76-81``: t=0.2, method "bk-tree"); note the top-level
@@ -342,9 +348,30 @@ def find_pdq_hash_duplicates(
         )
     # "auto" resolves after the corpus size is known (below): banded only
     # when a pigeonhole layout exists AND is selective for this corpus.
-    if indexes_to_check is not None and len(indexes_to_check) == 0:
+    probe_df = (
+        probe_column_frame(indexes_to_check)
+        if isinstance(indexes_to_check, DataFrame)
+        else None
+    )
+    if (
+        probe_df is None
+        and indexes_to_check is not None
+        and len(indexes_to_check) == 0
+    ):
         warnings.warn("indexes_to_check is empty; returning empty result")
         return spark.createDataFrame([], RESULT_SCHEMA)
+
+    def _restrict(side: DataFrame) -> tuple[DataFrame, bool]:
+        if probe_df is not None:
+            return side.join(F.broadcast(probe_df), "index", "semi"), True
+        if indexes_to_check is not None:
+            return (
+                side.where(
+                    F.col("index").isin([str(i) for i in indexes_to_check])
+                ),
+                True,
+            )
+        return side, False
 
     exploded = exploded_hashes(df)
     if max_hex_len is None:
@@ -353,24 +380,12 @@ def find_pdq_hash_duplicates(
         )
 
     if max_hex_len > 64:
-        probe = exploded
-        broadcast_probe = False
-        if indexes_to_check is not None:
-            probe = exploded.where(
-                F.col("index").isin([str(i) for i in indexes_to_check])
-            )
-            broadcast_probe = True
+        probe, broadcast_probe = _restrict(exploded)
         pairs = _bits_pairs(probe, exploded, n_bits, broadcast_probe)
         return symmetrize_and_aggregate(pairs)
 
     corpus = decoded_hashes(df)
-    if indexes_to_check is not None:
-        checked = [str(i) for i in indexes_to_check]
-        probe = corpus.where(F.col("index").isin(checked))
-        broadcast_probe = True
-    else:
-        probe = corpus
-        broadcast_probe = False
+    probe, broadcast_probe = _restrict(corpus)
 
     if method == "auto":
         # One cheap eager count decides the physical strategy — the same

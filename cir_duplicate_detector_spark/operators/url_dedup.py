@@ -28,23 +28,35 @@ import warnings
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.url import normalize_url
+from .probes import probe_column_frame
 
 EMPTY_SCHEMA = "index string, url_duplicates array<string>"
 
 
 def find_url_duplicates(
     df: DataFrame,
-    indexes_to_check: list[str] | None = None,
+    indexes_to_check: list[str] | DataFrame | None = None,
 ) -> DataFrame:
     """Return ``(index, url_duplicates)`` for rows with >=1 url duplicate.
 
     ``df`` must have columns ``index`` (unique string) and ``url``
     (nullable string). Null urls are dropped (reference ``url.py:70-74``).
+
+    ``indexes_to_check``: a list embeds as a plan literal (reference
+    shape, right for small interactive probe sets); a DataFrame joins as
+    a broadcast semi-join (right for probe sets that are themselves
+    query outputs — no driver round-trip). Requires unique ``index``
+    values: the standalone function removes ALL occurrences of a row's
+    own index from its group (``array_remove``); ``detect_duplicates``
+    enforces uniqueness when ``validate=True``.
     """
     spark = df.sparkSession
     if "url" not in df.columns or "index" not in df.columns:
         raise ValueError("find_url_duplicates requires `index` and `url` columns")
-    if indexes_to_check is not None and len(indexes_to_check) == 0:
+    probe_df = None
+    if isinstance(indexes_to_check, DataFrame):
+        probe_df = probe_column_frame(indexes_to_check)
+    elif indexes_to_check is not None and len(indexes_to_check) == 0:
         warnings.warn("indexes_to_check is empty; returning empty result")
         return spark.createDataFrame([], EMPTY_SCHEMA)
 
@@ -56,7 +68,16 @@ def find_url_duplicates(
     members = F.collect_list("index").over(Window.partitionBy("base_url"))
     annotated = base.withColumn("members", members).where(F.size("members") > 1)
 
-    if indexes_to_check is not None:
+    if probe_df is not None:
+        # Keep whole groups that touch the probe set (bidirectional):
+        # probe ids -> their normalized urls -> semi-join on the group key.
+        probed_urls = (
+            base.join(F.broadcast(probe_df), "index", "semi")
+            .select("base_url")
+            .dropDuplicates(["base_url"])
+        )
+        annotated = annotated.join(F.broadcast(probed_urls), "base_url", "semi")
+    elif indexes_to_check is not None:
         # Keep whole groups that touch the probe set (bidirectional).
         annotated = annotated.where(
             F.arrays_overlap(
