@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, functions as F
 from .functions.hashes import (
     calculate_absolute_threshold,
     chunks_hamming,
+    hamming_distance,
+    hex_to_binary,
     hex_to_bits,
     hex_to_chunks,
 )
@@ -35,7 +37,11 @@ from .operators import (  # noqa: F401 — public extension namespaces
     skew,
     textops,
 )
-from .operators.pdq import find_pdq_hash_duplicates
+from .operators.pdq import (
+    drop_literal_series_duplicates,
+    find_pdq_hash_duplicates,
+    get_pdq_fuzzy_duplicates,
+)
 from .operators.url_dedup import find_url_duplicates
 
 __version__ = "0.1.0"
@@ -45,12 +51,16 @@ __all__ = [
     "detect_duplicates",
     "find_url_duplicates",
     "find_pdq_hash_duplicates",
+    "get_pdq_fuzzy_duplicates",
     "normalize_url",
     "extract_base_url",
+    "hamming_distance",
+    "hex_to_binary",
     "hex_to_chunks",
     "hex_to_bits",
     "chunks_hamming",
     "calculate_absolute_threshold",
+    "drop_literal_series_duplicates",
     # extension operator namespaces
     "dedup",
     "similarity",

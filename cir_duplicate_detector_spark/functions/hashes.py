@@ -156,6 +156,34 @@ def bits_hamming(a: Column, b: Column) -> Column:
     return F.aggregate(mismatch, F.lit(0), lambda acc, v: acc + v)
 
 
+def hex_to_binary(hex_string: str, length: int | None = None) -> str:
+    """Driver-side scalar twin of the reference's ``hex_to_binary``
+    (``pdq_dup_detect_algorithms/utils.py:32-52``): ``''`` stays ``''``;
+    otherwise ``format(int(hex, 16), 'b')`` optionally ``zfill``-padded.
+
+    The distributed decode is :func:`hex_to_bits` (Column form); this
+    exists so reference callers' utility code ports without edits.
+    """
+    if hex_string == "":
+        return ""
+    binary_string = format(int(hex_string, 16), "b")
+    if length is not None:
+        binary_string = binary_string.zfill(length)
+    return binary_string
+
+
+def hamming_distance(item1: str, item2: str) -> int:
+    """Driver-side scalar twin of the reference's ``hamming_distance``
+    (``utils.py:90-105``, rapidfuzz-backed): left-aligned character
+    mismatches plus one per excess position of the longer string.
+
+    The distributed kernel is :func:`bits_hamming` /
+    :func:`chunks_hamming` (Column forms).
+    """
+    mismatches = sum(a != b for a, b in zip(item1, item2))
+    return mismatches + abs(len(item1) - len(item2))
+
+
 def similarity_from_distance(dist: Column) -> Column:
     """``1 - dist/256`` — always normalized by 256 regardless of hash
     length (reference ``pdq_hash.py:45``, ``utils.py:16``). Exact in

@@ -30,9 +30,13 @@ compatibility with the reference.
 
 from __future__ import annotations
 
+import logging
 import warnings
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+logger = logging.getLogger(__name__)
 
 from ..functions.hashes import (
     HASH_BITS,
@@ -66,16 +70,31 @@ _METHOD_ALIASES = {
 
 
 def exploded_hashes(df: DataFrame) -> DataFrame:
-    """(index, hash) pairs: null-drop, explode, literal dedup.
+    """(index, hash) pairs: null/empty-drop, explode, literal dedup.
 
     Reference P3/P4/P6 (``pdq_hash.py:156-179``, ``utils.py:55-87``).
+    Empty-string hashes are dropped alongside nulls: the reference's
+    ``hex_to_binary('')`` returns ``''``, whose padded distance to any
+    256-bit hash is 256 — unmatchable at every threshold except the
+    degenerate t=0. Filtering here makes the chunked and binary-string
+    physical paths treat ``''`` identically.
     """
     return (
         df.where(F.col("pdq_hash").isNotNull())
         .select("index", F.explode("pdq_hash").alias("hash"))
-        .where(F.col("hash").isNotNull())
+        .where(F.col("hash").isNotNull() & (F.col("hash") != ""))
         .dropDuplicates(["index", "hash"])
     )
+
+
+def drop_literal_series_duplicates(df: DataFrame, subset=None) -> DataFrame:
+    """Spark twin of the reference's ``drop_literal_series_duplicates``
+    (``utils.py:55-87``): drop rows where BOTH the index and the value
+    repeat. The reference reshapes a pandas series through reset_index /
+    drop_duplicates / set_index; here it is one ``dropDuplicates`` over
+    the given columns (default: all).
+    """
+    return df.dropDuplicates(subset)
 
 
 def decoded_hashes(df: DataFrame) -> DataFrame:
@@ -305,6 +324,67 @@ def symmetrize_and_aggregate(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _check_pdq_column_type(df: DataFrame) -> None:
+    """Reference P5 (``pdq_hash.py:165-176``): hash list elements must be
+    strings. A typed schema makes this a plan-time check — no job runs.
+    """
+    dtype = df.schema["pdq_hash"].dataType
+    if not (
+        isinstance(dtype, ArrayType)
+        and isinstance(dtype.elementType, StringType)
+    ):
+        raise ValueError(
+            "`pdq_hash` column must be array<string> (a list of hex hash "
+            f"strings); got {dtype.simpleString()}"
+        )
+
+
+def get_pdq_fuzzy_duplicates(
+    df: DataFrame,
+    pqd_hash_similarity_threshold: float,
+    indexes_to_check: list[str] | DataFrame | None = None,
+    duplicate_detection_method: str = "naive",
+) -> DataFrame:
+    """Flat fuzzy-duplicate pairs ``(index, dup, dist)`` — the Spark twin
+    of the reference's ``get_pdq_fuzzy_duplicates``
+    (``naive_duplicate_detector.py:39-77``), which returns nested
+    ``[{'index', 'dist'}]`` lists per probed row. A distributed engine
+    returns the same information as a pair DataFrame; self-pairs are
+    excluded (the reference's caller strips them immediately,
+    ``pdq_hash.py:33-40``).
+    """
+    _check_pdq_column_type(df)
+    n_bits = calculate_absolute_threshold(
+        HASH_BITS, pqd_hash_similarity_threshold
+    )
+    method = _METHOD_ALIASES.get(duplicate_detection_method)
+    if method is None:
+        raise ValueError(
+            f"unknown duplicate_detection_method {duplicate_detection_method!r};"
+            f" expected one of {sorted(_METHOD_ALIASES)}"
+        )
+    corpus = decoded_hashes(df)
+    if isinstance(indexes_to_check, DataFrame):
+        probe = corpus.join(
+            F.broadcast(probe_column_frame(indexes_to_check)), "index", "semi"
+        )
+        broadcast_probe = True
+    elif indexes_to_check is not None:
+        probe = corpus.where(
+            F.col("index").isin([str(i) for i in indexes_to_check])
+        )
+        broadcast_probe = True
+    else:
+        probe, broadcast_probe = corpus, False
+    if method == "auto":
+        method = "banded" if _pick_band_layout(n_bits) is not None else "naive"
+    if method == "naive":
+        pairs = _naive_pairs(probe, corpus, n_bits, broadcast_probe)
+    else:
+        pairs = _banded_pairs(probe, corpus, n_bits, broadcast_probe)
+    return pairs.groupBy("index", "dup").agg(F.min("dist").alias("dist"))
+
+
 def find_pdq_hash_duplicates(
     df: DataFrame,
     indexes_to_check: list[str] | DataFrame | None = None,
@@ -337,6 +417,7 @@ def find_pdq_hash_duplicates(
         raise ValueError(
             "find_pdq_hash_duplicates requires `index` and `pdq_hash` columns"
         )
+    _check_pdq_column_type(df)
     n_bits = calculate_absolute_threshold(
         HASH_BITS, pqd_hash_similarity_threshold
     )
@@ -397,6 +478,16 @@ def find_pdq_hash_duplicates(
             if _pick_band_layout(n_bits, n_hashes) is not None
             else "naive"
         )
+    # Reference P11 stats logging (`pdq_hash.py:236-255`) — plan-time
+    # facts only; execution timing/row counts live in the Spark UI.
+    logger.info(
+        "find_pdq_hash_duplicates: threshold=%s -> n_bits=%d, method=%s, "
+        "probed=%s",
+        pqd_hash_similarity_threshold,
+        n_bits,
+        method,
+        indexes_to_check is not None,
+    )
 
     if method == "naive":
         pairs = _naive_pairs(probe, corpus, n_bits, broadcast_probe)

@@ -23,9 +23,12 @@ meaningful duplicates).
 
 from __future__ import annotations
 
+import logging
 import warnings
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+logger = logging.getLogger(__name__)
 
 from ..functions.url import normalize_url
 from .probes import probe_column_frame
@@ -59,6 +62,12 @@ def find_url_duplicates(
     elif indexes_to_check is not None and len(indexes_to_check) == 0:
         warnings.warn("indexes_to_check is empty; returning empty result")
         return spark.createDataFrame([], EMPTY_SCHEMA)
+
+    # Reference stats logging (`url.py:118-126`) — plan-time facts only;
+    # execution timing/row counts live in the Spark UI.
+    logger.info(
+        "find_url_duplicates: probed=%s", indexes_to_check is not None
+    )
 
     base = (
         df.where(F.col("url").isNotNull())
