@@ -22,7 +22,11 @@ from cir_duplicate_detector_spark.session import get_spark
 # operating point) + URL grouping + composite + the scale extensions.
 HEADLINE = [
     "detect_duplicates",
+    "url_normalize",
     "url_duplicates",
+    "url_duplicates_probed",
+    "hash_explode_dedup",
+    "hash_decode",
     "pdq_duplicates_naive",
     "pdq_duplicates_banded",
     "pdq_duplicates_probed",
@@ -35,13 +39,18 @@ HEADLINE = [
     "dedup_containment",
     "knn_cosine_bruteforce",
     "knn_cosine_lsh",
+    "knn_cosine_ivf",
     "embedding_near_dup",
     "text_quality",
     "token_count",
     "lang_id",
     "doc_fingerprint",
+    "multimodal_features",
+    "multimodal_resize",
     "multimodal_frames",
     "events_window",
+    "events_window_streaming",
+    "events_json",
     "events_sessionize",
     "events_sessionize_stateful",
     "events_asof",
@@ -54,6 +63,13 @@ HEADLINE = [
     "tpch_q13",
     "tpch_q14",
     "tpch_q22_like",
+    "tpch_q4_like",
+    "tpch_q7_like",
+    "tpch_q8_like",
+    "tpch_q12_like",
+    "tpch_q17_like",
+    "tpch_q19_like",
+    "tpch_q21_like",
     "events_distinct_users",
     "events_quantiles",
     "dup_overlap",

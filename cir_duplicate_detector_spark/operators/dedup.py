@@ -195,14 +195,16 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5) -> DataFram
     branch is cheaper than persisting them: it is one md5 per shingle
     per pass, applied only to the candidate-restricted side.
     """
-    from pyspark import StorageLevel
-
     hashed = hashed_shingle_arrays(docs)
     sigs = minhash_signatures(hashed)
     # The candidate set feeds four broadcast branches of the verify
-    # join; persist it so the band self-join runs once, not per branch.
-    # It is small by LSH design (pairs sharing a 4-lane band).
-    cands = lsh_candidates(sigs).persist(StorageLevel.MEMORY_AND_DISK)
+    # join; materialize it once so the band self-join does not rerun per
+    # branch. localCheckpoint (not persist): the blocks are reclaimed by
+    # the ContextCleaner when the returned plan is garbage-collected —
+    # a plain persist() with no unpersist() accumulated cached
+    # partitions across invocations in a long-lived session. It is
+    # small by LSH design (pairs sharing a 4-lane band).
+    cands = lsh_candidates(sigs).localCheckpoint(eager=True)
     shingles = hashed.select("doc_id", F.explode("hs").alias("sh_hash"))
     return jaccard_pairs(shingles, cands, threshold)
 

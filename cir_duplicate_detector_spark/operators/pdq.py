@@ -469,10 +469,21 @@ def find_pdq_hash_duplicates(
     probe, broadcast_probe = _restrict(corpus)
 
     if method == "auto":
-        # One cheap eager count decides the physical strategy — the same
+        # One cheap eager scan decides the physical strategy — the same
         # information the reference's user encodes by hand when choosing
-        # naive vs bk-tree per the README crossover guidance.
-        n_hashes = exploded.count()
+        # naive vs bk-tree per the README crossover guidance. sum(size)
+        # is an upper bound on the deduped hash count (scan-only, no
+        # explode/dedup shuffle — counting `exploded` exactly cost ~40%
+        # of the whole naive query at sf0.1); selectivity only needs the
+        # order of magnitude.
+        n_hashes = (
+            df.agg(
+                F.sum(
+                    F.size(F.coalesce(F.col("pdq_hash"), F.array()))
+                ).alias("n")
+            ).first()["n"]
+            or 0
+        )
         method = (
             "banded"
             if _pick_band_layout(n_bits, n_hashes) is not None

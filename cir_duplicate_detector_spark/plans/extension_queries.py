@@ -1123,28 +1123,34 @@ FROM events GROUP BY event_type
 
 def q_dup_overlap(spark, sf_dir):
     """Set operations over the two duplicate families: entries flagged
-    by BOTH url and pdq (INTERSECT), url-only (EXCEPT), pdq-only
-    (EXCEPT), labeled and unioned."""
+    by BOTH url and pdq, url-only, pdq-only.
+
+    Physical shape: ONE full outer join on the unique index key (both
+    family results emit one row per index), so each duplicate pipeline
+    is computed exactly once — the intersect/except-all formulation ran
+    the url and pdq subplans once per set-op branch (3× each; Spark does
+    not share non-cached subplans)."""
     from ..operators.pdq import find_pdq_hash_duplicates
     from ..operators.url_dedup import find_url_duplicates
     from .core_queries import PDQ_THRESHOLD, _entries
 
     entries = _entries(spark, sf_dir)
-    url_idx = find_url_duplicates(entries).select("index")
+    url_idx = find_url_duplicates(entries).select(
+        "index", F.lit(True).alias("in_url")
+    )
     pdq_idx = find_pdq_hash_duplicates(
         entries,
         pqd_hash_similarity_threshold=PDQ_THRESHOLD,
         duplicate_detection_method="auto",
         max_hex_len=64,
-    ).select("index")
-    both = url_idx.intersect(pdq_idx).withColumn("family", F.lit("both"))
-    url_only = url_idx.exceptAll(pdq_idx).withColumn(
-        "family", F.lit("url_only")
+    ).select("index", F.lit(True).alias("in_pdq"))
+    joined = url_idx.join(pdq_idx, "index", "full")
+    family = (
+        F.when(F.col("in_url") & F.col("in_pdq"), F.lit("both"))
+        .when(F.col("in_url"), F.lit("url_only"))
+        .otherwise(F.lit("pdq_only"))
     )
-    pdq_only = pdq_idx.exceptAll(url_idx).withColumn(
-        "family", F.lit("pdq_only")
-    )
-    return both.unionAll(url_only).unionAll(pdq_only)
+    return joined.select("index", family.alias("family"))
 
 
 def _sql_dup_overlap() -> str:
@@ -1186,6 +1192,362 @@ SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
 """
 
 
+# --------------------------------------------------- more TPC-H-like shapes
+# The testdata schemas are reduced TPC-H (no partsupp, l_shipmode,
+# l_commitdate/l_receiptdate, p_container), so these are "-like"
+# variants that preserve each query's OPERATOR shape — semi/anti joins
+# with non-equi conditions, disjunctive pushdown, correlated scalar
+# aggregates, two-sided nation-pair predicates — with predicates mapped
+# onto the available columns.
+
+
+def q_tpch_q4_like(spark, sf_dir):
+    """Q4 shape: EXISTS semi-join with a correlated non-equi condition
+    (late-shipped proxy for commitdate<receiptdate), priority counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    windowed = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    late = windowed.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+SQL_TPCH_Q4_LIKE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q7_like(spark, sf_dir):
+    """Q7 shape: two-sided nation-pair predicate across supplier and
+    customer nations, revenue by (supp_nation, cust_nation, year)."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("supplier", "lineitem", "orders", "customer", "nation")}
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    return (
+        t["supplier"]
+        .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q7_LIKE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       cast(sum(l_extendedprice::DECIMAL(12,2)
+                * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) as double)
+         AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q8_like(spark, sf_dir):
+    """Q8 shape: market share of one supplier nation within a customer
+    region for one part type — conditional-sum ratio per year."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("part", "supplier", "lineitem", "orders", "customer", "nation",
+          "region")}
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    n_cust = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_supp = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (
+        dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+    )
+    base = (
+        t["part"].where(F.col("p_type") == "ECONOMY")
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .join(t["region"], F.col("cr_key") == F.col("r_regionkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+        .where(F.col("r_name") == "ASIA")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+    )
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+            F.lit(0).cast("decimal(12,2)")
+        )
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (nation_vol.cast("double") / F.sum(volume).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+SQL_TPCH_Q8_LIKE = """
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       cast(sum(CASE WHEN ns.n_name = 'NATION_3'
+                     THEN l_extendedprice::DECIMAL(12,2)
+                          * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))
+                     ELSE 0::DECIMAL(12,2) END) as double)
+       / cast(sum(l_extendedprice::DECIMAL(12,2)
+                  * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) as double)
+         AS mkt_share
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def q_tpch_q12_like(spark, sf_dir):
+    """Q12 shape: join + two conditional counts split by order priority
+    (l_returnflag stands in for the missing l_shipmode group key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12_LIKE = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_tpch_q17_like(spark, sf_dir):
+    """Q17 shape: correlated scalar aggregate — lineitems under 20% of
+    their part's average quantity. The correlated subquery becomes a
+    per-part aggregate joined back (broadcast: one row per part)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    # Per-part avg over EXACT integer-valued doubles: sum and count are
+    # exact, so the division (and the 0.2 scale) is bit-identical on
+    # both engines.
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        part.where(F.col("p_brand") == "Brand#23")
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(avg_qty), F.col("p_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+SQL_TPCH_Q17_LIKE = """
+SELECT cast(sum(l_extendedprice::DECIMAL(12,2)) as double) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def q_tpch_q19_like(spark, sf_dir):
+    """Q19 shape: disjunction of conjunctive brand/size/quantity bands —
+    the classic test that OR-of-ANDs predicates still prune and the
+    part join broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    bands = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .where(bands)
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+SQL_TPCH_Q19_LIKE = """
+SELECT cast(sum(l_extendedprice::DECIMAL(12,2)
+               * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) as double)
+         AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+TPCH_Q21_LATE_DAYS = 60
+
+
+def q_tpch_q21_like(spark, sf_dir):
+    """Q21 shape: EXISTS + NOT EXISTS self-joins with non-equi
+    correlated conditions — suppliers who were the SOLE late shipper
+    (ship > order date + 60d) on multi-supplier orders."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("supplier", "lineitem", "orders", "nation")}
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {TPCH_Q21_LATE_DAYS} DAYS"
+    )
+    l1 = (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(late)
+    )
+    other = t["lineitem"].select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    exists_other = (F.col("x_orderkey") == F.col("l_orderkey")) & (
+        F.col("x_suppkey") != F.col("l_suppkey")
+    )
+    late_other = exists_other & (
+        F.col("x_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {TPCH_Q21_LATE_DAYS} DAYS")
+    )
+    return (
+        l1.join(other, exists_other, "semi")
+        .join(other, late_other, "anti")
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["nation"], F.col("n_nationkey") == F.col("s_nationkey"))
+        .where(F.col("n_name") == "NATION_5")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+SQL_TPCH_Q21_LIKE = f"""
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_5'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {TPCH_Q21_LATE_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL {TPCH_Q21_LATE_DAYS} DAY
+  )
+GROUP BY s_name
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
@@ -1221,6 +1583,13 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q22_like": (q_tpch_q22_like, SQL_TPCH_Q22_LIKE),
+    "tpch_q4_like": (q_tpch_q4_like, SQL_TPCH_Q4_LIKE),
+    "tpch_q7_like": (q_tpch_q7_like, SQL_TPCH_Q7_LIKE),
+    "tpch_q8_like": (q_tpch_q8_like, SQL_TPCH_Q8_LIKE),
+    "tpch_q12_like": (q_tpch_q12_like, SQL_TPCH_Q12_LIKE),
+    "tpch_q17_like": (q_tpch_q17_like, SQL_TPCH_Q17_LIKE),
+    "tpch_q19_like": (q_tpch_q19_like, SQL_TPCH_Q19_LIKE),
+    "tpch_q21_like": (q_tpch_q21_like, SQL_TPCH_Q21_LIKE),
     "events_distinct_users": (q_events_distinct_users, SQL_EVENTS_DISTINCT_USERS),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "dup_overlap": (q_dup_overlap, _sql_dup_overlap()),

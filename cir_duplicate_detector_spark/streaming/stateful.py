@@ -167,9 +167,20 @@ def streaming_sessionize(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stage = _stage_with_sentinels(sf_dir)
+    # State partitioning is fixed at query start from shuffle.partitions;
+    # each state partition costs a store instance + an Arrow python
+    # worker round-trip PER MICRO-BATCH. Cap it for this bounded drain
+    # job (a live deployment sizes it to key cardinality instead).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        # Two micro-batches total: batch 1 = events + sentinel 1 (the
+        # post-batch watermark jumps past every real session timeout),
+        # batch 2 = sentinel 2 (the timeouts fire and drain state). One
+        # file per trigger would add a third batch's fixed scheduling +
+        # state-store cost for nothing.
+        .option("maxFilesPerTrigger", 2)
         .parquet(stage)
         .withColumn("ts_us", F.expr("ts div 1000"))
         .withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
@@ -187,12 +198,22 @@ def streaming_sessionize(
         )
     )
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    query = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # This drain job's checkpoint is throwaway (the result is returned as
+    # a batch DataFrame); put the per-batch state/offset commits on
+    # tmpfs when available instead of paying disk fsyncs. A durable
+    # deployment points this at reliable storage instead.
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="stream_sess_ckpt_", dir=ckpt_base)
+    try:
+        query = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).where(F.col("user_id") != SENTINEL_USER)
