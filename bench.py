@@ -71,6 +71,7 @@ HEADLINE = [
     "tpch_q19_like",
     "tpch_q21_like",
     "events_distinct_users",
+    "events_distinct_users_streaming",
     "events_quantiles",
     "dup_overlap",
     "rollup_orders",

@@ -1094,6 +1094,18 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_distinct_users_streaming(spark, sf_dir):
+    from ..streaming.windows import streaming_distinct_users
+
+    return streaming_distinct_users(spark, sf_dir)
+
+
+SQL_EVENTS_DISTINCT_USERS_STREAMING = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_quantiles(spark, sf_dir):
     """Exact linear-interpolation percentiles per event type — Spark's
     ``percentile`` and DuckDB's ``quantile_cont`` share the continuous
@@ -1591,6 +1603,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "tpch_q19_like": (q_tpch_q19_like, SQL_TPCH_Q19_LIKE),
     "tpch_q21_like": (q_tpch_q21_like, SQL_TPCH_Q21_LIKE),
     "events_distinct_users": (q_events_distinct_users, SQL_EVENTS_DISTINCT_USERS),
+    "events_distinct_users_streaming": (
+        q_events_distinct_users_streaming,
+        SQL_EVENTS_DISTINCT_USERS_STREAMING,
+    ),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "dup_overlap": (q_dup_overlap, _sql_dup_overlap()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),

@@ -71,6 +71,45 @@ def streaming_tumbling_window(
     return spark.table(name)
 
 
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-distinct: per-type distinct user counts computed
+    on a stream.
+
+    Distinct aggregates are unsupported in Structured Streaming, so this
+    uses the canonical decomposition: keyed ``dropDuplicates`` state on
+    ``(event_type, user_id)`` feeding a running count in complete mode.
+    State is one entry per distinct key — the bounded-state shape; a
+    live pipeline would add a watermark via ``dropDuplicatesWithinWatermark``
+    to expire keys (the drain job here sees bounded input instead).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="events_distinct_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    counts = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .select("event_type", "user_id")
+        .dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+    name = f"stream_distinct_{uuid.uuid4().hex[:8]}"
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_dedup_to_parquet(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:
