@@ -45,6 +45,8 @@ HEADLINE = [
     "token_count",
     "lang_id",
     "doc_fingerprint",
+    "substring_dup",
+    "corpus_curation",
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frames",

@@ -53,6 +53,22 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_score_expr() -> "F.Column":
+    """The composite quality score as a reusable expression over `text`."""
+    ws = tokens("text")
+    n_chars = F.length("text").cast("bigint")
+    n_words = F.size(ws).cast("bigint")
+    punct = _count_matches(F.col("text"), PUNCT_PATTERN)
+    stop = _count_matches(F.col("text"), lang_pattern(STOPWORDS_EN))
+    punct_ratio = punct / n_chars
+    stop_ratio = stop / n_words
+    return (
+        F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.3) * F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+    )
+
+
 def text_quality(docs: DataFrame) -> DataFrame:
     """Heuristic quality features + a composite score per document."""
     ws = tokens("text")
@@ -63,11 +79,6 @@ def text_quality(docs: DataFrame) -> DataFrame:
     avg_word_len = (n_chars - (n_words - 1)) / n_words  # chars net of single spaces
     punct_ratio = punct / n_chars
     stop_ratio = stop / n_words
-    score = (
-        F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
-        + F.lit(0.3) * F.least(n_words.cast("double") / 100.0, F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
-    )
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -75,8 +86,23 @@ def text_quality(docs: DataFrame) -> DataFrame:
         avg_word_len.alias("avg_word_len"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
+        quality_score_expr().alias("quality_score"),
     )
+
+
+def lang_pred_expr() -> "F.Column":
+    """Language prediction as a reusable expression over `text`:
+    stopword-lexicon scores with deterministic tie-breaking (first
+    language in LANG_LEXICONS order wins); all-zero -> 'und'."""
+    scores = {
+        lang: _count_matches(F.lower(F.col("text")), lang_pattern(words))
+        for lang, words in LANG_LEXICONS
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang, _ in LANG_LEXICONS:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return pred
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -90,14 +116,10 @@ def lang_id(docs: DataFrame) -> DataFrame:
         lang: _count_matches(F.lower(F.col("text")), lang_pattern(words))
         for lang, words in LANG_LEXICONS
     }
-    best = F.greatest(*scores.values())
-    pred = F.when(best == 0, F.lit("und"))
-    for lang, _ in LANG_LEXICONS:
-        pred = pred.when(scores[lang] == best, F.lit(lang))
     return docs.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang, _ in LANG_LEXICONS],
-        pred.alias("lang_pred"),
+        lang_pred_expr().alias("lang_pred"),
     )
 
 
@@ -130,3 +152,61 @@ def doc_fingerprint(docs: DataFrame, k: int = 8, bottom: int = 4) -> DataFrame:
         (F.col("pos") + 1).cast("bigint").alias("fp_rank"),
         F.col("col").alias("fp_hash"),
     )
+
+
+def substring_duplicates(
+    docs: DataFrame, k: int = 8, bottom: int = 4, min_shared: int = 2
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` bottom-k fingerprint
+    hashes (:func:`doc_fingerprint`) — a winnowing-style substring-
+    overlap screen: two documents that share long literal runs share
+    char-k-gram minima with high probability.
+
+    Physical shape: the fingerprint index is BOUNDED at ``bottom`` rows
+    per document (the bottom-k sketch, not the full shingle set), so
+    the self equi-join on fp_hash shuffles O(bottom·N) rows and scales
+    out on the hash key; hot hashes (boilerplate runs) are AQE skew
+    territory, and production would drop top-frequency fingerprints
+    like any inverted index.
+    """
+    fp = doc_fingerprint(docs, k, bottom).select("doc_id", "fp_hash")
+    a = fp.select(F.col("doc_id").alias("a"), "fp_hash")
+    b = fp.select(F.col("doc_id").alias("b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def curate_corpus(
+    docs: DataFrame, min_quality: float = 0.5, language: str = "en"
+) -> DataFrame:
+    """End-to-end corpus curation in ONE scan + ONE shuffle: language
+    filter, quality threshold, and exact-duplicate canonicalization
+    (keep the smallest doc_id of each byte-identical group) — the
+    standard pre-training data cleaning pass, composed from the same
+    expressions the individual operators use.
+
+    All features (token count, quality score, language) are computed in
+    a single projection; the only shuffle is the ``min(doc_id) OVER
+    (PARTITION BY md5(text))`` canonical window. Returns
+    ``(doc_id, n_tokens, quality_score)`` for kept documents.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text"))
+    annotated = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        quality_score_expr().alias("quality_score"),
+        lang_pred_expr().alias("lang_pred"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+    )
+    return annotated.where(
+        (F.col("doc_id") == F.col("canonical_id"))
+        & (F.col("lang_pred") == language)
+        & (F.col("quality_score") >= min_quality)
+    ).select("doc_id", "n_tokens", "quality_score")

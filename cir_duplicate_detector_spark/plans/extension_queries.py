@@ -526,6 +526,78 @@ SELECT doc_id, fp_rank, h AS fp_hash FROM (
 """
 
 
+def q_substring_dup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return textops.substring_duplicates(docs)
+
+
+SQL_SUBSTRING_DUP = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN length(text) < 8 THEN [text]
+           ELSE [substr(text, i, 8) for i in range(1, length(text) - 6)] END
+    ) AS sh FROM documents
+  )
+),
+h AS (SELECT doc_id, {hash60_sql('sh')} AS h FROM sh),
+fp AS (
+  SELECT doc_id, h AS fp_hash FROM (
+    SELECT doc_id, h,
+           row_number() OVER (PARTITION BY doc_id ORDER BY h) AS fp_rank
+    FROM h
+  ) WHERE fp_rank <= 4
+)
+SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+CURATE_MIN_QUALITY = 0.5
+
+
+def q_curate_corpus(spark, sf_dir):
+    return textops.curate_corpus(
+        _docs_nd(spark, sf_dir), min_quality=CURATE_MIN_QUALITY, language="en"
+    )
+
+
+def _sql_curate_corpus() -> str:
+    langs = [lang for lang, _ in textops.LANG_LEXICONS]
+    scores = {
+        lang: f"len(regexp_extract_all(lower(text), '{textops.lang_pattern(ws)}'))::BIGINT"
+        for lang, ws in textops.LANG_LEXICONS
+    }
+    best = "greatest(" + ", ".join(scores[l] for l in langs) + ")"
+    cascade = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN {scores[l]} = {best} THEN '{l}'" for l in langs)
+        + " END"
+    )
+    return f"""
+WITH docs_nd AS ({_ND}),
+t AS (
+  SELECT doc_id,
+         len({_DUCK_WORDS})::BIGINT AS n_tokens,
+         0.4 * least(len(regexp_extract_all(text, '{_STOP_EN}'))
+                     / len({_DUCK_WORDS}) * 4, 1.0)
+         + 0.3 * least(cast(len({_DUCK_WORDS}) as double) / 100.0, 1.0)
+         + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]'))
+                              / length(text) * 10, 1.0)) AS quality_score,
+         {cascade} AS lang_pred,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM docs_nd
+)
+SELECT doc_id, n_tokens, quality_score
+FROM t
+WHERE doc_id = canonical_id AND lang_pred = 'en'
+  AND quality_score >= {CURATE_MIN_QUALITY}
+"""
+
+
 # ------------------------------------------------------------- multimodal
 
 def q_multimodal_features(spark, sf_dir):
@@ -1574,6 +1646,8 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "substring_dup": (q_substring_dup, SQL_SUBSTRING_DUP),
+    "corpus_curation": (q_curate_corpus, _sql_curate_corpus()),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
