@@ -50,6 +50,15 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = builder.master(master)
+    if master.startswith("local"):
+        # local[N] runs the whole engine in the driver JVM; Spark's 1g
+        # default heap gives 32 concurrent tasks ~13MB of execution
+        # memory each — constant GC pressure and OOM on array-heavy
+        # operators. On a real cluster executor sizing replaces this.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
     for key, value in RECOMMENDED_CONFS.items():
         builder = builder.config(key, value)
     if shuffle_partitions is not None:
