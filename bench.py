@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_containment",
     "knn_cosine_bruteforce",

@@ -232,3 +232,59 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         )
         sim = term if sim is None else sim + term
     return voted.select("doc_id", sim.alias("simhash"))
+
+
+SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
+
+
+def simhash_near_duplicates(docs: DataFrame, max_bits: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash: ``(a, b, dist)`` with Hamming
+    distance <= ``max_bits`` over the 60-bit signatures.
+
+    Banded equi-join, EXACT by pigeonhole: 4 bands of 15 bits cover any
+    distance <= 3, so every qualifying pair shares at least one exact
+    band — candidate generation is a shuffle equi-join on
+    ``(band_id, band_val)`` (the scale-out shape; the oracle verifies
+    against a brute-force self-join, which banding must reproduce
+    exactly). Verification is one codegen ``bit_count(xor)``.
+    """
+    if max_bits > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"max_bits={max_bits} exceeds the pigeonhole bound "
+            f"{SIMHASH_BANDS - 1} of {SIMHASH_BANDS} bands"
+        )
+    sigs = simhash_signatures(docs)
+    bands = F.array(
+        *[
+            F.shiftright("simhash", b * _SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(_SIMHASH_BAND_MASK))
+            .cast("long")
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "simhash", F.posexplode(bands).alias("band_id", "band_val")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("a"),
+        F.col("simhash").alias("sim_a"),
+        "band_id",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b"),
+        F.col("simhash").alias("sim_b"),
+        "band_id",
+        "band_val",
+    )
+    dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("dist", dist.cast("bigint"))
+        .where(F.col("dist") <= max_bits)
+        .select("a", "b", "dist")
+    )

@@ -241,6 +241,32 @@ SELECT doc_id, ({_SIMHASH_BITS_EXPR})::BIGINT AS simhash FROM voted
 """
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_duplicates(_docs_nd(spark, sf_dir), max_bits=3)
+
+
+# Oracle is the brute-force self-join; the engine's banded candidate
+# join must reproduce it exactly (pigeonhole: dist<=3 with 4x15-bit
+# bands guarantees a shared band).
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH docs_nd AS ({_ND}),
+tok AS (
+  SELECT doc_id, tok, count(*) AS cnt, {hash60_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest({_DUCK_WORDS}) AS tok FROM docs_nd)
+  GROUP BY doc_id, tok
+),
+voted AS (
+  SELECT doc_id, {_SIMHASH_VOTES}
+  FROM tok GROUP BY doc_id
+),
+sim AS (SELECT doc_id, ({_SIMHASH_BITS_EXPR})::BIGINT AS simhash FROM voted)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # ------------------------------------------------------- similarity search
 
 def _knn_probe_ids(spark, sf_dir):
@@ -1637,6 +1663,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "knn_cosine_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_cosine_lsh": (q_knn_lsh, SQL_KNN_LSH),
