@@ -73,6 +73,25 @@ def test_pdq_banded_is_equijoin(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_pairs_is_equijoin(spark):
+    plan = _plan(spark, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_dup_is_equijoin(spark):
+    plan = _plan(spark, "substring_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_curation_single_shuffle(spark):
+    # One scan + the canonical-group window: exactly one exchange
+    # (ignoring the explicit derived-corpus widening repartition).
+    plan = _plan(spark, "corpus_curation")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_minhash_signatures_shuffle_free(spark):
     from cir_duplicate_detector_spark.operators import dedup
     from cir_duplicate_detector_spark.sources.tables import load_table
