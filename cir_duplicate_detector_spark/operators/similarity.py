@@ -92,31 +92,61 @@ def srp_weight(p: int, d: int) -> int:
     return 1 if int(h[:15], 16) & 1 else -1
 
 
-def srp_sketch(emb: Column, n_planes: int = N_PLANES, dim: int = 64) -> Column:
+def _weight_table(n_planes: int, dim: int) -> Column:
+    """All plane weights as ONE nested array literal — a single Literal
+    node. Building the sketch plane-by-plane out of per-weight ``F.lit``
+    columns made a ~2000-node expression tree: thousands of py4j round
+    trips at build time and seconds of analyzer time PER PLAN."""
+    return F.lit(
+        [
+            [float(srp_weight(p, d)) for d in range(dim)]
+            for p in range(n_planes)
+        ]
+    )
+
+
+def _bits_from_planes(emb: str, weights: Column, offset, bits: int) -> Column:
+    """Bucket key from ``bits`` consecutive planes starting at ``offset``
+    (0-based): bit i = [dot(emb, W[offset+i]) > 0]. The inner fold is
+    left-to-right over zip_with — exactly the oracle's
+    ``list_sum(list_transform(...))`` order, so signs match bitwise.
+    """
+    emb_col = F.col(emb)
+    # Fold planes DESCENDING with acc*2 + bit: plane offset+i-1 lands on
+    # bit position i-1, identical to a shiftleft sum (shiftleft itself
+    # takes only a literal bit count in the Column API).
+    return F.aggregate(
+        F.sequence(F.lit(bits), F.lit(1), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * F.lit(2)
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    emb_col,
+                    F.element_at(weights, offset + i),
+                    lambda x, wd: x.cast("double") * wd,
+                ),
+                F.lit(0.0),
+                lambda a2, v: a2 + v,
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def srp_sketch(emb: str = "embedding", n_planes: int = N_PLANES, dim: int = 64) -> Column:
     """Sign-random-projection sketch: bit p = [sum_d w(p,d)·emb[d] > 0]
     with deterministic ±1 weights (:func:`srp_weight`), returned as a
-    bigint bucket key.
+    bigint bucket key. ``emb`` is the embedding COLUMN NAME.
 
-    Each plane's weights ship as a literal array folded through
-    ``zip_with``+``aggregate`` — the generated code is a tight loop per
-    plane instead of a 64-term unrolled expression tree (the unrolled
-    form blew past JIT/codegen budgets and dominated the whole query's
-    runtime at plan-compile time). Fold order is left-to-right, matching
-    the oracle's ``list_sum(list_transform(...))`` exactly.
+    Weights ship as one nested literal (:func:`_weight_table`) and the
+    planes fold through generic nested higher-order functions — compact
+    tree (fast build/analysis), tight interpreted loop (an unrolled
+    64-term-per-plane tree exceeded JIT budgets and ran as interpreted
+    bytecode).
     """
-    sketch = None
-    for p in range(n_planes):
-        w = F.array(*[F.lit(float(srp_weight(p, d))) for d in range(dim)])
-        s = F.aggregate(
-            F.zip_with(emb, w, lambda x, wd: x.cast("double") * wd),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sketch = bit if sketch is None else sketch + bit
-    return sketch
+    return _bits_from_planes(emb, _weight_table(n_planes, dim), F.lit(0), n_planes)
 
 
 LSH_BANDS = 4
@@ -124,13 +154,15 @@ LSH_BAND_BITS = 8
 
 
 def srp_band_buckets(
-    emb: Column,
+    emb: str = "embedding",
     bands: int = LSH_BANDS,
     bits: int = LSH_BAND_BITS,
     dim: int = 64,
 ) -> Column:
     """Per-band SRP bucket keys as ``array<bigint>``: band ``b`` sketches
-    planes ``b*bits .. b*bits+bits-1`` into a ``bits``-bit key.
+    planes ``b*bits .. b*bits+bits-1`` into a ``bits``-bit key. ``emb``
+    is the embedding COLUMN NAME (the sketch is one ``F.expr`` SQL
+    string — see :func:`srp_sketch` for why).
 
     Multi-table banding is what makes SRP usable for recall: a single
     wide sketch (e.g. 16 bits over a small corpus) has ~2^-16 collision
@@ -139,23 +171,13 @@ def srp_band_buckets(
     across tables, then exactly re-ranked. (Round-1 `knn_cosine_lsh` was
     vacuously green — 0 rows on both engines — for exactly this reason.)
     """
-    out = []
-    for b in range(bands):
-        bucket = None
-        for i in range(bits):
-            p = b * bits + i
-            w = F.array(*[F.lit(float(srp_weight(p, d))) for d in range(dim)])
-            s = F.aggregate(
-                F.zip_with(emb, w, lambda x, wd: x.cast("double") * wd),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bit = F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            bucket = bit if bucket is None else bucket + bit
-        out.append(bucket)
-    return F.array(*out)
+    weights = _weight_table(bands * bits, dim)
+    return F.array(
+        *[
+            _bits_from_planes(emb, weights, F.lit(b * bits), bits)
+            for b in range(bands)
+        ]
+    )
 
 
 def knn_lsh(
@@ -176,7 +198,7 @@ def knn_lsh(
         "vec_id",
         "embedding",
         norm64(F.col("embedding")).alias("nrm"),
-        srp_band_buckets(F.col("embedding"), bands, bits).alias("buckets"),
+        srp_band_buckets("embedding", bands, bits).alias("buckets"),
     )
     banded = base.select(
         "vec_id",
@@ -306,7 +328,7 @@ def embedding_near_duplicates(
         "vec_id",
         "embedding",
         norm64(F.col("embedding")).alias("nrm"),
-        srp_sketch(F.col("embedding")).alias("bucket"),
+        srp_sketch("embedding").alias("bucket"),
     )
     a = base.select(
         F.col("vec_id").alias("a"),
