@@ -199,6 +199,71 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5) -> DataFram
     return jaccard_pairs(hashed, cands, threshold)
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Cluster assignment over undirected duplicate pairs: ``(node,
+    label)`` where ``label`` is the smallest node id in the connected
+    component. This is the "collapse transitive duplicate chains into
+    groups" step a curation pipeline runs after any pairwise detector
+    (exact/minhash/simhash/embedding) — pairs (a,b),(b,c) become one
+    cluster {a,b,c} even though (a,c) was never compared.
+
+    Algorithm: min-label propagation with path halving. Each round
+      1. every node takes ``min(own label, labels of neighbors)`` —
+         one equi-join + one min-aggregate (both shuffle on node id);
+      2. pointer jump ``label <- label(label)`` — one more equi-join —
+         which halves label-chain depth, so convergence needs
+         O(log diameter) rounds instead of O(diameter).
+    Every round ends in ``localCheckpoint`` to truncate lineage (on a
+    real cluster use ``checkpoint`` to durable storage instead) and a
+    count action for the convergence test. Duplicate clusters are
+    small and dense in practice, so rounds ≈ 2-4; each round's joins
+    shuffle-partition on node id, which scales out at any corpus size.
+    """
+    edges = (
+        pairs.select("a", "b")
+        .union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("a", "node")
+        )
+        proposed = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        jumped = (
+            proposed.join(
+                proposed.select(
+                    F.col("node").alias("label"),
+                    F.col("label").alias("jump"),
+                ),
+                "label",
+            )
+            .select("node", F.col("jump").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
 SIMHASH_BITS = 60
 
 

@@ -127,6 +127,69 @@ WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
 """
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: connected components over the
+    MinHash near-dup pairs (reference semantics stop at pairwise lists,
+    e.g. ``pdq_hash.py:48-65``; a curation pipeline needs the closure
+    to keep exactly one document per group). Spark side is iterative
+    min-label propagation (`operators.dedup.connected_components`);
+    the oracle walks the same edges with a recursive CTE."""
+    pairs = dedup.minhash_near_duplicates(
+        _docs_nd(spark, sf_dir), threshold=0.5
+    ).select("a", "b")
+    cc = dedup.connected_components(pairs)
+    sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_DUCK_SHINGLE_SET},
+sigs AS (
+  SELECT doc_id, {_LANES}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r USING (band_id, band_key)
+  WHERE l.doc_id < r.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
+  GROUP BY c.a, c.b
+),
+mh_pairs AS (
+  SELECT i2.a, i2.b
+  FROM inter i2
+  JOIN sizes sa ON sa.doc_id = i2.a
+  JOIN sizes sb ON sb.doc_id = i2.b
+  WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
+),
+dedges AS (
+  SELECT a, b FROM mh_pairs UNION ALL SELECT b AS a, a AS b FROM mh_pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM dedges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN dedges e ON e.a = w.node
+),
+cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)
+SELECT cc.doc_id, cc.cluster_id, s.n AS cluster_size
+FROM cc
+JOIN (SELECT cluster_id, count(*) AS n FROM cc GROUP BY cluster_id) s
+  USING (cluster_id)
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _docs_nd(spark, sf_dir)
     shingles = dedup.shingle_sets(docs).select("doc_id", "sh_hash")
@@ -1658,9 +1721,293 @@ GROUP BY s_name
 """
 
 
+def q_tpch_q2_like(spark, sf_dir):
+    """Q2 shape: minimum-cost supplier per part — a correlated scalar
+    MIN decorrelated into an aggregate + equality join. The testdata
+    has no partsupp table, so supplier offers derive from lineitem
+    (min extended price per part/supplier). Dimension chain
+    supplier-nation-region broadcasts; the price-equality join keys on
+    exact DECIMAL so both engines agree bit-for-bit."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("part", "supplier", "nation", "region", "lineitem")}
+    asia = (
+        t["supplier"]
+        .join(t["nation"], F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(t["region"], F.col("r_regionkey") == F.col("n_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        t["lineitem"]
+        .join(F.broadcast(asia.select("s_suppkey")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)")).alias("price"))
+    )
+    best = offers.groupBy("l_partkey").agg(F.min("price").alias("best_price"))
+    return (
+        t["part"]
+        .where(F.col("p_type") == "LARGE")
+        .join(offers.drop("s_suppkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(best, "l_partkey")
+        .where(F.col("price") == F.col("best_price"))
+        .join(F.broadcast(asia), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name", "s_acctbal",
+            F.col("price").cast("double").alias("best_price"),
+        )
+    )
+
+
+SQL_TPCH_Q2_LIKE = """
+WITH asia AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+),
+offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice::DECIMAL(12,2)) AS price
+  FROM lineitem JOIN asia ON s_suppkey = l_suppkey
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (SELECT l_partkey, min(price) AS best_price FROM offers GROUP BY l_partkey)
+SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+       cast(o.price as double) AS best_price
+FROM part
+JOIN offers o ON o.l_partkey = p_partkey
+JOIN best b ON b.l_partkey = o.l_partkey AND o.price = b.best_price
+JOIN asia ON s_suppkey = o.l_suppkey
+WHERE p_type = 'LARGE'
+"""
+
+
+def q_tpch_q9_like(spark, sf_dir):
+    """Q9 shape: product-line profit by nation and order year — a
+    five-way star join with a LIKE filter on the part dimension and a
+    two-key aggregate. Profit drops the ps_supplycost term (no
+    partsupp table)."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "part", "supplier", "orders", "nation")}
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    profit = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .where(F.col("p_name").contains("gear"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["nation"], F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+SQL_TPCH_Q9_LIKE = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       cast(sum(l_extendedprice::DECIMAL(12,2)
+                * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) as double)
+         AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_tpch_q11_like(spark, sf_dir):
+    """Q11 shape: HAVING over a global scalar subquery — per-part
+    inventory value for one nation's suppliers, kept only when above
+    a fraction of the total. The fraction compare stays in exact
+    DECIMAL (``value * 1000 > total``) so no float tie-break can
+    diverge between engines; the scalar total rides a broadcast."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "supplier", "nation")}
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    nat_supp = (
+        t["supplier"]
+        .join(t["nation"], F.col("n_nationkey") == F.col("s_nationkey"))
+        .where(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    val = (
+        t["lineitem"]
+        .join(F.broadcast(nat_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("value"))
+    )
+    total = val.agg(F.sum("value").alias("total"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("value") * 1000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+SQL_TPCH_Q11_LIKE = """
+WITH val AS (
+  SELECT l_partkey,
+         sum(l_extendedprice::DECIMAL(12,2) * l_quantity::DECIMAL(12,2))
+           AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS ps_partkey, cast(value as double) AS value
+FROM val WHERE value * 1000 > (SELECT sum(value) FROM val)
+"""
+
+
+def q_tpch_q15_like(spark, sf_dir):
+    """Q15 shape: top supplier by quarterly revenue — MAX over a
+    derived view, matched back by exact-DECIMAL equality (the classic
+    argmax-without-window formulation)."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "supplier")}
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    revenue = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(12,2)") - dec("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_TPCH_Q15_LIKE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice::DECIMAL(12,2)
+             * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2)))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, cast(total_revenue as double) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_tpch_q16_like(spark, sf_dir):
+    """Q16 shape: distinct-supplier counts per part attribute triple
+    with a NOT IN exclusion list (suppliers in arrears stand in for
+    the reference's complaint pattern; s_suppkey is non-null so the
+    anti-join is NOT IN-equivalent). Exclusion list broadcasts."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "part", "supplier")}
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin([1, 5, 9, 13, 17, 21, 25, 29])
+        )
+        .join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16_LIKE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20_like(spark, sf_dir):
+    """Q20 shape: nested semi-join chain — ASIA suppliers who shipped
+    a meaningful volume (HAVING sum(qty) > 40) of any 'small%' part
+    during 1997. l_quantity is integral, so the double sum is
+    order-independent-exact. (Thresholds chosen non-vacuous at every
+    test scale: 1 row at sf0.001, 17 at sf0.01.)"""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "part", "supplier", "nation", "region")}
+    shipped = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    small = t["part"].where(F.col("p_name").startswith("small")).select("p_partkey")
+    qualifying = (
+        shipped.join(F.broadcast(small), F.col("p_partkey") == F.col("l_partkey"))
+        .where(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(t["nation"], F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(t["region"], F.col("r_regionkey") == F.col("n_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+SQL_TPCH_Q20_LIKE = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 40
+  )
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
@@ -1703,6 +2050,12 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "tpch_q17_like": (q_tpch_q17_like, SQL_TPCH_Q17_LIKE),
     "tpch_q19_like": (q_tpch_q19_like, SQL_TPCH_Q19_LIKE),
     "tpch_q21_like": (q_tpch_q21_like, SQL_TPCH_Q21_LIKE),
+    "tpch_q2_like": (q_tpch_q2_like, SQL_TPCH_Q2_LIKE),
+    "tpch_q9_like": (q_tpch_q9_like, SQL_TPCH_Q9_LIKE),
+    "tpch_q11_like": (q_tpch_q11_like, SQL_TPCH_Q11_LIKE),
+    "tpch_q15_like": (q_tpch_q15_like, SQL_TPCH_Q15_LIKE),
+    "tpch_q16_like": (q_tpch_q16_like, SQL_TPCH_Q16_LIKE),
+    "tpch_q20_like": (q_tpch_q20_like, SQL_TPCH_Q20_LIKE),
     "events_distinct_users": (q_events_distinct_users, SQL_EVENTS_DISTINCT_USERS),
     "events_distinct_users_streaming": (
         q_events_distinct_users_streaming,

@@ -212,3 +212,28 @@ def test_asof_join_prior_purchase(spark):
     assert got[2] == 0 * us
     assert got[4] == 20 * us
     assert got[5] is None
+
+
+def test_connected_components_transitive_closure(spark):
+    # chain 1-2-3 (1,3 never directly paired) + isolated pair 10-11;
+    # node 4 appears in no pair and must not appear in the output.
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "a bigint, b bigint"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 40-node path graph needs the pointer-jump acceleration to
+    # converge inside max_iter (plain propagation would need 40 rounds)
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a bigint, b bigint"
+    )
+    labels = dedup.connected_components(pairs, max_iter=12).collect()
+    assert {r["label"] for r in labels} == {0}
+    assert len(labels) == n + 1
