@@ -81,6 +81,11 @@ HEADLINE = [
     "window_topn",
 ]
 
+# Every registered query is benched: anything not explicitly ordered
+# above is appended, so new registry entries can't silently go
+# unmeasured (a round-1 review finding).
+HEADLINE += [n for n in ALL_QUERIES if n not in HEADLINE]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -199,6 +199,55 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5) -> DataFram
     return jaccard_pairs(hashed, cands, threshold)
 
 
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 8,
+    bottom: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Admit only the genuinely-new documents of ``batch`` against an
+    existing ``corpus`` — the incremental form of dedup a continuously-
+    ingesting pipeline needs (the corpus is never re-clustered; only
+    the new batch is screened). Two stages, both anti-joins:
+
+    1. exact: drop batch docs whose md5(text) exists in the corpus —
+       a hash equi-join keyed on the 128-bit digest (the corpus side
+       reduces to distinct digests, so at 100 TB this is a compact
+       join against the digest index, not the text);
+    2. near: drop batch docs sharing >= ``min_shared`` of their
+       bottom-``bottom`` fingerprint hashes with any corpus doc
+       (`textops.doc_fingerprint` winnowing screen) — both fingerprint
+       indexes are bounded at ``bottom`` rows/doc, so the equi-join on
+       fp_hash shuffles O(bottom*N) regardless of text size.
+
+    Returns the admitted batch keys ``(doc_id)``.
+    """
+    from .textops import doc_fingerprint
+
+    exact_keys = corpus.select(F.md5("text").alias("text_hash")).dropDuplicates()
+    surv = (
+        batch.withColumn("text_hash", F.md5("text"))
+        .join(exact_keys, "text_hash", "anti")
+        .drop("text_hash")
+    )
+    fp_corpus = doc_fingerprint(corpus, k, bottom).select(
+        F.col("doc_id").alias("c"), "fp_hash"
+    )
+    fp_batch = doc_fingerprint(surv, k, bottom).select(
+        F.col("doc_id").alias("b"), "fp_hash"
+    )
+    near = (
+        fp_batch.join(fp_corpus, "fp_hash")
+        .groupBy("b", "c")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_shared)
+        .select(F.col("b").alias("doc_id"))
+        .dropDuplicates()
+    )
+    return surv.join(near, "doc_id", "anti").select("doc_id")
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Cluster assignment over undirected duplicate pairs: ``(node,
     label)`` where ``label`` is the smallest node id in the connected

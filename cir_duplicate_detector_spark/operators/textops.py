@@ -181,6 +181,66 @@ def substring_duplicates(
     )
 
 
+# PII patterns (name, regex, replacement). Patterns avoid backrefs /
+# lookarounds so Java regex (Spark) and RE2 (DuckDB) compile them
+# identically; redaction applies them in list order.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b555-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "<IP>"),
+]
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Per-document PII scrub: counts and redacts emails, phone
+    numbers, and IPv4 addresses in one projection — a standard
+    pre-training privacy pass. Pure Catalyst regex (scan-linear, zero
+    shuffles); counts are taken on the original text, then patterns
+    replace in order.
+    """
+    redacted = F.col("text")
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(_count_matches(F.col("text"), pat).alias(f"n_{name}s"))
+        redacted = F.regexp_replace(redacted, pat, token)
+    return docs.select("doc_id", *counts, redacted.alias("redacted"))
+
+
+def ngram_topk(docs: DataFrame, n: int = 2, k: int = 5) -> DataFrame:
+    """Top-k most frequent word n-grams per language — the corpus-
+    statistics pass used for boilerplate discovery and contamination
+    screens. One explode + one count aggregate + one top-k window, all
+    shuffle-partitioned by language/gram (scales out; the gram-count
+    aggregate is map-side combined). Ties break deterministically on
+    the gram string."""
+    from pyspark.sql import Window
+
+    from ..functions.text import word_shingles
+
+    counts = (
+        docs.select("lang", F.explode(word_shingles("text", n)).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic stratified sampling: English documents kept at
+    1/2, every other language at 1/4, decided by a seeded 60-bit hash
+    of the document key — reproducible across runs and engines (no RNG
+    state), and a pure scan-side filter (zero shuffles, pushdown-
+    friendly), unlike ``df.sample`` whose seed is partition-layout
+    dependent."""
+    h = hash60(F.col("doc_id").cast("string"), seed="sample")
+    keep = F.when(F.col("lang") == "en", h % 2 == 0).otherwise(h % 4 == 0)
+    return docs.where(keep).select("doc_id", "lang")
+
+
 def curate_corpus(
     docs: DataFrame, min_quality: float = 0.5, language: str = "en"
 ) -> DataFrame:

@@ -18,8 +18,10 @@ from pyspark.sql import functions as F
 from ..functions.text import hash60_sql
 from ..operators import dedup, events, multimodal, similarity, textops
 from ..sources.derived import (
+    PII_CORPUS_SQL,
     derive_near_dup_corpus,
     derive_near_dup_embeddings,
+    derive_pii_corpus,
     near_dup_corpus_sql,
     near_dup_embeddings_sql,
 )
@@ -642,6 +644,137 @@ fp AS (
 SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
 FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over the planted-PII corpus (the raw synthetic texts
+    carry none): per-doc entity counts + the fully redacted text."""
+    return textops.pii_redact(
+        derive_pii_corpus(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_pii_redact() -> str:
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}s"
+        for name, pat, _ in textops.PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, token in textops.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH pii AS ({PII_CORPUS_SQL})
+SELECT doc_id,
+       {counts},
+       {red} AS redacted
+FROM pii
+"""
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Most frequent word bigrams per language — corpus statistics for
+    boilerplate discovery."""
+    return textops.ngram_topk(load_table(spark, sf_dir, "documents"), n=2, k=5)
+
+
+SQL_NGRAM_TOPK = f"""
+WITH g AS (
+  SELECT lang, unnest(
+    CASE WHEN len({_DUCK_WORDS}) < 2 THEN [text]
+         ELSE [array_to_string(list_slice({_DUCK_WORDS}, i, i + 1), ' ')
+               for i in range(1, len({_DUCK_WORDS}))] END
+  ) AS gram FROM documents
+),
+c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY lang, gram)
+SELECT lang, gram, cnt, rank FROM (
+  SELECT lang, gram, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram)::BIGINT
+           AS rank
+  FROM c
+) WHERE rank <= 5
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling (en 1/2, others 1/4) by a
+    seeded content hash — reproducible across engines, unlike RNG-
+    based df.sample."""
+    return textops.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+_SAMPLE_HASH = hash60_sql("CAST(doc_id AS STRING)", "'sample'")
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE CASE WHEN lang = 'en' THEN {_SAMPLE_HASH} % 2 = 0
+           ELSE {_SAMPLE_HASH} % 4 = 0 END
+"""
+
+
+def _duck_fp_cte(src: str, prefix: str) -> str:
+    """Bottom-4 fingerprint CTE pair over ``src`` (textops
+    doc_fingerprint twin), names prefixed to allow two instances in
+    one WITH list."""
+    return f"""{prefix}sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN length(text) < 8 THEN [text]
+           ELSE [substr(text, i, 8) for i in range(1, length(text) - 6)] END
+    ) AS sh FROM {src}
+  )
+),
+{prefix}fp AS (
+  SELECT doc_id, fp_hash FROM (
+    SELECT doc_id, {hash60_sql('sh')} AS fp_hash,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY {hash60_sql('sh')}
+           ) AS fp_rank
+    FROM {prefix}sh
+  ) WHERE fp_rank <= 4
+)"""
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: a batch of derived mutants/copies
+    (doc_id >= 1M, all rejectable) plus genuinely-new documents
+    (reversed texts, +3M, all admissible) screened against the
+    original corpus — exact md5 anti-join plus a bounded
+    fingerprint-overlap near-dup screen. Non-vacuous by construction:
+    the result is exactly the fresh docs."""
+    docs = _docs_nd(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") < 1_000_000)
+    fresh = corpus.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.reverse("text").alias("text"),
+    )
+    batch = docs.where(F.col("doc_id") >= 1_000_000).unionByName(fresh)
+    return dedup.incremental_dedup(corpus, batch)
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH docs_nd AS ({_ND}),
+corpus AS (SELECT doc_id, text FROM docs_nd WHERE doc_id < 1000000),
+batch AS (
+  SELECT doc_id, text FROM docs_nd WHERE doc_id >= 1000000
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text
+  FROM corpus WHERE doc_id % 7 = 0
+),
+surv AS (
+  SELECT doc_id, text FROM batch
+  WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+),
+{_duck_fp_cte("corpus", "c")},
+{_duck_fp_cte("surv", "b")},
+near AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT b.doc_id, c.doc_id AS cdoc, count(*) AS n
+    FROM bfp b JOIN cfp c ON c.fp_hash = b.fp_hash
+    GROUP BY 1, 2
+  ) WHERE n >= 2
+)
+SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM near)
 """
 
 
@@ -2022,6 +2155,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "substring_dup": (q_substring_dup, SQL_SUBSTRING_DUP),
     "corpus_curation": (q_curate_corpus, _sql_curate_corpus()),
+    "pii_redact": (q_pii_redact, _sql_pii_redact()),
+    "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),

@@ -83,3 +83,30 @@ def derive_near_dup_corpus(documents: DataFrame) -> DataFrame:
     width = spark.sparkContext.defaultParallelism
     documents.createOrReplaceTempView("documents")
     return spark.sql(near_dup_corpus_sql("spark")).repartition(width)
+
+
+# Deterministic planted PII over `documents` (the synthetic texts carry
+# none). Single dialect-neutral SQL: `||`, CASE, CAST(AS STRING) and
+# `%` behave identically in Spark SQL and DuckDB.
+PII_CORPUS_SQL = """
+SELECT doc_id, lang,
+  text
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com now'
+          ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+          THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS STRING) || ' today'
+          ELSE '' END
+  || CASE WHEN doc_id % 17 = 0
+          THEN ' host 10.0.' || CAST(doc_id % 256 AS STRING)
+               || '.' || CAST(doc_id * 7 % 256 AS STRING) || ' up'
+          ELSE '' END
+  AS text
+FROM documents
+"""
+
+
+def derive_pii_corpus(documents: DataFrame) -> DataFrame:
+    spark = documents.sparkSession
+    documents.createOrReplaceTempView("documents")
+    return spark.sql(PII_CORPUS_SQL)

@@ -237,3 +237,45 @@ def test_connected_components_long_chain_converges(spark):
     labels = dedup.connected_components(pairs, max_iter=12).collect()
     assert {r["label"] for r in labels} == {0}
     assert len(labels) == n + 1
+
+
+def test_pii_redact_counts_and_replaces(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail bob@example.com or call 555-1234 from 10.0.3.21 ok"),
+         (2, "no pii here at all")],
+        DOCS_SCHEMA,
+    )
+    got = {r["doc_id"]: r for r in textops.pii_redact(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (1, 1, 1)
+    assert got[1]["redacted"] == "mail <EMAIL> or call <PHONE> from <IP> ok"
+    assert got[2]["redacted"] == "no pii here at all"
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (0, 0, 0)
+
+
+def test_ngram_topk_ranking(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b", "en"), (2, "a b c d", "en"), (3, "x y x y", "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    got = textops.ngram_topk(docs, n=2, k=2).collect()
+    en = {r["rank"]: (r["gram"], r["cnt"]) for r in got if r["lang"] == "en"}
+    # "a b" appears 3x in doc1 + 1x in doc2; "b a" 2x in doc1.
+    assert en[1] == ("a b", 4)
+    assert en[2] == ("b a", 2)
+    assert {r["gram"] for r in got if r["lang"] == "de"} == {"x y", "y x"}
+
+
+def test_incremental_dedup_admits_only_new(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "an entirely different corpus document body here")],
+        DOCS_SCHEMA,
+    )
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),  # exact
+         (11, "the quick brown fox jumps over the lazy dog"),        # near
+         (12, "zq wv zq xk pj completely novel content mn bb")],     # new
+        DOCS_SCHEMA,
+    )
+    kept = {r["doc_id"] for r in dedup.incremental_dedup(corpus, batch).collect()}
+    assert kept == {12}
