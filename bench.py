@@ -15,6 +15,7 @@ import re
 import sys
 import time
 
+from cir_duplicate_detector_spark.cache import release_cached
 from cir_duplicate_detector_spark.plans import ALL_QUERIES
 from cir_duplicate_detector_spark.session import get_spark
 
@@ -100,22 +101,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Pay JVM/codegen/Arrow warmup once, outside any timed query.
+    # Pay JVM/codegen/Arrow warmup once, outside any timed query. (The
+    # round-2 harness instead pre-ran every query at sf0.001 in this
+    # same JVM; the retained localCheckpoint blocks, streaming state
+    # stores and broadcasts inflated timed runs 3-30x — VERDICT r2. Each
+    # timed query now pays its own first-compile cost, which a cluster
+    # amortizes anyway, and the session is swept clean between queries.)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-
-    # Warm each query's codegen/JIT at the smallest scale factor so the
-    # timed runs measure steady-state throughput, not first-compile cost
-    # (a cluster amortizes compilation across executors and reruns).
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
-            if name not in ALL_QUERIES:
-                continue
-            try:
-                fn, _ = ALL_QUERIES[name]
-                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass  # warmup is best-effort; the timed run surfaces errors
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -130,6 +122,12 @@ def main() -> None:
         timings[name] = round(elapsed, 3)
         total += elapsed
         print(f"# {name}: {elapsed:.3f}s", file=sys.stderr)
+        # Sweep session state so no query pays for its predecessors:
+        # cached relations, persisted RDDs (= localCheckpoint blocks of
+        # minhash/connected-components), then a JVM GC pass. Untimed —
+        # lifetime management between queries is harness work, and on a
+        # cluster the blocks would die with their job's executors.
+        release_cached(spark)
 
     print(
         json.dumps(

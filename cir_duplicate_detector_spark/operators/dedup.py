@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..cache import materialize
 from ..functions.text import hash60, word_shingles
 
 MINHASH_K = 16  # signature length
@@ -176,7 +177,11 @@ def jaccard_pairs(
     )
 
 
-def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """End-to-end MinHash+LSH near-dup detection: signatures → banded
     candidates → exact Jaccard ≥ threshold. Returns (a, b, jaccard), a<b.
 
@@ -185,17 +190,18 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.5) -> DataFram
     candidate documents. Recomputing the shingle arrays on the verify
     branch is cheaper than persisting them: it is one md5 per shingle
     per pass, applied only to the candidate-restricted side.
+
+    The candidate set feeds four broadcast branches of the verify join;
+    it is materialized once (`cache.materialize`) so the band self-join
+    does not rerun per branch. Lifetime: the blocks live until the
+    ContextCleaner collects the plan OR the caller runs
+    `cache.release_cached` at a pipeline-stage boundary (the bench does
+    this between queries). ``checkpoint_dir`` switches to durable
+    checkpointing on a real cluster.
     """
     hashed = hashed_shingle_arrays(docs)
     sigs = minhash_signatures(hashed)
-    # The candidate set feeds four broadcast branches of the verify
-    # join; materialize it once so the band self-join does not rerun per
-    # branch. localCheckpoint (not persist): the blocks are reclaimed by
-    # the ContextCleaner when the returned plan is garbage-collected —
-    # a plain persist() with no unpersist() accumulated cached
-    # partitions across invocations in a long-lived session. It is
-    # small by LSH design (pairs sharing a 4-lane band).
-    cands = lsh_candidates(sigs).localCheckpoint(eager=True)
+    cands = materialize(lsh_candidates(sigs), checkpoint_dir)
     return jaccard_pairs(hashed, cands, threshold)
 
 
@@ -248,7 +254,11 @@ def incremental_dedup(
     return surv.join(near, "doc_id", "anti").select("doc_id")
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Cluster assignment over undirected duplicate pairs: ``(node,
     label)`` where ``label`` is the smallest node id in the connected
     component. This is the "collapse transitive duplicate chains into
@@ -262,23 +272,33 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
       2. pointer jump ``label <- label(label)`` — one more equi-join —
          which halves label-chain depth, so convergence needs
          O(log diameter) rounds instead of O(diameter).
-    Every round ends in ``localCheckpoint`` to truncate lineage (on a
-    real cluster use ``checkpoint`` to durable storage instead) and a
-    count action for the convergence test. Duplicate clusters are
-    small and dense in practice, so rounds ≈ 2-4; each round's joins
-    shuffle-partition on node id, which scales out at any corpus size.
+    Every round ends in a lineage-truncating materialization
+    (`cache.materialize`) and a count action for the convergence test.
+    ``checkpoint_dir=None`` uses driver-local blocks; on a real cluster
+    pass a durable directory so executor loss cannot orphan an
+    iteration. Duplicate clusters are small and dense in practice, so
+    rounds ≈ 2-4; each round's joins shuffle-partition on node id,
+    which scales out at any corpus size.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    convergence — a silently partial labeling would split clusters with
+    no signal. Path halving makes this unreachable for any graph whose
+    diameter < 2^max_iter, so hitting it means the input or iteration
+    budget is wrong, not the data.
     """
-    edges = (
-        pairs.select("a", "b")
-        .union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .localCheckpoint(eager=True)
+    edges = materialize(
+        pairs.select("a", "b").union(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ),
+        checkpoint_dir,
     )
-    labels = (
+    labels = materialize(
         edges.select(F.col("a").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+        .select("node", F.col("node").alias("label")),
+        checkpoint_dir,
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("node", "b"), "b")
@@ -290,16 +310,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             "node",
             F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
         )
-        jumped = (
+        jumped = materialize(
             proposed.join(
                 proposed.select(
                     F.col("node").alias("label"),
                     F.col("label").alias("jump"),
                 ),
                 "label",
-            )
-            .select("node", F.col("jump").alias("label"))
-            .localCheckpoint(eager=True)
+            ).select("node", F.col("jump").alias("label")),
+            checkpoint_dir,
         )
         changed = (
             jumped.withColumnRenamed("label", "new_label")
@@ -309,7 +328,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         labels = jumped
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels would be partially propagated (split clusters). "
+            "Raise max_iter — path halving needs only O(log diameter) rounds."
+        )
     return labels
 
 

@@ -38,9 +38,24 @@ def norm64(a: Column) -> Column:
     )
 
 
+def _probe_restrict(df: DataFrame, probe, id_col: str = "vec_id") -> DataFrame:
+    """Restrict ``df`` to probe ids. A list embeds as an ``isin`` plan
+    literal (interactive probe sizes); a DataFrame rides the plan as a
+    broadcast semi-join — no driver round-trip, probe set can itself be
+    a query output of any size (same contract as `operators/probes.py`).
+    """
+    if isinstance(probe, DataFrame):
+        p = (
+            probe.select(F.col(probe.columns[0]).alias(id_col))
+            .dropDuplicates([id_col])
+        )
+        return df.join(F.broadcast(p), id_col, "semi")
+    return df.where(F.col(id_col).isin(probe))
+
+
 def knn_bruteforce(
     vectors: DataFrame,
-    probe_ids: list[int],
+    probe_ids: "list[int] | DataFrame",
     k: int = 5,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, rank, cosine).
@@ -52,7 +67,7 @@ def knn_bruteforce(
     base = vectors.select(
         "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
     )
-    probes = base.where(F.col("vec_id").isin(probe_ids)).select(
+    probes = _probe_restrict(base, probe_ids).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -182,7 +197,7 @@ def srp_band_buckets(
 
 def knn_lsh(
     vectors: DataFrame,
-    probe_ids: list[int],
+    probe_ids: "list[int] | DataFrame",
     k: int = 5,
     bands: int = LSH_BANDS,
     bits: int = LSH_BAND_BITS,
@@ -206,7 +221,7 @@ def knn_lsh(
         "nrm",
         F.posexplode("buckets").alias("band_id", "bucket"),
     )
-    probes = banded.where(F.col("vec_id").isin(probe_ids)).select(
+    probes = _probe_restrict(banded, probe_ids).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -243,7 +258,7 @@ def knn_lsh(
 
 def knn_ivf(
     vectors: DataFrame,
-    probe_ids: list[int],
+    probe_ids: "list[int] | DataFrame",
     k: int = 5,
     centroid_mod: int = 40,
     nprobe: int = 3,
@@ -286,7 +301,7 @@ def knn_ivf(
         F.col("m.embedding").alias("c_emb"),
         F.col("m.nrm").alias("c_nrm"),
     )
-    probes = scored_c.where(F.col("vec_id").isin(probe_ids))
+    probes = _probe_restrict(scored_c, probe_ids)
     w_probe = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cid").asc()
     )

@@ -72,10 +72,20 @@ def _entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_entries(load_table(spark, sf_dir, "documents"))
 
 
-def _probe_list(spark: SparkSession, sf_dir: str) -> list[str]:
-    docs = load_table(spark, sf_dir, "documents")
-    ids = [r[0] for r in docs.select("doc_id").where("doc_id % 10 = 0").collect()]
-    return [f"UW{i:08d}" for i in sorted(ids)]
+def _probe_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe set as a DataFrame (every 10th doc's index string).
+
+    Registered queries pass the probe relationally so it rides the plan
+    as a broadcast semi-join (`operators/probes.py`) — no driver-side
+    ``collect()``, no plan literal that grows with scale factor. The
+    list-literal path still exists on the operators for the reference's
+    interactive probe sizes and stays covered by pytest.
+    """
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 10 = 0")
+        .select(F.format_string("UW%08d", F.col("doc_id")).alias("index"))
+    )
 
 
 _DUCK_PROBE = (
@@ -144,7 +154,7 @@ FROM base b JOIN grp g USING (base_url)
 
 def q_url_duplicates_probed(spark, sf_dir):
     return find_url_duplicates(
-        _entries(spark, sf_dir), indexes_to_check=_probe_list(spark, sf_dir)
+        _entries(spark, sf_dir), indexes_to_check=_probe_df(spark, sf_dir)
     ).select("index", _joined("url_duplicates").alias("url_duplicates"))
 
 
@@ -192,7 +202,9 @@ def _pdq_pairs_df(spark, sf_dir, probed: bool):
     corpus = decoded_hashes(entries)
     probe = corpus
     if probed:
-        probe = corpus.where(F.col("index").isin(_probe_list(spark, sf_dir)))
+        probe = corpus.join(
+            F.broadcast(_probe_df(spark, sf_dir)), "index", "semi"
+        )
     pairs = _naive_pairs(probe, corpus, 26, broadcast_probe=probed)
     return pairs.groupBy("index", "dup").agg(
         F.min("dist").cast("bigint").alias("dist")
@@ -264,7 +276,7 @@ def q_pdq_duplicates_probed(spark, sf_dir):
     return _flat_pdq(
         find_pdq_hash_duplicates(
             _entries(spark, sf_dir),
-            indexes_to_check=_probe_list(spark, sf_dir),
+            indexes_to_check=_probe_df(spark, sf_dir),
             pqd_hash_similarity_threshold=PDQ_THRESHOLD,
             duplicate_detection_method="naive",
             max_hex_len=64,
@@ -274,6 +286,30 @@ def q_pdq_duplicates_probed(spark, sf_dir):
 
 SQL_PDQ_DUPLICATES_PROBED = _duck_pdq_result(
     f'AND p."index" IN ({_DUCK_PROBE})'
+)
+
+
+def q_pdq_duplicates_t08_probed(spark, sf_dir):
+    """The reference's recommended operating point t=0.8 (n=51 bits —
+    reference README.md:90, __init__.py:14-15), probe-restricted so the
+    DuckDB cross-join oracle stays tractable. Naive backend: at n=51 no
+    pigeonhole band layout is selective, which is exactly the regime the
+    reference documents as BK-tree-losing (README figures); the honest
+    scale posture is the probe-bounded broadcast scan used here.
+    """
+    return _flat_pdq(
+        find_pdq_hash_duplicates(
+            _entries(spark, sf_dir),
+            indexes_to_check=_probe_df(spark, sf_dir),
+            pqd_hash_similarity_threshold=0.8,
+            duplicate_detection_method="naive",
+            max_hex_len=64,
+        )
+    )
+
+
+SQL_PDQ_DUPLICATES_T08_PROBED = _duck_pdq_result(
+    f'AND p."index" IN ({_DUCK_PROBE})', n_bits=51
 )
 
 
@@ -320,5 +356,9 @@ CORE_QUERIES: dict[str, tuple] = {
     "pdq_duplicates_naive": (q_pdq_duplicates_naive, SQL_PDQ_DUPLICATES),
     "pdq_duplicates_banded": (q_pdq_duplicates_banded, SQL_PDQ_DUPLICATES_BANDED),
     "pdq_duplicates_probed": (q_pdq_duplicates_probed, SQL_PDQ_DUPLICATES_PROBED),
+    "pdq_duplicates_t08_probed": (
+        q_pdq_duplicates_t08_probed,
+        SQL_PDQ_DUPLICATES_T08_PROBED,
+    ),
     "detect_duplicates": (q_detect_duplicates, SQL_DETECT_DUPLICATES),
 }

@@ -334,16 +334,18 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 # ------------------------------------------------------- similarity search
 
-def _knn_probe_ids(spark, sf_dir):
+def _knn_probe_df(spark, sf_dir):
+    """Probe set as a DataFrame (every 20th vec_id) — rides the plan as
+    a broadcast semi-join (`similarity._probe_restrict`), no driver-side
+    ``collect()`` / ``isin`` literal that grows with scale factor.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    return [
-        r[0] for r in emb.select("vec_id").where("vec_id % 20 = 0").collect()
-    ]
+    return emb.select("vec_id").where("vec_id % 20 = 0")
 
 
 def q_knn_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_bruteforce(emb, _knn_probe_ids(spark, sf_dir), k=5)
+    return similarity.knn_bruteforce(emb, _knn_probe_df(spark, sf_dir), k=5)
 
 
 SQL_KNN_BRUTEFORCE = """
@@ -372,7 +374,7 @@ def q_knn_lsh(spark, sf_dir):
     # deterministic: the oracle replicates the SRP sketch bit-for-bit,
     # so even the approximate path is value-hash-checked.
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_lsh(emb, _knn_probe_ids(spark, sf_dir), k=5)
+    return similarity.knn_lsh(emb, _knn_probe_df(spark, sf_dir), k=5)
 
 
 def _srp_planes_values(n_planes: int = similarity.N_PLANES) -> str:
@@ -445,7 +447,7 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 def q_knn_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.knn_ivf(emb, _knn_probe_ids(spark, sf_dir), k=5)
+    return similarity.knn_ivf(emb, _knn_probe_df(spark, sf_dir), k=5)
 
 
 SQL_KNN_IVF = """
@@ -1881,7 +1883,7 @@ def q_tpch_q2_like(spark, sf_dir):
     return (
         t["part"]
         .where(F.col("p_type") == "LARGE")
-        .join(offers.drop("s_suppkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(offers, F.col("l_partkey") == F.col("p_partkey"))
         .join(best, "l_partkey")
         .where(F.col("price") == F.col("best_price"))
         .join(F.broadcast(asia), F.col("s_suppkey") == F.col("l_suppkey"))
