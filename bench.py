@@ -98,6 +98,10 @@ def main() -> None:
         app_name="cir-dup-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # No UI in the bench JVM: its retained per-execution state (plan
+        # strings, task tables) is session-lifetime driver garbage that
+        # competes with the queries being measured.
+        extra_confs={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -54,10 +54,10 @@ def release_cached(spark: SparkSession) -> int:
     """
     spark.catalog.clearCache()
     sc = spark.sparkContext
-    n = 0
-    it = sc._jsc.getPersistentRDDs().values().iterator()
-    while it.hasNext():
-        it.next().unpersist()
-        n += 1
+    # py4j auto-converts the java.util.Map to a Python mapping whose
+    # values are JavaRDD handles; snapshot before unpersisting.
+    rdds = list(sc._jsc.getPersistentRDDs().values())
+    for jrdd in rdds:
+        jrdd.unpersist()
     sc._jvm.System.gc()
-    return n
+    return len(rdds)

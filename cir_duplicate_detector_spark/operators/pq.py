@@ -1,0 +1,190 @@
+"""Product quantization (PQ) for embedding columns — the compression
+path large-scale ANN actually ships (IVF-ADC): each 64-dim vector is
+encoded as M=8 one-byte-ish codes (nearest centroid per 8-dim
+subspace), and query-time scoring uses the asymmetric distance
+computation (ADC): a query precomputes its distance to every centroid
+of every subspace once (Q × M × K partial distances), and a database
+vector's approximate distance is the SUM of M table lookups — no
+original vectors touched at scan time.
+
+Spark shapes (every stage an equi- or broadcast join; nothing all-pairs):
+
+* codebook build: deterministic sample (``vec_id % centroid_mod == 0``)
+  exploded into M subvectors — a tiny broadcastable dimension table
+  (a real deployment k-means refines it; selection strategy is
+  orthogonal to the join shapes, same stance as `similarity.knn_ivf`).
+* encoding: corpus × broadcast(codebook) partial-distance scoring, then
+  ``min_by`` argmin per (vector, subspace) — map-side join + one
+  hash-agg shuffle on vec_id. At 100 TB this is the one full-data pass,
+  and it writes 8 small ints per vector instead of 64 floats (16×
+  compression in this configuration).
+* ADC scoring: probe partial-distance table (Q·M·K rows, broadcast) ⋈
+  corpus codes on (subspace, code) — an equi-join — then an 8-row sum
+  per (query, neighbor) in one hash aggregate. Shuffle keys are
+  (query_id, neighbor_id): fully scale-out, candidate volume is N·M
+  rows of codes, NOT N·Q pairs of vectors.
+
+All arithmetic is double with sequential fold order, bit-equal to the
+DuckDB oracle (same discipline as `similarity.dot64`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (M * SUBDIM = 64, the testdata dim)
+PQ_CENTROID_MOD = 40  # deterministic codeword sample, ~K=N/40 per subspace
+
+
+def _sub(col, m: int, subdim: int = PQ_SUBDIM) -> Column:
+    """1-based slice of subspace ``m`` from an array column."""
+    return F.slice(col, m * subdim + 1, subdim)
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance between two array columns
+    (double-widened; fold order matches DuckDB's ``list_sum``)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    centroid_mod: int = PQ_CENTROID_MOD,
+) -> DataFrame:
+    """(subspace, cid, csub): per-subspace codewords from the
+    deterministic sample. Tiny — broadcast everywhere it is used."""
+    sample = vectors.where(F.col("vec_id") % centroid_mod == 0)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("subspace"),
+                _sub(F.col("embedding"), i, subdim).alias("csub"),
+            )
+            for i in range(m)
+        ]
+    )
+    return sample.select(
+        F.col("vec_id").alias("cid"), F.explode(subs).alias("s")
+    ).select("s.subspace", "cid", "s.csub")
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+) -> DataFrame:
+    """(vec_id, subspace, code): nearest codeword per subspace.
+
+    Ties break to the smallest cid on both engines (argmin over the
+    (dist, cid) pair). One broadcast join + one hash aggregate."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("subspace"),
+                _sub(F.col("embedding"), i, subdim).alias("sub"),
+            )
+            for i in range(m)
+        ]
+    )
+    exploded = vectors.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", "s.subspace", "s.sub"
+    )
+    scored = exploded.join(F.broadcast(codebook), "subspace").withColumn(
+        "d", _l2sq(F.col("sub"), F.col("csub"))
+    )
+    return scored.groupBy("vec_id", "subspace").agg(
+        F.min_by(
+            F.col("cid"),
+            F.struct(F.col("d").alias("d"), F.col("cid").alias("cid")),
+        ).alias("code")
+    )
+
+
+def knn_pq_adc(
+    vectors: DataFrame,
+    probe: "list[int] | DataFrame",
+    k: int = 5,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    centroid_mod: int = PQ_CENTROID_MOD,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance:
+    (query_id, neighbor_id, rank, adc_dist), rank by (adc asc, id asc).
+
+    The probe side precomputes its Q·M·K partial-distance table; the
+    corpus contributes only its codes. The scoring join is
+    codes ⋈ partials on (subspace, code) followed by one sum-aggregate —
+    both shuffle-partitioned equi-operations, never an all-pairs scan of
+    raw vectors.
+    """
+    from .similarity import _probe_restrict
+
+    codebook = pq_codebook(vectors, m, subdim, centroid_mod)
+    codes = pq_encode(vectors, codebook, m, subdim)
+
+    probes = _probe_restrict(vectors, probe).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("subspace"),
+                _sub(F.col("embedding"), i, subdim).alias("qsub"),
+            )
+            for i in range(m)
+        ]
+    )
+    q_exploded = probes.select("query_id", F.explode(qsubs).alias("s")).select(
+        "query_id", "s.subspace", "s.qsub"
+    )
+    # Q·M·K partial distances — the ADC lookup table, broadcastable.
+    partials = q_exploded.join(F.broadcast(codebook), "subspace").select(
+        "query_id",
+        "subspace",
+        F.col("cid").alias("code"),
+        _l2sq(F.col("qsub"), F.col("csub")).alias("pd"),
+    )
+    # Pivot the M partials into fixed columns and add LEFT-TO-RIGHT:
+    # a bare sum() over doubles is order-nondeterministic under shuffle,
+    # which would break bit-equality with the oracle. Each conditional
+    # sum sees exactly one non-null row (one partial per subspace per
+    # pair), so it is an exact passthrough, and the final left-assoc
+    # addition chain is the same on both engines.
+    pivots = [
+        F.sum(F.when(F.col("subspace") == i, F.col("pd"))).alias(f"pd{i}")
+        for i in range(m)
+    ]
+    grouped = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(partials), ["subspace", "code"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(*pivots)
+    )
+    adc = F.col("pd0")
+    for i in range(1, m):
+        adc = adc + F.col(f"pd{i}")
+    scored = grouped.select(
+        "query_id", "neighbor_id", adc.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -54,6 +54,8 @@ _PRIORITY = [
     "window_topn",
     # (b) new / plan-changed this round
     "pdq_duplicates_t08_probed",
+    "cluster_representatives",
+    "knn_pq_adc",
     "url_duplicates_probed",
     "pdq_duplicates_probed",
     "knn_cosine_bruteforce",

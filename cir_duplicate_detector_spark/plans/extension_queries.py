@@ -148,8 +148,9 @@ def q_dup_clusters(spark, sf_dir):
     )
 
 
-SQL_DUP_CLUSTERS = f"""
-WITH RECURSIVE {_DUCK_SHINGLE_SET},
+# Shared oracle CTE chain: MinHash LSH pairs -> recursive-CTE connected
+# components. Used by dup_clusters and cluster_representatives.
+_DUCK_CC_CTES = f"""{_DUCK_SHINGLE_SET},
 sigs AS (
   SELECT doc_id, {_LANES}
   FROM shh GROUP BY doc_id
@@ -184,11 +185,83 @@ walk(node, label) AS (
   UNION
   SELECT e.b, w.label FROM walk w JOIN dedges e ON e.a = w.node
 ),
-cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)
+cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)"""
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_DUCK_CC_CTES}
 SELECT cc.doc_id, cc.cluster_id, s.n AS cluster_size
 FROM cc
 JOIN (SELECT cluster_id, count(*) AS n FROM cc GROUP BY cluster_id) s
   USING (cluster_id)
+"""
+
+
+def q_cluster_representatives(spark, sf_dir):
+    """The end-to-end curation decision a training-data pipeline runs:
+    near-dup pairs (MinHash+LSH) → transitive clusters (connected
+    components) → ONE representative per cluster, chosen as the
+    highest-quality member (composite `textops.quality_score_expr`,
+    ties to the smallest doc_id). Output: one row per cluster with its
+    representative, size, and the representative's quality.
+
+    Scale shape: everything upstream is the already-audited
+    banded-equi-join + label-propagation machinery; the selection adds
+    one broadcast-sized join (cluster members × quality) and one window
+    over cluster_id — both shuffle-partitioned on cluster keys. Quality
+    doubles are computed with the identical fold order on both engines
+    (bit-exact, like `text_quality`), so the argmax is deterministic
+    cross-engine.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs_nd(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5).select("a", "b")
+    cc = dedup.connected_components(pairs)
+    members = cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    scored = members.join(
+        docs.select("doc_id", textops.quality_score_expr().alias("q")),
+        "doc_id",
+    )
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("cluster_size", F.count("*").over(w_all).cast("bigint"))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "cluster_size",
+            F.col("q").alias("rep_quality"),
+        )
+    )
+
+
+def _sql_cluster_representatives() -> str:
+    return f"""
+WITH RECURSIVE {_DUCK_CC_CTES},
+q AS (
+  SELECT doc_id,
+         0.4 * least(len(regexp_extract_all(text, '{_STOP_EN}'))
+                     / len({_DUCK_WORDS}) * 4, 1.0)
+         + 0.3 * least(cast(len({_DUCK_WORDS}) as double) / 100.0, 1.0)
+         + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]'))
+                              / length(text) * 10, 1.0)) AS q
+  FROM docs_nd
+),
+m AS (SELECT cc.doc_id, cc.cluster_id, q.q FROM cc JOIN q USING (doc_id)),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+  FROM m
+)
+SELECT cluster_id, doc_id AS rep_doc_id, cluster_size, q AS rep_quality
+FROM r WHERE rn = 1
 """
 
 
@@ -441,6 +514,75 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
   )::BIGINT AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_knn_pq_adc(spark, sf_dir):
+    """PQ-ADC approximate kNN (`operators.pq`): 8×8-dim product
+    quantization, deterministic codeword sample (vec_id % 40), ADC
+    scoring via the (subspace, code) equi-join. Probe set = every 100th
+    vec_id as a DataFrame (the ADC lookup table is Q·M·K rows and ships
+    as a broadcast — the algorithm's precondition is that it stays
+    small; scale the probe side by sharding queries, not by widening
+    this table)."""
+    from ..operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.select("vec_id").where("vec_id % 100 = 0")
+    return pq.knn_pq_adc(emb, probe, k=5)
+
+
+def _sql_knn_pq_adc() -> str:
+    from ..operators import pq as _pq
+
+    m, sd, cmod = _pq.PQ_M, _pq.PQ_SUBDIM, _pq.PQ_CENTROID_MOD
+    pd_pivots = ", ".join(
+        f"sum(CASE WHEN p.subspace = {i} THEN p.pd END) AS pd{i}"
+        for i in range(m)
+    )
+    adc_sum = " + ".join(f"pd{i}" for i in range(m))
+    l2 = (
+        "list_sum(list_transform(range(1, {n}), "
+        "j -> ({a}[s.m * {sd} + j] - {b}[s.m * {sd} + j]) "
+        "* ({a}[s.m * {sd} + j] - {b}[s.m * {sd} + j])))"
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+subspaces AS (SELECT unnest(range(0, {m})) AS m),
+cdist AS (
+  SELECT v.vec_id, s.m AS subspace, c.vec_id AS cid,
+         {l2.format(n=sd + 1, sd=sd, a="v.e", b="c.e")} AS d
+  FROM n v, subspaces s, n c
+  WHERE c.vec_id % {cmod} = 0
+),
+codes AS (
+  SELECT vec_id, subspace, cid AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, subspace ORDER BY d, cid
+    ) AS rn FROM cdist
+  ) WHERE rn = 1
+),
+partials AS (
+  SELECT q.vec_id AS query_id, s.m AS subspace, c.vec_id AS code,
+         {l2.format(n=sd + 1, sd=sd, a="q.e", b="c.e")} AS pd
+  FROM n q, subspaces s, n c
+  WHERE q.vec_id % 100 = 0 AND c.vec_id % {cmod} = 0
+),
+pairs AS (
+  SELECT p.query_id, k.vec_id AS neighbor_id, {pd_pivots}
+  FROM codes k
+  JOIN partials p ON p.subspace = k.subspace AND p.code = k.code
+  WHERE p.query_id <> k.vec_id
+  GROUP BY 1, 2
+),
+adc AS (SELECT query_id, neighbor_id, {adc_sum} AS adc_dist FROM pairs)
+SELECT query_id, neighbor_id, rank, adc_dist FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+  )::BIGINT AS rank FROM adc
 ) WHERE rank <= 5
 """
 
@@ -2143,6 +2285,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
+    "cluster_representatives": (
+        q_cluster_representatives,
+        _sql_cluster_representatives(),
+    ),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
@@ -2150,6 +2296,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "knn_cosine_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_cosine_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "knn_cosine_ivf": (q_knn_ivf, SQL_KNN_IVF),
+    "knn_pq_adc": (q_knn_pq_adc, _sql_knn_pq_adc()),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

@@ -39,6 +39,7 @@ def get_spark(
     app_name: str = "cir-duplicate-detector-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's recommended confs.
 
@@ -59,7 +60,27 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         )
+        # Whole-stage codegen emits a fresh class per query stage; a
+        # session that runs many distinct queries (the bench: 69) blows
+        # through HotSpot's default 240MB reserved code cache, after
+        # which the JIT flushes/refuses compilation and CPU-dense stages
+        # run INTERPRETED — measured 5-10x slowdowns that look like
+        # engine regressions (round-2 bench contamination; re-confirmed
+        # round 3: dedup_ngram_jaccard 38s -> 3.5s with a 1g cache). On
+        # a real cluster set the same flag in executor JVM options.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
+        # The live UI's retained state (SQL executions keep full plan
+        # strings — the similarity plans carry multi-MB literal tables)
+        # grows without bound across a long session; cap it low.
+        builder = builder.config("spark.sql.ui.retainedExecutions", "20")
+        builder = builder.config("spark.ui.retainedStages", "100")
+        builder = builder.config("spark.ui.retainedJobs", "100")
     for key, value in RECOMMENDED_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
         builder = builder.config(key, value)
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -105,6 +105,74 @@ def test_minhash_signatures_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_incremental_dedup_anti_joins_scale_shape(spark):
+    # The two screens (exact digest, fingerprint overlap) must stay
+    # anti-joins, and with auto-broadcast off (emulating corpus stats
+    # past the threshold — the 100 TB case) neither may broadcast the
+    # corpus-derived side: the plan must fall back to shuffle joins, not
+    # a nested-loop or cartesian shape (VERDICT r2 item 6).
+    from cir_duplicate_detector_spark.operators.dedup import incremental_dedup
+    from cir_duplicate_detector_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    corpus = docs.where("doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            incremental_dedup(corpus, batch)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # >= 2: the exact screen and the near screen. (The exact-screen
+        # subtree is evaluated in two branches — the output side and the
+        # fingerprint side — so it may appear twice in the plan.)
+        assert plan.count("LeftAnti") >= 2
+        assert "BroadcastExchange" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_probed_queries_have_no_driver_collect(spark):
+    # Registered probe queries ship the probe set as a broadcast
+    # semi-join (or a probe-derived broadcast), never a driver-side
+    # collect()+isin literal (VERDICT r2 item 3). An InMemoryRelation /
+    # LocalTableScan of probe ids in the plan would betray a literal.
+    for name in (
+        "url_duplicates_probed",
+        "pdq_duplicates_probed",
+        "pdq_duplicates_t08_probed",
+        "knn_cosine_bruteforce",
+        "knn_cosine_lsh",
+        "knn_cosine_ivf",
+    ):
+        plan = _plan(spark, name)
+        assert "LocalTableScan" not in plan, name
+        assert " INSET " not in plan and " IN (" not in plan, name
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest
+
+    from cir_duplicate_detector_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a bigint, b bigint"
+    )
+    labels = {
+        r["node"]: r["label"] for r in connected_components(pairs).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=0)
+
+
 def test_doc_fingerprint_shuffle_free_before_explode(spark):
     from cir_duplicate_detector_spark.operators import textops
     from cir_duplicate_detector_spark.sources.tables import load_table
