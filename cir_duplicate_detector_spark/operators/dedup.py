@@ -62,6 +62,37 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def normalized_text(col="text") -> "F.Column":
+    """Canonical text for robust exact-dedup: lowercase, strip
+    punctuation runs, collapse whitespace, trim. Catches the
+    trivially-reformatted duplicates (case, spacing, punctuation)
+    that byte-identity misses but that near-dup machinery is overkill
+    for. Pure Catalyst regex — scan-linear, shuffle-free."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lower(c)
+    out = F.regexp_replace(out, r"[.,;:!?'\"()\[\]{}<>]+", " ")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def exact_duplicates_normalized(docs: DataFrame) -> DataFrame:
+    """Groups of texts identical AFTER normalization
+    (:func:`normalized_text`): (norm_hash, members, group_size).
+    Same single hash-aggregate shuffle shape as :func:`exact_duplicates`
+    — normalization rides the scan projection."""
+    return (
+        docs.select(
+            F.md5(normalized_text("text")).alias("norm_hash"), "doc_id"
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+            F.count("*").alias("group_size"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
 def hashed_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, hs): each document's distinct 60-bit shingle hashes as a
     per-row array. Pure projection — the shingle set never leaves the

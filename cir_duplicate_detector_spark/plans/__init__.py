@@ -56,6 +56,8 @@ _PRIORITY = [
     "pdq_duplicates_t08_probed",
     "cluster_representatives",
     "knn_pq_adc",
+    "dedup_exact_normalized",
+    "url_domain_stats",
     "url_duplicates_probed",
     "pdq_duplicates_probed",
     "knn_cosine_bruteforce",

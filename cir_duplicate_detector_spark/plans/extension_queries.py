@@ -405,6 +405,88 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_dedup_exact_normalized(spark, sf_dir):
+    """Exact dedup AFTER text canonicalization (case / punctuation /
+    whitespace) — catches trivially-reformatted duplicates byte-identity
+    misses, at the same single-shuffle hash-agg cost."""
+    return dedup.exact_duplicates_normalized(_docs_nd(spark, sf_dir)).select(
+        "norm_hash",
+        F.array_join(
+            F.transform("members", lambda m: m.cast("string")), "|"
+        ).alias("members"),
+        "group_size",
+    )
+
+
+_DUCK_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[.,;:!?''\"()\\[\\]{}<>]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+SQL_DEDUP_EXACT_NORMALIZED = f"""
+WITH docs_nd AS ({_ND})
+SELECT md5({_DUCK_NORM_TEXT}) AS norm_hash,
+       array_to_string(list_sort(list(doc_id)), '|') AS members,
+       count(*) AS group_size
+FROM docs_nd GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# Synthetic varied-domain URL over doc_id — ONE dialect-shared SQL
+# expression (Spark `F.expr` and the DuckDB oracle use the identical
+# string, so the fixture cannot drift): scheme variants, optional
+# `www.`, 11 domains, optional `:8080` port, path, optional fragment.
+_SYN_URL = (
+    "(CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'https://' "
+    "ELSE 'http://' END) "
+    "|| (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END) "
+    "|| 'site' || cast(doc_id % 11 as string) || '.org' "
+    "|| (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) "
+    "|| '/p/' || cast(doc_id % 23 as string) "
+    "|| (CASE WHEN doc_id % 2 = 1 THEN '#f' || cast(doc_id as string) "
+    "ELSE '' END)"
+)
+
+
+def q_url_domain_stats(spark, sf_dir):
+    """Per-domain crawl-curation stats: how many URLs land on each
+    registrable domain and how much intra-domain duplication
+    (normalized-URL collisions) there is — the aggregation that drives
+    per-domain sampling / blocking decisions in a crawl pipeline.
+    One grouped aggregate; the count-distinct expands map-side."""
+    from ..functions.url import normalize_url, url_domain
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(_SYN_URL)
+    rows = docs.select(
+        url_domain(u).alias("domain"),
+        normalize_url(u).alias("base_url"),
+    )
+    return rows.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("base_url").alias("n_distinct"),
+        (
+            (F.count("*") - F.countDistinct("base_url")) / F.count("*")
+        ).alias("dup_ratio"),
+    )
+
+
+def _sql_url_domain_stats() -> str:
+    from ..functions.url import normalize_url_sql, url_domain_sql
+
+    return f"""
+WITH rows_u AS (
+  SELECT {url_domain_sql(_SYN_URL)} AS domain,
+         {normalize_url_sql(_SYN_URL)} AS base_url
+  FROM documents
+)
+SELECT domain, count(*) AS n_urls,
+       count(DISTINCT base_url) AS n_distinct,
+       (count(*) - count(DISTINCT base_url)) / count(*) AS dup_ratio
+FROM rows_u GROUP BY domain
+"""
+
+
 # ------------------------------------------------------- similarity search
 
 def _knn_probe_df(spark, sf_dir):
@@ -2283,6 +2365,11 @@ WHERE r_name = 'ASIA'
 
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_exact_normalized": (
+        q_dedup_exact_normalized,
+        SQL_DEDUP_EXACT_NORMALIZED,
+    ),
+    "url_domain_stats": (q_url_domain_stats, _sql_url_domain_stats()),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "cluster_representatives": (

@@ -279,3 +279,51 @@ def test_incremental_dedup_admits_only_new(spark):
     )
     kept = {r["doc_id"] for r in dedup.incremental_dedup(corpus, batch).collect()}
     assert kept == {12}
+
+
+def test_normalized_exact_dedup_merges_reformatted(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!  How are you?"),
+         (2, "hello world how are you"),
+         (3, 'HELLO   "world";  how are YOU'),
+         (4, "a different document entirely")],
+        DOCS_SCHEMA,
+    )
+    got = dedup.exact_duplicates_normalized(docs).collect()
+    assert len(got) == 1
+    assert sorted(got[0]["members"]) == [1, 2, 3]
+    # Byte-exact dedup sees nothing to merge on the same input.
+    assert dedup.exact_duplicates(docs).count() == 0
+
+
+def test_url_domain_extraction(spark):
+    from cir_duplicate_detector_spark.functions.url import url_domain
+
+    rows = spark.createDataFrame(
+        [("https://WWW.Example.com:8080/path?q=1#frag",),
+         ("example.com/path",),
+         ("http://sub.example.org;",),
+         ("www.plain.net",)],
+        "url string",
+    )
+    got = [r[0] for r in rows.select(url_domain("url")).collect()]
+    assert got == ["example.com", "example.com", "sub.example.org", "plain.net"]
+
+
+def test_pq_codes_compress_and_adc_ranks_near_vector_first(spark):
+    from cir_duplicate_detector_spark.operators import pq
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    codes = pq.pq_encode(emb, pq.pq_codebook(emb))
+    n = emb.count()
+    # Every vector gets exactly M codes.
+    assert codes.count() == n * pq.PQ_M
+    # A codeword vector's nearest PQ neighbor set must rank itself...
+    # self-pairs are excluded, so instead check ADC of a centroid vector
+    # to itself would be 0: its codes are its own cid in every subspace.
+    own = (
+        codes.where(F.col("vec_id") % pq.PQ_CENTROID_MOD == 0)
+        .where(F.col("vec_id") != F.col("code"))
+        .count()
+    )
+    assert own == 0
