@@ -57,6 +57,7 @@ _PRIORITY = [
     "cluster_representatives",
     "knn_pq_adc",
     "dedup_exact_normalized",
+    "dedup_exact_streaming",
     "url_domain_stats",
     "url_duplicates_probed",
     "pdq_duplicates_probed",

@@ -26,7 +26,10 @@ from ..sources.derived import (
     near_dup_embeddings_sql,
 )
 from ..sources.tables import load_table
-from ..streaming.windows import streaming_tumbling_window
+from ..streaming.windows import (
+    streaming_exact_dedup,
+    streaming_tumbling_window,
+)
 
 _ND = near_dup_corpus_sql("duckdb")
 
@@ -423,6 +426,19 @@ _DUCK_NORM_TEXT = (
     "'[.,;:!?''\"()\\[\\]{}<>]+', ' ', 'g'), '\\s+', ' ', 'g'))"
 )
 
+def q_dedup_exact_streaming(spark, sf_dir):
+    return streaming_exact_dedup(spark, sf_dir)
+
+
+# Digest/count projection of SQL_DEDUP_EXACT (the streaming form keeps
+# per-digest state, not member lists — bounded state by construction).
+SQL_DEDUP_EXACT_STREAMING = f"""
+WITH docs_nd AS ({_ND})
+SELECT md5(text) AS text_hash, count(*) AS group_size
+FROM docs_nd GROUP BY 1 HAVING count(*) > 1
+"""
+
+
 SQL_DEDUP_EXACT_NORMALIZED = f"""
 WITH docs_nd AS ({_ND})
 SELECT md5({_DUCK_NORM_TEXT}) AS norm_hash,
@@ -602,12 +618,13 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 
 def q_knn_pq_adc(spark, sf_dir):
     """PQ-ADC approximate kNN (`operators.pq`): 8×8-dim product
-    quantization, deterministic codeword sample (vec_id % 40), ADC
-    scoring via the (subspace, code) equi-join. Probe set = every 100th
-    vec_id as a DataFrame (the ADC lookup table is Q·M·K rows and ships
-    as a broadcast — the algorithm's precondition is that it stays
-    small; scale the probe side by sharding queries, not by widening
-    this table)."""
+    quantization with a FIXED 256-codeword codebook per subspace
+    (smallest vec_ids — corpus-size-independent, the property that
+    keeps encode O(N·256) instead of the O(N²) a corpus-fraction sample
+    degenerates to), ADC scoring via the (subspace, code) equi-join.
+    Probe set = every 100th vec_id as a DataFrame (the ADC lookup table
+    is Q·M·K rows and ships as a broadcast — scale the probe side by
+    sharding queries, not by widening this table)."""
     from ..operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -618,7 +635,7 @@ def q_knn_pq_adc(spark, sf_dir):
 def _sql_knn_pq_adc() -> str:
     from ..operators import pq as _pq
 
-    m, sd, cmod = _pq.PQ_M, _pq.PQ_SUBDIM, _pq.PQ_CENTROID_MOD
+    m, sd, kcw = _pq.PQ_M, _pq.PQ_SUBDIM, _pq.PQ_CODEWORDS
     pd_pivots = ", ".join(
         f"sum(CASE WHEN p.subspace = {i} THEN p.pd END) AS pd{i}"
         for i in range(m)
@@ -634,11 +651,11 @@ WITH n AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
 subspaces AS (SELECT unnest(range(0, {m})) AS m),
+cw AS (SELECT vec_id, e FROM n ORDER BY vec_id LIMIT {kcw}),
 cdist AS (
   SELECT v.vec_id, s.m AS subspace, c.vec_id AS cid,
          {l2.format(n=sd + 1, sd=sd, a="v.e", b="c.e")} AS d
-  FROM n v, subspaces s, n c
-  WHERE c.vec_id % {cmod} = 0
+  FROM n v, subspaces s, cw c
 ),
 codes AS (
   SELECT vec_id, subspace, cid AS code FROM (
@@ -650,8 +667,8 @@ codes AS (
 partials AS (
   SELECT q.vec_id AS query_id, s.m AS subspace, c.vec_id AS code,
          {l2.format(n=sd + 1, sd=sd, a="q.e", b="c.e")} AS pd
-  FROM n q, subspaces s, n c
-  WHERE q.vec_id % 100 = 0 AND c.vec_id % {cmod} = 0
+  FROM n q, subspaces s, cw c
+  WHERE q.vec_id % 100 = 0
 ),
 pairs AS (
   SELECT p.query_id, k.vec_id AS neighbor_id, {pd_pivots}
@@ -2368,6 +2385,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact_normalized": (
         q_dedup_exact_normalized,
         SQL_DEDUP_EXACT_NORMALIZED,
+    ),
+    "dedup_exact_streaming": (
+        q_dedup_exact_streaming,
+        SQL_DEDUP_EXACT_STREAMING,
     ),
     "url_domain_stats": (q_url_domain_stats, _sql_url_domain_stats()),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),

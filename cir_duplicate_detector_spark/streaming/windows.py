@@ -110,6 +110,53 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection AS A STREAM: the continuously-ingesting
+    form of `operators.dedup.exact_duplicates` — documents arrive on a
+    file stream, the derived near-dup corpus branches (original / mutant
+    / exact copy, same expressions as `sources.derived`) are unioned
+    stream-side, and duplicate groups accumulate in a complete-mode
+    hash-state aggregation keyed on the 128-bit digest. State is one
+    entry per distinct text digest (the bounded-state shape: digest +
+    count, never the text). Returns ``(text_hash, group_size)`` for
+    groups > 1, identical to the batch oracle's digest/count pairs.
+    """
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="docs_dedup_stream_")
+    os.symlink(path, os.path.join(stage, "documents.parquet"))
+    docs = spark.readStream.schema(schema).parquet(stage)
+    words = "split(text, '\\\\s+')"
+    orig = docs.select("doc_id", "text")
+    mut = docs.where("doc_id % 5 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        f"array_join(slice({words}, 1, greatest(size({words}) - 3, 1)), ' ')"
+        " AS text",
+    )
+    copies = docs.where("doc_id % 11 = 0").selectExpr(
+        "doc_id + 2000000 AS doc_id", "text"
+    )
+    corpus = orig.unionAll(mut).unionAll(copies)
+    agg = (
+        corpus.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("group_size"))
+        .where(F.col("group_size") > 1)
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_dedup_to_parquet(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:

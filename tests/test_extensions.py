@@ -314,15 +314,20 @@ def test_pq_codes_compress_and_adc_ranks_near_vector_first(spark):
     from cir_duplicate_detector_spark.operators import pq
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    codes = pq.pq_encode(emb, pq.pq_codebook(emb))
+    codebook = pq.pq_codebook(emb)
+    # Codebook is BOUNDED: at most M * n_codewords rows no matter the
+    # corpus size (the scale property; a corpus-fraction sample
+    # degenerated encode to O(N^2) — measured 66x on a 10x corpus).
+    assert codebook.count() <= pq.PQ_M * pq.PQ_CODEWORDS
+    codes = pq.pq_encode(emb, codebook)
     n = emb.count()
     # Every vector gets exactly M codes.
     assert codes.count() == n * pq.PQ_M
-    # A codeword vector's nearest PQ neighbor set must rank itself...
-    # self-pairs are excluded, so instead check ADC of a centroid vector
-    # to itself would be 0: its codes are its own cid in every subspace.
+    # A codeword vector encodes to itself in every subspace (its own
+    # subvector is at distance 0; ties break to the smallest cid).
+    cw_ids = {r[0] for r in codebook.select("cid").distinct().collect()}
     own = (
-        codes.where(F.col("vec_id") % pq.PQ_CENTROID_MOD == 0)
+        codes.where(F.col("vec_id").isin(list(cw_ids)))
         .where(F.col("vec_id") != F.col("code"))
         .count()
     )
