@@ -53,6 +53,51 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64
+CHUNK_STEP = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    step: int = CHUNK_STEP,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    tokenize/chunk step that precedes training-sequence packing:
+    ``(doc_id, chunk_id, chunk_start, n_chunk_tokens, chunk_hash)``.
+
+    Pure per-row work: tokenize once, `posexplode` a `sequence` of
+    window starts, slice the token array per window. Zero shuffles at
+    any corpus size — chunking at 100 TB is exactly a scan. The chunk
+    content is carried as its md5 (dedupable key) rather than the text
+    to keep the output narrow; callers wanting text join back on
+    (doc_id, chunk_start).
+    """
+    ws = tokens("text")
+    n = F.size(ws)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    return (
+        docs.select(
+            "doc_id",
+            ws.alias("ws"),
+            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.size(F.slice("ws", F.col("chunk_start"), chunk_tokens))
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice("ws", F.col("chunk_start"), chunk_tokens), " "
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
 def quality_score_expr() -> "F.Column":
     """The composite quality score as a reusable expression over `text`."""
     ws = tokens("text")

@@ -59,6 +59,7 @@ _PRIORITY = [
     "dedup_exact_normalized",
     "dedup_exact_streaming",
     "url_domain_stats",
+    "doc_chunks",
     "url_duplicates_probed",
     "pdq_duplicates_probed",
     "knn_cosine_bruteforce",

@@ -448,6 +448,36 @@ FROM docs_nd GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking over raw documents — the
+    pre-training tokenize/chunk scan (`textops.chunk_documents`).
+    Zero-shuffle per-row work; output carries chunk digests."""
+    return textops.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_doc_chunks() -> str:
+    c, s = textops.CHUNK_TOKENS, textops.CHUNK_STEP
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents
+),
+st AS (
+  SELECT doc_id, ws,
+         unnest(range(1, greatest(len(ws), 1) + 1, {s})) AS chunk_start
+  FROM w
+)
+SELECT doc_id,
+       ((chunk_start - 1) // {s})::BIGINT AS chunk_id,
+       chunk_start::BIGINT AS chunk_start,
+       len(list_slice(ws, chunk_start, chunk_start + {c} - 1))::BIGINT
+         AS n_chunk_tokens,
+       md5(array_to_string(
+         list_slice(ws, chunk_start, chunk_start + {c} - 1), ' '))
+         AS chunk_hash
+FROM st
+"""
+
+
 # Synthetic varied-domain URL over doc_id — ONE dialect-shared SQL
 # expression (Spark `F.expr` and the DuckDB oracle use the identical
 # string, so the fixture cannot drift): scheme variants, optional
@@ -2391,6 +2421,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         SQL_DEDUP_EXACT_STREAMING,
     ),
     "url_domain_stats": (q_url_domain_stats, _sql_url_domain_stats()),
+    "doc_chunks": (q_doc_chunks, _sql_doc_chunks()),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "cluster_representatives": (

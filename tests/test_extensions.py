@@ -332,3 +332,22 @@ def test_pq_codes_compress_and_adc_ranks_near_vector_first(spark):
         .count()
     )
     assert own == 0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    text100 = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, text100), (2, "a b c d e"), (3, "")], DOCS_SCHEMA
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in textops.chunk_documents(docs).collect()
+    }
+    # 100 tokens, window 64, step 48 -> starts 1/49/97, sizes 64/52/4.
+    assert [got[(1, i)]["chunk_start"] for i in range(3)] == [1, 49, 97]
+    assert [got[(1, i)]["n_chunk_tokens"] for i in range(3)] == [64, 52, 4]
+    # Overlap: chunk 1 starts inside chunk 0's window (49 <= 64).
+    assert got[(1, 1)]["chunk_start"] <= got[(1, 0)]["n_chunk_tokens"]
+    # Short and empty docs produce exactly one (possibly empty) chunk.
+    assert got[(2, 0)]["n_chunk_tokens"] == 5 and (2, 1) not in got
+    assert got[(3, 0)]["n_chunk_tokens"] == 0 and (3, 1) not in got
