@@ -60,6 +60,7 @@ _PRIORITY = [
     "dedup_exact_streaming",
     "url_domain_stats",
     "doc_chunks",
+    "docs_jsonl_roundtrip",
     "url_duplicates_probed",
     "pdq_duplicates_probed",
     "knn_cosine_bruteforce",

@@ -448,6 +448,36 @@ FROM docs_nd GROUP BY 1 HAVING count(*) > 1
 """
 
 
+DOCS_JSONL_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def q_docs_jsonl_roundtrip(spark, sf_dir):
+    """Second source format end-to-end: stage the documents table as
+    JSONL (the training-data interchange format), read it back through
+    the schema-declared quarantine reader (`sources.jsonl`), return the
+    clean rows. The oracle is simply the documents table — equality IS
+    the round-trip guarantee (types, unicode, embedded newlines all
+    survive the JSON escape)."""
+    import hashlib
+
+    from ..sources.jsonl import read_documents_jsonl, write_documents_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    stage = "/tmp/docs_jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    write_documents_jsonl(docs, stage)
+    clean, _quarantined = read_documents_jsonl(spark, stage, DOCS_JSONL_SCHEMA)
+    return clean
+
+
+SQL_DOCS_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping token-window chunking over raw documents — the
     pre-training tokenize/chunk scan (`textops.chunk_documents`).
@@ -2422,6 +2452,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     ),
     "url_domain_stats": (q_url_domain_stats, _sql_url_domain_stats()),
     "doc_chunks": (q_doc_chunks, _sql_doc_chunks()),
+    "docs_jsonl_roundtrip": (q_docs_jsonl_roundtrip, SQL_DOCS_JSONL_ROUNDTRIP),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "cluster_representatives": (
