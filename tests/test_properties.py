@@ -180,3 +180,42 @@ def test_absolute_threshold_matches_reference_rounding(t):
 def test_absolute_threshold_rejects_invalid(bad):
     with pytest.raises(ValueError):
         calculate_absolute_threshold(256, bad)
+
+
+# --- chunking invariants --------------------------------------------------
+
+doc_text = st.text(
+    alphabet=st.sampled_from("ab \t\n"), min_size=0, max_size=400
+)
+
+
+def model_chunks(text: str, chunk: int = 64, step: int = 48):
+    toks = [t for t in __import__("re").split(r"\s+", text) if t != ""]
+    starts = list(range(1, max(len(toks), 1) + 1, step))
+    return [
+        (i, s, len(toks[s - 1 : s - 1 + chunk]))
+        for i, s in enumerate(starts)
+    ]
+
+
+@SETTINGS
+@given(st.lists(doc_text, min_size=1, max_size=24))
+def test_chunk_documents_matches_model(spark, batch):
+    from cir_duplicate_detector_spark.operators.textops import chunk_documents
+
+    docs = spark.createDataFrame(
+        list(enumerate(batch)), "doc_id bigint, text string"
+    )
+    got = {}
+    for r in chunk_documents(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_start"], r["n_chunk_tokens"])
+        )
+    for doc_id, text in enumerate(batch):
+        want = model_chunks(text)
+        assert sorted(got[doc_id]) == want, (doc_id, text)
+        # Invariant: windows cover every token (last window reaches the
+        # end) and consecutive windows overlap by chunk-step tokens.
+        n = len([t for t in __import__("re").split(r"\s+", text) if t])
+        _, last_start, last_len = want[-1]
+        assert last_start - 1 + last_len == max(n, 0) or n == 0
