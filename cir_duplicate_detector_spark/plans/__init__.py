@@ -52,8 +52,11 @@ _PRIORITY = [
     "dup_overlap",
     "rollup_orders",
     "window_topn",
-    # (b) new / plan-changed this round
+    # (b) new / plan-changed this round (dup_clusters before
+    # cluster_representatives: they share the minhash+CC subplan, so
+    # the cheaper query pays the one-time codegen in the bench)
     "pdq_duplicates_t08_probed",
+    "dup_clusters",
     "cluster_representatives",
     "knn_pq_adc",
     "dedup_exact_normalized",

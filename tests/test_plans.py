@@ -173,6 +173,32 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components(pairs, max_iter=0)
 
 
+def test_doc_chunks_shuffle_free(spark):
+    # Chunking is a pure per-row scan (tokenize + posexplode + slices):
+    # zero exchanges at any corpus size.
+    plan = _plan(spark, "doc_chunks")
+    assert "Exchange" not in plan
+
+
+def test_url_domain_stats_single_agg_shuffle(spark):
+    # One grouped aggregate over a scan projection; the count-distinct
+    # expands map-side. No joins, <= 2 hash-partition exchanges
+    # (partial/final around the expand).
+    plan = _plan(spark, "url_domain_stats")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_pq_adc_is_equijoin_with_broadcast_tables(spark):
+    # Codebook and ADC partial-distance tables ride as broadcasts; the
+    # scoring join is an equi-join on (subspace, code) — never an
+    # all-pairs scan of raw vectors.
+    plan = _plan(spark, "knn_pq_adc")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_doc_fingerprint_shuffle_free_before_explode(spark):
     from cir_duplicate_detector_spark.operators import textops
     from cir_duplicate_detector_spark.sources.tables import load_table
