@@ -56,6 +56,7 @@ _PRIORITY = [
     # cluster_representatives: they share the minhash+CC subplan, so
     # the cheaper query pays the one-time codegen in the bench)
     "pdq_duplicates_t08_probed",
+    "pdq_duplicates_t08_probe30",
     "dup_clusters",
     "cluster_representatives",
     "knn_pq_adc",

@@ -313,6 +313,44 @@ SQL_PDQ_DUPLICATES_T08_PROBED = _duck_pdq_result(
 )
 
 
+def _probe30_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse probe set (~30 at sf0.1): the reference README's
+    runtime-vs-check-size figure bottoms out at ~30 probes / ~2 s
+    (readme_figures/runtime_vs_check_size_ds_size_30225_sim_thresh_0_8
+    _multi_threaded_20_cpu_default.svg, README.md:92-96)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 167 = 0")
+        .select(F.format_string("UW%08d", F.col("doc_id")).alias("index"))
+    )
+
+
+_DUCK_PROBE30 = (
+    "SELECT 'UW' || lpad(cast(doc_id as string), 8, '0') FROM documents "
+    "WHERE doc_id % 167 = 0"
+)
+
+
+def q_pdq_duplicates_t08_probe30(spark, sf_dir):
+    """The baseline figure's operating point: t=0.8, ~30 probes — the
+    reference needs ~2 s on 20 cores there; this is the directly
+    comparable BENCH entry."""
+    return _flat_pdq(
+        find_pdq_hash_duplicates(
+            _entries(spark, sf_dir),
+            indexes_to_check=_probe30_df(spark, sf_dir),
+            pqd_hash_similarity_threshold=0.8,
+            duplicate_detection_method="naive",
+            max_hex_len=64,
+        )
+    )
+
+
+SQL_PDQ_DUPLICATES_T08_PROBE30 = _duck_pdq_result(
+    f'AND p."index" IN ({_DUCK_PROBE30})', n_bits=51
+)
+
+
 def q_detect_duplicates(spark, sf_dir):
     result = detect_duplicates(
         _entries(spark, sf_dir),
@@ -359,6 +397,10 @@ CORE_QUERIES: dict[str, tuple] = {
     "pdq_duplicates_t08_probed": (
         q_pdq_duplicates_t08_probed,
         SQL_PDQ_DUPLICATES_T08_PROBED,
+    ),
+    "pdq_duplicates_t08_probe30": (
+        q_pdq_duplicates_t08_probe30,
+        SQL_PDQ_DUPLICATES_T08_PROBE30,
     ),
     "detect_duplicates": (q_detect_duplicates, SQL_DETECT_DUPLICATES),
 }
