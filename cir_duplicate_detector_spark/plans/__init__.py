@@ -65,6 +65,7 @@ _PRIORITY = [
     "url_domain_stats",
     "doc_chunks",
     "docs_jsonl_roundtrip",
+    "corpus_stats_cube",
     "url_duplicates_probed",
     "pdq_duplicates_probed",
     "knn_cosine_bruteforce",

@@ -1417,6 +1417,33 @@ def q_rollup_orders(spark, sf_dir):
     )
 
 
+def q_corpus_stats_cube(spark, sf_dir):
+    """Corpus composition report with CUBE(lang, source): doc counts,
+    total characters, and mean doc length for every (lang, source)
+    combination plus all three marginal groupings in ONE aggregate pass
+    — the per-slice inventory a curation run reports before and after
+    filtering. Mean = exact bigint sum / count, one double division, so
+    both engines emit identical bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") / F.count("*")).alias("mean_chars"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+SQL_CORPUS_STATS_CUBE = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       sum(n_chars) / count(*) AS mean_chars,
+       GROUPING(lang, source)::BIGINT AS gid
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
 SQL_ROLLUP_ORDERS = """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
@@ -2520,5 +2547,6 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
     "dup_overlap": (q_dup_overlap, _sql_dup_overlap()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
+    "corpus_stats_cube": (q_corpus_stats_cube, SQL_CORPUS_STATS_CUBE),
     "window_topn": (q_window_topn, SQL_WINDOW_TOPN),
 }
