@@ -66,6 +66,7 @@ _PRIORITY = [
     "doc_chunks",
     "docs_jsonl_roundtrip",
     "corpus_stats_cube",
+    "doc_topk_similar",
     "url_duplicates_probed",
     "pdq_duplicates_probed",
     "knn_cosine_bruteforce",

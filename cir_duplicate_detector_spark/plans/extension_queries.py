@@ -309,6 +309,74 @@ WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.3
 """
 
 
+def q_doc_topk_similar(spark, sf_dir):
+    """Query-by-document retrieval: for each probe document, the top-5
+    most similar corpus documents by exact shingle Jaccard — the
+    "find me near-duplicates of THIS doc" lookup an annotation/triage
+    workflow runs (reference use case: given a flagged item, surface
+    its variants). Same inverted-index equi-join as the Jaccard dedup
+    pass (candidates = docs sharing ≥1 shingle hash, never all-pairs);
+    a per-probe window takes the top-k, ties to the smaller doc_id."""
+    from pyspark.sql import Window
+
+    docs = _docs_nd(spark, sf_dir)
+    shingles = dedup.shingle_sets(docs).select("doc_id", "sh_hash")
+    probes = shingles.where(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        probes.select(F.col("doc_id").alias("a"), "sh_hash")
+        .join(shingles.select(F.col("doc_id").alias("b"), "sh_hash"), "sh_hash")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
+            "b",
+        )
+        .withColumn(
+            "jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+        )
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.col("jaccard").desc(), F.col("b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("a", "b", "rank", "jaccard")
+    )
+
+
+SQL_DOC_TOPK_SIMILAR = f"""
+WITH {_DUCK_SHINGLE_SET},
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM shh x JOIN shh y ON y.sh_hash = x.sh_hash AND x.doc_id <> y.doc_id
+  WHERE x.doc_id % 50 = 0 AND x.doc_id < 1000000
+  GROUP BY x.doc_id, y.doc_id
+),
+scored AS (
+  SELECT i2.a, i2.b, i2.i / (sa.n + sb.n - i2.i) AS jaccard
+  FROM inter i2
+  JOIN sizes sa ON sa.doc_id = i2.a
+  JOIN sizes sb ON sb.doc_id = i2.b
+)
+SELECT a, b, rank, jaccard FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY a ORDER BY jaccard DESC, b
+  )::BIGINT AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
 def q_dedup_containment(spark, sf_dir):
     """Asymmetric set containment |A∩B|/|A| — catches documents fully
     embedded in larger ones, which symmetric Jaccard under-scores (the
@@ -2487,6 +2555,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         _sql_cluster_representatives(),
     ),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "doc_topk_similar": (q_doc_topk_similar, SQL_DOC_TOPK_SIMILAR),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
