@@ -28,11 +28,13 @@ from .functions.hashes import (
     hex_to_bits,
     hex_to_chunks,
 )
-from .functions.url import extract_base_url, normalize_url
+from .cache import materialize, release_cached
+from .functions.url import extract_base_url, normalize_url, url_domain
 from .operators import (  # noqa: F401 — public extension namespaces
     dedup,
     events,
     multimodal,
+    pq,
     similarity,
     skew,
     textops,
@@ -64,10 +66,15 @@ __all__ = [
     # extension operator namespaces
     "dedup",
     "similarity",
+    "pq",
     "textops",
     "events",
     "multimodal",
     "skew",
+    # lifetime control + crawl helpers
+    "materialize",
+    "release_cached",
+    "url_domain",
 ]
 
 
