@@ -289,6 +289,7 @@ def connected_components(
     pairs: DataFrame,
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    check_every: int = 1,
 ) -> DataFrame:
     """Cluster assignment over undirected duplicate pairs: ``(node,
     label)`` where ``label`` is the smallest node id in the connected
@@ -316,7 +317,18 @@ def connected_components(
     no signal. Path halving makes this unreachable for any graph whose
     diameter < 2^max_iter, so hitting it means the input or iteration
     budget is wrong, not the data.
+
+    ``check_every`` skips the convergence-count action on intermediate
+    rounds (each count is a full job on a cluster). With
+    ``check_every=k``, rounds 1..k-1 propagate without counting; labels
+    are exact either way because extra rounds past convergence are
+    no-ops — the knob only trades count jobs against potentially
+    running a few idempotent extra rounds. Use k ≈ expected
+    log2(diameter) when clusters are known-shallow (duplicate graphs:
+    2-3).
     """
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     edges = materialize(
         pairs.select("a", "b").union(
             pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -330,7 +342,7 @@ def connected_components(
         checkpoint_dir,
     )
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
@@ -351,14 +363,16 @@ def connected_components(
             ).select("node", F.col("jump").alias("label")),
             checkpoint_dir,
         )
-        changed = (
-            jumped.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .where(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        check = (it + 1) % check_every == 0 or it == max_iter - 1
+        if check:
+            changed = (
+                jumped.withColumnRenamed("label", "new_label")
+                .join(labels, "node")
+                .where(F.col("new_label") != F.col("label"))
+                .count()
+            )
         labels = jumped
-        if changed == 0:
+        if check and changed == 0:
             converged = True
             break
     if not converged:

@@ -165,12 +165,22 @@ def test_connected_components_raises_without_convergence(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (4, 5)], "a bigint, b bigint"
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
     labels = {
         r["node"]: r["label"] for r in connected_components(pairs).collect()
     }
-    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    assert labels == want
+    # check_every > 1 skips intermediate convergence counts but must
+    # produce the identical labeling (extra rounds are no-ops).
+    sparse = {
+        r["node"]: r["label"]
+        for r in connected_components(pairs, check_every=3).collect()
+    }
+    assert sparse == want
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=0)
+    with pytest.raises(ValueError, match="check_every"):
+        connected_components(pairs, check_every=0)
 
 
 def test_doc_chunks_shuffle_free(spark):
