@@ -67,6 +67,7 @@ _PRIORITY = [
     "docs_jsonl_roundtrip",
     "corpus_stats_cube",
     "doc_topk_similar",
+    "events_funnel",
     "url_duplicates_probed",
     "pdq_duplicates_probed",
     "knn_cosine_bruteforce",

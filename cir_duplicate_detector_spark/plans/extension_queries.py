@@ -1253,6 +1253,73 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_events_funnel(spark, sf_dir):
+    """Staged conversion funnel view → click → purchase: a user reaches
+    stage N when an event of that type occurs AT OR AFTER their stage
+    N-1 entry time (first-touch semantics via conditional MIN chains).
+    Three user-keyed aggregates and two user-keyed equi-joins: every
+    shuffle is on user_id, so the stages co-partition and the join
+    after the first agg is exchange-free on a cluster that reuses the
+    partitioning. The analytic shape (ordered event progression) that
+    SQL MATCH_RECOGNIZE engines special-case, expressed in plain
+    relational algebra both engines execute identically."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us"
+    )
+    v = (
+        ev.where("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("v_ts"))
+    )
+    c = (
+        ev.where("event_type = 'click'")
+        .join(v, "user_id")
+        .where(F.col("ts_us") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"))
+    )
+    p = (
+        ev.where("event_type = 'purchase'")
+        .join(c, "user_id")
+        .where(F.col("ts_us") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"))
+    )
+    staged = (
+        v.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionAll(c.select(F.lit("2_click").alias("stage"), "user_id"))
+        .unionAll(p.select(F.lit("3_purchase").alias("stage"), "user_id"))
+    )
+    return staged.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
+SQL_EVENTS_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+v AS (
+  SELECT user_id, min(ts_us) AS v_ts FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts_us) AS c_ts
+  FROM e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts_us >= v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts_us) AS p_ts
+  FROM e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us >= c.c_ts
+  GROUP BY e.user_id
+),
+st AS (
+  SELECT '1_view' AS stage, user_id FROM v
+  UNION ALL SELECT '2_click', user_id FROM c
+  UNION ALL SELECT '3_purchase', user_id FROM p
+)
+SELECT stage, count(*) AS n_users FROM st GROUP BY stage
+"""
+
+
 def q_events_json(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -2586,6 +2653,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     ),
     "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),

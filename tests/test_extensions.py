@@ -351,3 +351,33 @@ def test_chunk_documents_windows_and_overlap(spark):
     # Short and empty docs produce exactly one (possibly empty) chunk.
     assert got[(2, 0)]["n_chunk_tokens"] == 5 and (2, 1) not in got
     assert got[(3, 0)]["n_chunk_tokens"] == 0 and (3, 1) not in got
+
+
+def test_events_funnel_order_sensitivity(spark):
+    us = 1_000_000
+    rows = [
+        # user 1 completes the funnel in order
+        (1, 1, 0 * us, "view"), (2, 1, 10 * us, "click"), (3, 1, 20 * us, "purchase"),
+        # user 2 clicks BEFORE viewing: click doesn't count, purchase
+        # requires a qualifying click -> stops at stage 1
+        (4, 2, 10 * us, "click"), (5, 2, 20 * us, "view"), (6, 2, 5 * us, "purchase"),
+        # user 3 views only
+        (7, 3, 0 * us, "view"),
+        # user 4 purchases with no view at all -> appears nowhere
+        (8, 4, 0 * us, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_us bigint, event_type string"
+    )
+    # Replicate the operator's stage chain on the hand-built frame
+    # (the registered query is pinned to the events table).
+    v = ev.where("event_type = 'view'").groupBy("user_id").agg(F.min("ts_us").alias("v_ts"))
+    c = (ev.where("event_type = 'click'").join(v, "user_id")
+         .where(F.col("ts_us") >= F.col("v_ts"))
+         .groupBy("user_id").agg(F.min("ts_us").alias("c_ts")))
+    p = (ev.where("event_type = 'purchase'").join(c, "user_id")
+         .where(F.col("ts_us") >= F.col("c_ts"))
+         .groupBy("user_id").agg(F.min("ts_us").alias("p_ts")))
+    assert {r["user_id"] for r in v.collect()} == {1, 2, 3}
+    assert {r["user_id"] for r in c.collect()} == {1}
+    assert {r["user_id"] for r in p.collect()} == {1}
