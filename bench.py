@@ -121,6 +121,7 @@ def main() -> None:
     N_RUNS = 2
     timings: dict[str, float] = {}
     total = 0.0
+    done = 0
     for name in HEADLINE:
         if name not in ALL_QUERIES:
             continue
@@ -132,13 +133,20 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
-            # Sweep session state so no query pays for its
-            # predecessors: cached relations, persisted RDDs (=
-            # localCheckpoint blocks of minhash/connected-components),
-            # then a JVM GC pass. Untimed — lifetime management between
-            # queries is harness work, and on a cluster the blocks die
-            # with their job's executors.
-            release_cached(spark)
+            # Sweep session state so no run pays for its predecessors:
+            # cached relations + persisted RDDs (= localCheckpoint
+            # blocks of minhash/connected-components). Untimed —
+            # lifetime management between queries is harness work, and
+            # on a cluster the blocks die with their job's executors.
+            release_cached(spark, gc=False)
+        done += 1
+        # One explicit JVM GC pass per QUERY (not per run): the pass is
+        # a 1-3 s stop, and skipping it entirely lets broadcast/shuffle
+        # debt the ContextCleaner only drains on GC accumulate into
+        # 3-5x degradation of the heavy DAGs (measured). Each query's
+        # FIRST run therefore starts on a compacted heap, and min-of-2
+        # keeps that clean measurement.
+        spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)

@@ -46,11 +46,14 @@ def materialize(
     return df.checkpoint(eager=True)
 
 
-def release_cached(spark: SparkSession) -> int:
+def release_cached(spark: SparkSession, gc: bool = True) -> int:
     """Free every cached relation and persisted RDD (including
     ``localCheckpoint`` blocks) in the session; returns the number of
-    RDDs unpersisted. Asks the JVM for a GC pass afterwards so freed
-    blocks leave the old generation instead of lingering as pressure.
+    RDDs unpersisted. With ``gc=True`` (default) also asks the JVM for
+    a GC pass so freed blocks leave the old generation instead of
+    lingering as pressure — a 1-3 s stop on a large heap, so tight
+    loops may sweep with ``gc=False`` and trigger a full pass
+    periodically.
     """
     spark.catalog.clearCache()
     sc = spark.sparkContext
@@ -59,5 +62,6 @@ def release_cached(spark: SparkSession) -> int:
     rdds = list(sc._jsc.getPersistentRDDs().values())
     for jrdd in rdds:
         jrdd.unpersist()
-    sc._jvm.System.gc()
+    if gc:
+        sc._jvm.System.gc()
     return len(rdds)
