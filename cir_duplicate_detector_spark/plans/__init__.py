@@ -27,63 +27,73 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Front of the line: (a) the 18 queries the round-2 driver never
-# reached (positions 50-67), (b) queries new or plan-changed in round 3
-# (DataFrame probe sets, materialize lifetime, t=0.8 operating point),
-# (c) the reference-core workload. Everything else follows in its
-# registry order.
+# Front of the line (the driver verifies the FIRST 50 entries):
+# (a) the 30 queries with no round-3 driver row (they were green in
+#     round 2 and in the uncapped local parity suite, but rotate to the
+#     front so every registered query has a fresh driver-green row),
+# (b) the two round-3 hash-mismatch fixes (oracle ::BIGINT casts),
+# (c) queries whose PLANS changed this round: the jaccard candidate
+#     pipeline gained a size-gated broadcast (dedup_minhash,
+#     dup_clusters, cluster_representatives) and the inverted-index
+#     family gained a document-frequency hot-key cap (dedup_containment,
+#     doc_topk_similar, dedup_ngram_jaccard; substring_dup is in (a)),
+# (d) the reference-core workload. Everything else follows in registry
+#     order — all of it driver-green in round 3.
 _PRIORITY = [
-    # (a) never driver-verified before round 3
-    "tpch_q7_like",
-    "tpch_q8_like",
+    # (a) no round-3 driver row
+    "embedding_near_dup",
+    "text_quality",
+    "token_count",
+    "lang_id",
+    "doc_fingerprint",
+    "substring_dup",
+    "corpus_curation",
+    "pii_redact",
+    "ngram_topk",
+    "stratified_sample",
+    "dedup_incremental",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "events_window",
+    "events_window_streaming",
+    "events_sessionize",
+    "events_sessionize_stateful",
+    "events_asof",
+    "events_json",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q22_like",
+    "tpch_q4_like",
+    # (b) round-3 red rows, oracles fixed this round
     "tpch_q12_like",
-    "tpch_q17_like",
-    "tpch_q19_like",
-    "tpch_q21_like",
-    "tpch_q2_like",
-    "tpch_q9_like",
-    "tpch_q11_like",
-    "tpch_q15_like",
-    "tpch_q16_like",
-    "tpch_q20_like",
-    "events_distinct_users",
-    "events_distinct_users_streaming",
-    "events_quantiles",
-    "dup_overlap",
-    "rollup_orders",
-    "window_topn",
-    # (b) new / plan-changed this round (dup_clusters before
-    # cluster_representatives: they share the minhash+CC subplan, so
-    # the cheaper query pays the one-time codegen in the bench)
-    "pdq_duplicates_t08_probed",
-    "pdq_duplicates_t08_probe30",
-    "dup_clusters",
-    "cluster_representatives",
-    "knn_pq_adc",
-    "dedup_exact_normalized",
-    "dedup_exact_streaming",
-    "url_domain_stats",
-    "doc_chunks",
-    "docs_jsonl_roundtrip",
     "corpus_stats_cube",
-    "doc_topk_similar",
-    "events_funnel",
-    "url_duplicates_probed",
-    "pdq_duplicates_probed",
-    "knn_cosine_bruteforce",
-    "knn_cosine_lsh",
-    "knn_cosine_ivf",
+    # (c) plan-changed this round
     "dedup_minhash",
     "dup_clusters",
-    # (c) reference core
+    "cluster_representatives",
+    "dedup_containment",
+    "doc_topk_similar",
+    "dedup_ngram_jaccard",
+    # (d) reference core
     "detect_duplicates",
     "url_normalize",
     "url_duplicates",
+    "url_duplicates_probed",
     "hash_explode_dedup",
     "hash_decode",
     "pdq_pairs",
     "pdq_duplicates_naive",
     "pdq_duplicates_banded",
+    "pdq_duplicates_probed",
+    "pdq_duplicates_t08_probed",
+    "pdq_duplicates_t08_probe30",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {

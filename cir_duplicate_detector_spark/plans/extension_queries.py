@@ -1393,7 +1393,7 @@ def q_tpch_q3(spark, sf_dir):
         .where(F.col("o_orderdate") < cutoff)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .where(F.col("l_shipdate") > cutoff)
-        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate_d"))
+        .groupBy("l_orderkey", F.col("o_orderdate").alias("o_orderdate_d"))
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -1401,7 +1401,7 @@ def q_tpch_q3(spark, sf_dir):
 
 
 SQL_TPCH_Q3 = """
-SELECT l_orderkey, o_orderdate::DATE AS o_orderdate_d,
+SELECT l_orderkey, o_orderdate AS o_orderdate_d,
        cast(sum(l_extendedprice::DECIMAL(12,2)
                 * (1::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) as double)
          AS revenue
@@ -1411,7 +1411,7 @@ JOIN lineitem ON o_orderkey = l_orderkey
 WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-06-30'
   AND l_shipdate > TIMESTAMP '1998-06-30'
-GROUP BY l_orderkey, o_orderdate::DATE
+GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
@@ -1515,7 +1515,7 @@ def q_tpch_q18(spark, sf_dir):
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("o_orderdate_d"),
+            F.col("o_orderdate").alias("o_orderdate_d"),
             "o_totalprice",
             F.col("qty").cast("double").alias("sum_qty"),
         )
@@ -1525,7 +1525,7 @@ def q_tpch_q18(spark, sf_dir):
 
 
 SQL_TPCH_Q18 = f"""
-SELECT c_name, c_custkey, o_orderkey, o_orderdate::DATE AS o_orderdate_d,
+SELECT c_name, c_custkey, o_orderkey, o_orderdate AS o_orderdate_d,
        o_totalprice, qty::DOUBLE AS sum_qty
 FROM (
   SELECT l_orderkey, sum(l_quantity::DECIMAL(12,2)) AS qty
@@ -1571,7 +1571,7 @@ def q_corpus_stats_cube(spark, sf_dir):
 SQL_CORPUS_STATS_CUBE = """
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       sum(n_chars)::BIGINT AS total_chars,
        sum(n_chars) / count(*) AS mean_chars,
        GROUPING(lang, source)::BIGINT AS gid
 FROM documents
@@ -2160,9 +2160,9 @@ def q_tpch_q12_like(spark, sf_dir):
 SQL_TPCH_Q12_LIKE = """
 SELECT l_returnflag,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem
 JOIN orders ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'

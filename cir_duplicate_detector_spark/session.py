@@ -27,9 +27,14 @@ RECOMMENDED_CONFS: dict[str, str] = {
     # 8MB keeps those stages wide without fragmenting IO-bound stages.
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8MB",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Driver testdata parquet carries INT64 TIMESTAMP(NANOS); read it as
-    # raw nanos (long) and convert explicitly (see sources.tables).
+    # Some driver testdata generations carry INT64 TIMESTAMP(NANOS);
+    # read those as raw nanos (long) and convert explicitly
+    # (sources.tables.with_event_time handles both encodings).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Pin the session zone so TIMESTAMP_NTZ→epoch conversions are
+    # deterministic and equal to DuckDB's epoch_us(naive ts) regardless
+    # of host zone.
+    "spark.sql.session.timeZone": "UTC",
     # Arrow for pandas_udf / mapInPandas paths (multimodal stubs).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.events import SESSION_GAP_US
+from ..sources.tables import with_event_time
 
 OUTPUT_SCHEMA = (
     "user_id bigint, session_id bigint, session_start_us bigint, "
@@ -131,6 +132,10 @@ def _stage_with_sentinels(sf_dir: str) -> str:
     sentinel files. File order = micro-batch order; the two sentinel
     batches guarantee (a) the watermark advances past every session
     timeout and (b) a further batch exists in which those timeouts fire.
+
+    The sentinel ``ts`` is written in the SAME physical type as the
+    real events file (raw int64 nanos or timestamp[us], depending on
+    the testdata generation) so the fixed readStream schema fits both.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -139,13 +144,21 @@ def _stage_with_sentinels(sf_dir: str) -> str:
     os.symlink(
         f"{sf_dir}/events.parquet", os.path.join(stage, "a_events.parquet")
     )
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
     now = time.time()
     for i in (1, 2):
         path = os.path.join(stage, f"z_sentinel{i}.parquet")
+        ts_ns = _SENTINEL_NS + i * 10**9
+        if pa.types.is_integer(ts_type):
+            ts_arr = pa.array([ts_ns], ts_type)
+        else:
+            ts_arr = pa.array([ts_ns // 1000], pa.timestamp("us")).cast(
+                ts_type
+            )
         tbl = pa.table(
             {
                 "event_id": pa.array([-i], pa.int64()),
-                "ts": pa.array([_SENTINEL_NS + i * 10**9], pa.int64()),
+                "ts": ts_arr,
                 "user_id": pa.array([SENTINEL_USER], pa.int64()),
                 "event_type": pa.array(["__sentinel__"], pa.string()),
                 "value": pa.array([0.0], pa.float64()),
@@ -182,9 +195,9 @@ def streaming_sessionize(
         # state-store cost for nothing.
         .option("maxFilesPerTrigger", 2)
         .parquet(stage)
-        .withColumn("ts_us", F.expr("ts div 1000"))
-        .withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
-        .select("user_id", "event_id", "ts_us", "ts_ts", "value")
+    )
+    stream = with_event_time(stream).select(
+        "user_id", "event_id", "ts_us", "ts_ts", "value"
     )
     sessions = (
         stream.withWatermark("ts_ts", "0 seconds")

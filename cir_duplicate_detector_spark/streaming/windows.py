@@ -18,6 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.events import HOUR_US
+from ..sources.tables import with_event_time
 
 
 def streaming_tumbling_window(
@@ -39,9 +40,8 @@ def streaming_tumbling_window(
     stream = (
         spark.readStream.schema(schema)
         .parquet(stage)
-        .withColumn("ts_us", F.expr("ts div 1000"))
-        .withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
     )
+    stream = with_event_time(stream)
     seconds = width_us // 1_000_000
     agg = (
         stream.withWatermark("ts_ts", "1 hour")
@@ -181,8 +181,9 @@ def streaming_dedup_to_parquet(
     stream = (
         spark.readStream.schema(schema)
         .parquet(stage)
-        .withColumn("ts_us", F.expr("ts div 1000"))
-        .withColumn("ts_ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    stream = (
+        with_event_time(stream)
         .withWatermark("ts_ts", "1 hour")
         .dropDuplicates(["event_id"])
         .select("event_id", "user_id", "event_type", "value", "ts_us")
