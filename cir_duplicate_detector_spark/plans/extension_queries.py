@@ -269,8 +269,15 @@ FROM r WHERE rn = 1
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Probe-vs-corpus exact Jaccard via the shingle inverted index.
+    The index is df-capped (``dedup.df_capped``) before the equi-join:
+    a shingle shared by d docs emits O(d·probes) join rows, so hot
+    boilerplate shingles are dropped like stop-words on both engines
+    (similarity is computed over the capped shingle universe)."""
     docs = _docs_nd(spark, sf_dir)
-    shingles = dedup.shingle_sets(docs).select("doc_id", "sh_hash")
+    shingles = dedup.df_capped(
+        dedup.shingle_sets(docs).select("doc_id", "sh_hash"), "sh_hash"
+    )
     probes = shingles.where(
         (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
     )
@@ -295,16 +302,21 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH {_DUCK_SHINGLE_SET},
+shc AS (
+  SELECT doc_id, sh_hash FROM shh
+  QUALIFY count(*) OVER (PARTITION BY sh_hash) <= {dedup.DEFAULT_MAX_DF}
+),
+sizesc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-  FROM shh x JOIN shh y ON y.sh_hash = x.sh_hash AND x.doc_id <> y.doc_id
+  FROM shc x JOIN shc y ON y.sh_hash = x.sh_hash AND x.doc_id <> y.doc_id
   WHERE x.doc_id % 50 = 0 AND x.doc_id < 1000000
   GROUP BY x.doc_id, y.doc_id
 )
 SELECT i2.a, i2.b, i2.i / (sa.n + sb.n - i2.i) AS jaccard
 FROM inter i2
-JOIN sizes sa ON sa.doc_id = i2.a
-JOIN sizes sb ON sb.doc_id = i2.b
+JOIN sizesc sa ON sa.doc_id = i2.a
+JOIN sizesc sb ON sb.doc_id = i2.b
 WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.3
 """
 
@@ -315,12 +327,15 @@ def q_doc_topk_similar(spark, sf_dir):
     "find me near-duplicates of THIS doc" lookup an annotation/triage
     workflow runs (reference use case: given a flagged item, surface
     its variants). Same inverted-index equi-join as the Jaccard dedup
-    pass (candidates = docs sharing ≥1 shingle hash, never all-pairs);
-    a per-probe window takes the top-k, ties to the smaller doc_id."""
+    pass (candidates = docs sharing ≥1 shingle hash, never all-pairs,
+    df-capped so hot shingles can't cross-product the join); a
+    per-probe window takes the top-k, ties to the smaller doc_id."""
     from pyspark.sql import Window
 
     docs = _docs_nd(spark, sf_dir)
-    shingles = dedup.shingle_sets(docs).select("doc_id", "sh_hash")
+    shingles = dedup.df_capped(
+        dedup.shingle_sets(docs).select("doc_id", "sh_hash"), "sh_hash"
+    )
     probes = shingles.where(
         (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
     )
@@ -357,17 +372,22 @@ def q_doc_topk_similar(spark, sf_dir):
 
 SQL_DOC_TOPK_SIMILAR = f"""
 WITH {_DUCK_SHINGLE_SET},
+shc AS (
+  SELECT doc_id, sh_hash FROM shh
+  QUALIFY count(*) OVER (PARTITION BY sh_hash) <= {dedup.DEFAULT_MAX_DF}
+),
+sizesc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-  FROM shh x JOIN shh y ON y.sh_hash = x.sh_hash AND x.doc_id <> y.doc_id
+  FROM shc x JOIN shc y ON y.sh_hash = x.sh_hash AND x.doc_id <> y.doc_id
   WHERE x.doc_id % 50 = 0 AND x.doc_id < 1000000
   GROUP BY x.doc_id, y.doc_id
 ),
 scored AS (
   SELECT i2.a, i2.b, i2.i / (sa.n + sb.n - i2.i) AS jaccard
   FROM inter i2
-  JOIN sizes sa ON sa.doc_id = i2.a
-  JOIN sizes sb ON sb.doc_id = i2.b
+  JOIN sizesc sa ON sa.doc_id = i2.a
+  JOIN sizesc sb ON sb.doc_id = i2.b
 )
 SELECT a, b, rank, jaccard FROM (
   SELECT *, row_number() OVER (
@@ -381,9 +401,10 @@ def q_dedup_containment(spark, sf_dir):
     """Asymmetric set containment |A∩B|/|A| — catches documents fully
     embedded in larger ones, which symmetric Jaccard under-scores (the
     truncation mutants in the derived corpus are exactly this shape:
-    containment(mutant ⊂ original) = 1.0)."""
+    containment(mutant ⊂ original) = 1.0). The shingle index is
+    df-capped before the join (see q_dedup_ngram_jaccard)."""
     docs = _docs_nd(spark, sf_dir)
-    shingles = dedup.shingle_sets(docs)
+    shingles = dedup.df_capped(dedup.shingle_sets(docs), "sh_hash")
     probes = shingles.where(
         (F.col("doc_id") % 50 == 0) | (F.col("doc_id") >= 1_000_000)
     ).withColumnRenamed("doc_id", "a")
@@ -406,13 +427,17 @@ def q_dedup_containment(spark, sf_dir):
 
 SQL_DEDUP_CONTAINMENT = f"""
 WITH {_DUCK_SHINGLE_SET},
+shc AS (
+  SELECT doc_id, sh_hash FROM shh
+  QUALIFY count(*) OVER (PARTITION BY sh_hash) <= {dedup.DEFAULT_MAX_DF}
+),
 probes AS (
-  SELECT doc_id AS a, sh_hash FROM shh
+  SELECT doc_id AS a, sh_hash FROM shc
   WHERE doc_id % 50 = 0 OR doc_id >= 1000000
 ),
 inter AS (
   SELECT p.a, s.doc_id AS b, count(*) AS i
-  FROM probes p JOIN shh s ON s.sh_hash = p.sh_hash AND s.doc_id <> p.a
+  FROM probes p JOIN shc s ON s.sh_hash = p.sh_hash AND s.doc_id <> p.a
   GROUP BY p.a, s.doc_id
 )
 SELECT i2.a, i2.b, i2.i / sa.n AS containment
@@ -1011,9 +1036,13 @@ fp AS (
            row_number() OVER (PARTITION BY doc_id ORDER BY h) AS fp_rank
     FROM h
   ) WHERE fp_rank <= 4
+),
+fpc AS (
+  SELECT doc_id, fp_hash FROM fp
+  QUALIFY count(*) OVER (PARTITION BY fp_hash) <= {dedup.DEFAULT_MAX_DF}
 )
 SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
-FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+FROM fpc a JOIN fpc b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
 """
 

@@ -381,3 +381,28 @@ def test_events_funnel_order_sensitivity(spark):
     assert {r["user_id"] for r in v.collect()} == {1, 2, 3}
     assert {r["user_id"] for r in c.collect()} == {1}
     assert {r["user_id"] for r in p.collect()} == {1}
+
+
+def test_df_cap_drops_only_hot_keys(spark):
+    from cir_duplicate_detector_spark.operators.dedup import df_capped
+
+    rows = [(d, 1) for d in range(20)] + [(1, 7), (2, 7), (3, 8)]
+    idx = spark.createDataFrame(rows, "doc_id long, key long")
+    capped = df_capped(idx, "key", max_df=5)
+    assert {r["key"] for r in capped.collect()} == {7, 8}
+    assert capped.count() == 3
+
+
+def test_substring_dup_hot_key_bounded(spark):
+    # Planted hot key (VERDICT r3 #5): 40 identical documents share
+    # every bottom-4 fingerprint, so each fingerprint has df=40 and the
+    # uncapped self-join emits the full C(40,2) cross-product. A df cap
+    # below 40 drops the hot fingerprints and bounds the join output.
+    from cir_duplicate_detector_spark.operators import textops
+
+    shared = "the same boilerplate header run " * 4
+    docs = spark.createDataFrame(
+        [(i, shared) for i in range(40)], "doc_id long, text string"
+    )
+    assert textops.substring_duplicates(docs, max_df=100).count() == 40 * 39 // 2
+    assert textops.substring_duplicates(docs, max_df=10).count() == 0

@@ -221,3 +221,47 @@ def test_doc_fingerprint_shuffle_free_before_explode(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_jaccard_verify_broadcast_gate(spark):
+    # VERDICT r3 #4: the Jaccard verify force-broadcast is size-gated.
+    # Below the gate: candidates ride as broadcasts (zero corpus
+    # shuffle). Above it (emulated with broadcast_max_pairs=0 and
+    # auto-broadcast off, the 100 TB regime where `with_a` carries an
+    # unbounded shingle array per candidate pair): shuffle equi-joins
+    # only — no broadcast build to OOM.
+    from pyspark.sql import functions as F
+
+    from cir_duplicate_detector_spark.cache import materialize
+    from cir_duplicate_detector_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hashed = dedup.hashed_shingle_arrays(docs)
+    cands = materialize(
+        dedup.lsh_candidates(dedup.minhash_signatures(hashed))
+    )
+    n = cands.count()
+    assert n > 0
+
+    small = dedup.jaccard_pairs(hashed, cands, 0.5, candidate_count=n)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = dedup.jaccard_pairs(
+            hashed, cands, 0.5, candidate_count=n, broadcast_max_pairs=0
+        )
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan_big
+        assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
+        # Both regimes must agree on the answer, not just the shape.
+        key = lambda r: (r["a"], r["b"])  # noqa: E731
+        assert sorted(map(key, big.collect())) == sorted(
+            map(key, small.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
