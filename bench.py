@@ -120,17 +120,12 @@ def main() -> None:
     # is swept between runs so no run pays for any predecessor.
     N_RUNS = 2
     timings: dict[str, float] = {}
-    total = 0.0
-    done = 0
-    for name in HEADLINE:
-        if name not in ALL_QUERIES:
-            continue
-        fn, _ = ALL_QUERIES[name]
+
+    def timed(name: str, build) -> float:
         best = None
         for _ in range(N_RUNS):
             start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            build().write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
             # Sweep session state so no run pays for its predecessors:
@@ -139,7 +134,6 @@ def main() -> None:
             # lifetime management between queries is harness work, and
             # on a cluster the blocks die with their job's executors.
             release_cached(spark, gc=False)
-        done += 1
         # One explicit JVM GC pass per QUERY (not per run): the pass is
         # a 1-3 s stop, and skipping it entirely lets broadcast/shuffle
         # debt the ContextCleaner only drains on GC accumulate into
@@ -148,20 +142,93 @@ def main() -> None:
         # keeps that clean measurement.
         spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
-        total += best
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
+        return best
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    total = 0.0
+    for name in HEADLINE:
+        if name not in ALL_QUERIES:
+            continue
+        fn, _ = ALL_QUERIES[name]
+        total += timed(name, lambda fn=fn: fn(spark, sf_dir))
+
+    # Reference-scale point (VERDICT r3 item 7): the reference's own
+    # benchmark corpus is 30,225 PDQ hashes; the sf0.1-derived entries
+    # table only reaches ~5.5k, so the baseline comparison above is
+    # extrapolated. Synthesize the SAME entries generator at ~30.2k
+    # hashes and run the three comparable operating points at that
+    # scale. (Excluded from the per-sf headline total: these entries
+    # always run at reference scale regardless of SPARK_GRAFT_SF_DIR.)
+    from cir_duplicate_detector_spark.plans.core_queries import (
+        PDQ_BANDED_THRESHOLD,
+        PDQ_THRESHOLD,
+        _flat_pdq,
     )
+    from cir_duplicate_detector_spark import find_pdq_hash_duplicates
+    from cir_duplicate_detector_spark.sources.entries import synthetic_entries
+    from pyspark.sql import functions as F
+
+    REF_DOCS = 27_400  # ≈30.2k hashes at the generator's 1.103/doc yield
+    ref_entries = lambda: synthetic_entries(spark, REF_DOCS)  # noqa: E731
+    probe30 = lambda: spark.range(0, REF_DOCS, 913).select(  # noqa: E731
+        F.format_string("UW%08d", F.col("id")).alias("index")
+    )  # 31 probes — the reference figure's bottom point
+    timed(
+        "ref30k_naive",
+        lambda: _flat_pdq(
+            find_pdq_hash_duplicates(
+                ref_entries(),
+                pqd_hash_similarity_threshold=PDQ_THRESHOLD,
+                duplicate_detection_method="naive",
+                max_hex_len=64,
+            )
+        ),
+    )
+    timed(
+        "ref30k_banded",
+        lambda: _flat_pdq(
+            find_pdq_hash_duplicates(
+                ref_entries(),
+                pqd_hash_similarity_threshold=PDQ_BANDED_THRESHOLD,
+                duplicate_detection_method="banded",
+                max_hex_len=64,
+            )
+        ),
+    )
+    timed(
+        "ref30k_t08_probe30",
+        lambda: _flat_pdq(
+            find_pdq_hash_duplicates(
+                ref_entries(),
+                indexes_to_check=probe30(),
+                pqd_hash_similarity_threshold=0.8,
+                duplicate_detection_method="naive",
+                max_hex_len=64,
+            )
+        ),
+    )
+
+    # The driver records only the LAST 2000 chars of stdout
+    # (BENCH_r03: a 3-decimal, spaced line overflowed that window and
+    # "parsed" came back null). Emit ONE compact line and degrade value
+    # precision if the registry ever grows the line past the window;
+    # full 3-decimal detail is already on stderr.
+    payload = {
+        "metric": "headline_total_runtime",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = ""
+    for ndigits in (2, 1):
+        payload["queries"] = {
+            n: float(f"{t:.{ndigits}f}") for n, t in timings.items()
+        }
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= 1900:
+            break
+    print(line)
     spark.stop()
 
 

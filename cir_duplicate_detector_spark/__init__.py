@@ -29,6 +29,7 @@ from .functions.hashes import (
     hex_to_chunks,
 )
 from .cache import materialize, release_cached
+from .compat import PDQHashTree, run_in_parallel
 from .functions.url import extract_base_url, normalize_url, url_domain
 from .operators import (  # noqa: F401 — public extension namespaces
     dedup,
@@ -63,6 +64,9 @@ __all__ = [
     "chunks_hamming",
     "calculate_absolute_threshold",
     "drop_literal_series_duplicates",
+    # reference execution-harness shims (raise with guidance)
+    "PDQHashTree",
+    "run_in_parallel",
     # extension operator namespaces
     "dedup",
     "similarity",
