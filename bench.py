@@ -228,6 +228,20 @@ def main() -> None:
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= 1900:
             break
+    # Still too wide (the registry grew): drop the FASTEST queries from
+    # the map one at a time — they carry the least signal and the full
+    # per-query detail is on stderr — and record how many were elided.
+    if len(line) > 1900:
+        kept = dict(
+            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+        )
+        while len(line) > 1900 and kept:
+            kept.popitem()  # fastest remaining
+            payload["queries"] = {
+                n: float(f"{t:.1f}") for n, t in timings.items() if n in kept
+            }
+            payload["queries_omitted"] = len(timings) - len(kept)
+            line = json.dumps(payload, separators=(",", ":"))
     print(line)
     spark.stop()
 

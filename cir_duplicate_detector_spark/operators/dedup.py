@@ -351,6 +351,82 @@ def incremental_dedup(
     return surv.join(near, "doc_id", "anti").select("doc_id")
 
 
+# Bloom parameters for the membership screen. m = 2^14 bits / k = 3
+# hashes holds ~2.7k keys at sf0.1 with a measurable-but-small false-
+# positive rate (the demonstration point); production sizes m from the
+# corpus cardinality (m ≈ -n·ln(p)/ln(2)² bits for target FP rate p).
+BLOOM_M = 1 << 14
+BLOOM_K = 3
+
+
+def bloom_bit_positions(key, m: int = BLOOM_M, k: int = BLOOM_K):
+    """The k bit positions of ``key`` as an array column: position j =
+    hash60("bloom{j}:" + key) % m. hash60 is nonnegative, so ``%`` agrees
+    between Spark and DuckDB (no sign-of-modulo divergence)."""
+    from ..functions.text import hash60
+
+    return F.array(*[hash60(key, seed=f"bloom{j}") % m for j in range(k)])
+
+
+def bloom_filter_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom-filter membership screen for incremental exact dedup:
+    flag each ``incoming`` doc whose md5(text) is POSSIBLY in
+    ``existing`` (``bloom_hit``), alongside ground truth (``is_dup``)
+    so the false-positive behavior is visible.
+
+    Why a Bloom screen at 100 TB: the exact anti-join against a
+    petabyte corpus shuffles the full digest index every batch. The
+    bloom bitset is ≤ m rows NO MATTER how large the corpus is — build
+    it once (a partial-aggregated distinct over bit positions: at most
+    m keys survive map-side combine), broadcast it, and the incoming
+    batch is screened map-side with zero shuffle. Docs with
+    ``bloom_hit = false`` are DEFINITELY new (no false negatives) and
+    skip the expensive exact join entirely; only the hit fraction needs
+    the real lookup. The ``is_dup`` column here computes that real
+    lookup for every doc so the oracle can check both; production would
+    compute it only for hits.
+
+    Returns ``(doc_id, bloom_hit, is_dup)``.
+    """
+    key = F.md5("text")
+    bits = (
+        existing.select(
+            F.explode(bloom_bit_positions(key, m, k)).alias("bit")
+        )
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probed = (
+        incoming.select("doc_id", key.alias("key"))
+        .select("doc_id", "key", F.explode(bloom_bit_positions(F.col("key"), m, k)).alias("bit"))
+        .join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "key")
+        .agg(
+            (F.sum(F.coalesce(F.col("present"), F.lit(0))) == k).alias(
+                "bloom_hit"
+            )
+        )
+    )
+    seen = (
+        existing.select(key.alias("key"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        probed.join(seen, "key", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.col("seen").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 25,

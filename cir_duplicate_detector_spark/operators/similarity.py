@@ -333,6 +333,85 @@ def knn_ivf(
     )
 
 
+def semantic_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    centroid_mod: int = 40,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the corpus by nearest coarse centroid, then emit exact
+    cosine pairs >= ``threshold`` WITHIN each cluster (a < b). Pairs
+    that land in different clusters are unseen by construction — that
+    blindness is the trade the paper makes to avoid the all-pairs join.
+
+    Centroids are the same deterministic sample :func:`knn_ivf` uses
+    (``vec_id % centroid_mod == 0``; a production run would k-means
+    them — selection is orthogonal to the join shape). Physical shape:
+    one broadcast-centroid cross join + ``max_by`` argmax to assign
+    members (map-side, no corpus shuffle), then a self equi-join on
+    ``cid`` — pair work is cluster-local, so the join scales with the
+    largest cluster, not the corpus. Complements
+    :func:`embedding_near_duplicates` (SRP sketch buckets): centroid
+    clustering catches moderate-similarity semantic pairs that 16-bit
+    sketch identity misses.
+
+    Returns ``(a, b, cid, cosine)``.
+    """
+    base = vectors.select(
+        "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
+    )
+    cents = F.broadcast(
+        base.where(F.col("vec_id") % centroid_mod == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    cos_c = dot64(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
+    member = (
+        base.crossJoin(cents)
+        .withColumn("ccos", cos_c)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "embedding", "nrm"),
+                # ties toward the smallest centroid id (same rule as knn_ivf)
+                F.struct(F.col("ccos"), (-F.col("cid")).alias("neg_cid")),
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.embedding").alias("embedding"),
+            F.col("m.nrm").alias("nrm"),
+        )
+    )
+    a = member.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "cid",
+    )
+    b = member.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        "cid",
+    )
+    cos = dot64(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    return (
+        a.join(b, "cid")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cid", "cosine")
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

@@ -1,0 +1,90 @@
+"""Distinct-count sketching: KMV (k-minimum-values) estimator.
+
+The classic bottom-k sketch (Bar-Yossef et al., "Counting distinct
+elements in a data stream"): keep the k smallest hash values of the
+distinct items; if the k-th smallest normalized hash is U, the distinct
+count is ≈ (k-1)/U. Unlike HyperLogLog (whose register layout is
+engine-private — Spark's `approx_count_distinct` and DuckDB's
+`approx_count_distinct` disagree by construction), KMV over a
+deterministic hash is REPRODUCIBLE on any engine: same hash family →
+same bottom-k → same estimate, bit for bit. That is what makes it
+oracle-checkable, and it is also what makes sketches mergeable across
+partitions/days in a real pipeline (union the bottom-k sets, re-take
+the bottom k).
+
+Physical shape at 100 TB: the explode never leaves the map side — the
+(group, hash) distinct is a partial-aggregated groupBy (map-side
+combine collapses duplicate tokens before the shuffle), and the
+bottom-k window runs on the already-distinct stream, partitioned by
+group. Output is one row per group. No driver-side state, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import hash60, tokens
+
+KMV_K = 64
+
+# 2^60: the hash60 family is uniform on [0, 2^60). Exactly representable
+# as a double, so (k-1) * HASH_SPACE is one exact product and the
+# estimate is a single IEEE division — identical on Spark and DuckDB.
+HASH_SPACE = float(1 << 60)
+
+
+def kmv_distinct(
+    items: DataFrame,
+    group: str,
+    value: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate over ``items[value]``.
+
+    Returns ``(group, n_kept, kth_hash, est_distinct)``:
+
+    * ``n_kept``  — bottom-k set size (= exact distinct count when the
+      group has fewer than k distinct values — the estimator is EXACT
+      below k, which is the sketch's small-group guarantee);
+    * ``kth_hash`` — the largest retained hash (the sketch boundary);
+    * ``est_distinct`` — (k-1) · 2^60 / kth_hash, or the exact count
+      when the group is below k.
+
+    One partial-aggregated distinct + one bounded per-group window; the
+    sketch rows that survive are ≤ k per group.
+    """
+    # distinct() compiles to a partial HashAggregate on (group, h):
+    # duplicate tokens collapse map-side before the shuffle.
+    hashed = items.select(
+        F.col(group), hash60(F.col(value), seed="kmv").alias("h")
+    ).distinct()
+    w = Window.partitionBy(group).orderBy("h")
+    bottom = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+    return bottom.groupBy(group).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        group,
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1) * HASH_SPACE) / F.col("kth_hash").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+
+
+def kmv_distinct_tokens(
+    docs: DataFrame, k: int = KMV_K, group: str = "lang"
+) -> DataFrame:
+    """Distinct-VOCABULARY estimate per language: KMV over whitespace
+    tokens. The explode feeds straight into the partial-aggregated
+    distinct, so the full token stream never crosses a shuffle — only
+    the per-partition distinct (group, hash) pairs do.
+    """
+    toks = docs.select(group, F.explode(tokens("text")).alias("tok"))
+    return kmv_distinct(toks, group, "tok", k)

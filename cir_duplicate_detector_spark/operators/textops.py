@@ -238,6 +238,65 @@ def substring_duplicates(
     )
 
 
+DECON_NGRAM = 8
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DECON_NGRAM,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Train/eval contamination screen: training documents that share at
+    least one word ``n``-gram with any held-out evaluation document —
+    the standard benchmark-decontamination pass (GPT-3 appx. C /
+    PaLM-style 8-gram overlap) run before a training corpus ships.
+
+    Returns ``(doc_id, n_shared_grams, n_eval_docs)`` for contaminated
+    TRAIN docs: how many distinct n-grams leak and how many eval docs
+    they touch.
+
+    Physical shape: both sides reduce to distinct (doc, gram-hash) pairs
+    per-row (``array_distinct`` inside the projection — no explode
+    shuffle), the eval index is df-capped (a gram appearing in more than
+    ``max_df`` eval docs is boilerplate, not contamination signal — and
+    an uncapped hot gram makes the join output quadratic), and the
+    match is one equi-join on the 60-bit gram hash. The eval side is
+    typically orders of magnitude smaller than train, so AQE converts
+    the join to broadcast at runtime when it fits; the declared plan
+    stays a shuffle equi-join so a large eval set cannot OOM the build
+    side. 8-grams (vs the 3-gram near-dup shingles) keep incidental
+    phrase overlap out of the index entirely.
+    """
+    from .dedup import DEFAULT_MAX_DF, df_capped
+
+    from ..functions.text import hash60, word_shingles
+
+    if max_df is None:
+        max_df = DEFAULT_MAX_DF
+
+    def grams(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(
+                F.array_distinct(
+                    F.transform(word_shingles("text", n), lambda g: hash60(g))
+                )
+            ).alias("g"),
+        )
+
+    ev = df_capped(grams(eval_docs, "eval_id"), "g", max_df)
+    return (
+        grams(train, "doc_id")
+        .join(ev, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("g").alias("n_shared_grams"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 # PII patterns (name, regex, replacement). Patterns avoid backrefs /
 # lookarounds so Java regex (Spark) and RE2 (DuckDB) compile them
 # identically; redaction applies them in list order.

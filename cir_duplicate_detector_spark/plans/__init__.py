@@ -74,26 +74,29 @@ _PRIORITY = [
     # (b) round-3 red rows, oracles fixed this round
     "tpch_q12_like",
     "corpus_stats_cube",
-    # (c) plan-changed this round
+    # (c) plan-changed last round
     "dedup_minhash",
     "dup_clusters",
     "cluster_representatives",
     "dedup_containment",
     "doc_topk_similar",
     "dedup_ngram_jaccard",
-    # (d) reference core
+    # (e) NEW this round (round 4) — never driver-verified
+    "decontaminate",
+    "semantic_dedup",
+    "distinct_kmv",
+    "bloom_dedup",
+    # (d) reference core (all driver-green in round 3; the tail of the
+    # core set cedes its slots to the new round-4 queries — the driver
+    # verifies the FIRST 50 entries only)
     "detect_duplicates",
     "url_normalize",
     "url_duplicates",
-    "url_duplicates_probed",
     "hash_explode_dedup",
-    "hash_decode",
     "pdq_pairs",
     "pdq_duplicates_naive",
     "pdq_duplicates_banded",
     "pdq_duplicates_probed",
-    "pdq_duplicates_t08_probed",
-    "pdq_duplicates_t08_probe30",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.text import hash60_sql
-from ..operators import dedup, events, multimodal, similarity, textops
+from ..operators import dedup, events, multimodal, similarity, sketches, textops
 from ..sources.derived import (
     PII_CORPUS_SQL,
     derive_near_dup_corpus,
@@ -2631,6 +2631,159 @@ WHERE r_name = 'ASIA'
 """
 
 
+# ------------------------------------------------- round-4 pipeline ops
+
+# Train/eval split over docs_nd for the decontamination screen. The rule
+# mixes the derived-id band (div 1000000 ∈ {0,1,2}) into the digit so
+# exact copies and near-dup mutants land on the OPPOSITE side of their
+# original (a plain doc_id % 10 split strands every planted duplicate
+# group on one side and the screen is vacuously empty): originals ending
+# in 7, mutants of originals ending in 0, copies of originals ending in
+# 3 go to eval — their counterparts stay in train.
+_DECON_SPLIT = "(doc_id // 1000000 * 7 + doc_id) % 10"
+_DECON_SPLIT_SPARK = "(doc_id div 1000000 * 7 + doc_id) % 10"
+
+# word-8-gram shingles (functions.text.word_shingles n=8 twin)
+_DUCK_SHINGLES8 = f"""
+CASE WHEN len({_DUCK_WORDS}) < 8 THEN [text]
+     ELSE [array_to_string(list_slice({_DUCK_WORDS}, i, i + 7), ' ')
+           for i in range(1, len({_DUCK_WORDS}) - 6)] END
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(_DECON_SPLIT_SPARK)
+    return textops.decontaminate(
+        docs.where(split != 7), docs.where(split == 7)
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH docs_nd AS ({_ND}),
+trg AS (
+  SELECT DISTINCT doc_id, {hash60_sql('sh')} AS g FROM (
+    SELECT doc_id, unnest({_DUCK_SHINGLES8}) AS sh
+    FROM docs_nd WHERE {_DECON_SPLIT} <> 7
+  )
+),
+evg AS (
+  SELECT DISTINCT doc_id AS eval_id, {hash60_sql('sh')} AS g FROM (
+    SELECT doc_id, unnest({_DUCK_SHINGLES8}) AS sh
+    FROM docs_nd WHERE {_DECON_SPLIT} = 7
+  )
+),
+hot AS (SELECT g FROM evg GROUP BY g HAVING count(*) > {dedup.DEFAULT_MAX_DF}),
+evc AS (SELECT * FROM evg WHERE g NOT IN (SELECT g FROM hot))
+SELECT t.doc_id,
+       count(DISTINCT t.g) AS n_shared_grams,
+       count(DISTINCT e.eval_id) AS n_eval_docs
+FROM trg t JOIN evc e ON t.g = e.g
+GROUP BY t.doc_id
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    corpus = derive_near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return similarity.semantic_near_duplicates(corpus, threshold=0.9)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH emb_nd AS ({_ND_EMB}),
+n AS (
+  SELECT vec_id, embedding AS e,
+         sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm
+  FROM emb_nd
+),
+cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
+sc AS (
+  SELECT n.vec_id, n.e, n.nrm, c.cid,
+         list_sum(list_transform(range(1, 65), j -> n.e[j] * c.ce[j]))
+           / (n.nrm * c.cnrm) AS ccos
+  FROM n CROSS JOIN cent c
+),
+member AS (
+  SELECT vec_id, e, nrm, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid)
+              AS rn FROM sc
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS a, b.vec_id AS b, a.cid AS cid,
+       list_sum(list_transform(range(1, 65), j -> a.e[j] * b.e[j]))
+         / (a.nrm * b.nrm) AS cosine
+FROM member a JOIN member b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, 65), j -> a.e[j] * b.e[j]))
+        / (a.nrm * b.nrm) >= 0.9
+"""
+
+
+def q_distinct_kmv(spark, sf_dir):
+    return sketches.kmv_distinct_tokens(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DISTINCT_KMV = f"""
+WITH toks AS (
+  SELECT DISTINCT lang, {hash60_sql('tok', "'kmv'")} AS h FROM (
+    SELECT lang, unnest({_DUCK_WORDS}) AS tok FROM documents
+  )
+),
+bottom AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM toks
+)
+SELECT lang, count(*) AS n_kept, max(h) AS kth_hash,
+       CASE WHEN count(*) < {sketches.KMV_K} THEN count(*)::DOUBLE
+            ELSE {float(sketches.KMV_K - 1) * sketches.HASH_SPACE!r}::DOUBLE
+                 / max(h)::DOUBLE END AS est_distinct
+FROM bottom WHERE rn <= {sketches.KMV_K} GROUP BY lang
+"""
+
+# Existing/incoming split for the Bloom screen: div 2000000 flips the
+# parity of the EXACT-COPY band (+2000000, doc_id % 11 == 0 originals)
+# so copies land opposite their original — a plain doc_id % 2 split
+# keeps every exact-dup group on one side and is_dup is vacuously
+# false. Even-d copies end up incoming vs their existing originals.
+_BLOOM_SPLIT = "(doc_id // 2000000 + doc_id) % 2"
+_BLOOM_SPLIT_SPARK = "(doc_id div 2000000 + doc_id) % 2"
+
+
+def q_bloom_dedup(spark, sf_dir):
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(_BLOOM_SPLIT_SPARK)
+    return dedup.bloom_filter_dedup(
+        docs.where(split == 0), docs.where(split == 1)
+    )
+
+
+SQL_BLOOM_DEDUP = f"""
+WITH docs_nd AS ({_ND}),
+ex AS (
+  SELECT DISTINCT md5(text) AS key FROM docs_nd WHERE {_BLOOM_SPLIT} = 0
+),
+bits AS (
+  SELECT DISTINCT {hash60_sql('key', "'bloom' || j::VARCHAR")} % {dedup.BLOOM_M}
+         AS bit
+  FROM ex CROSS JOIN range({dedup.BLOOM_K}) t(j)
+),
+inc AS (
+  SELECT doc_id, md5(text) AS key FROM docs_nd WHERE {_BLOOM_SPLIT} = 1
+),
+pos AS (
+  SELECT doc_id, key,
+         {hash60_sql('key', "'bloom' || j::VARCHAR")} % {dedup.BLOOM_M} AS bit
+  FROM inc CROSS JOIN range({dedup.BLOOM_K}) t(j)
+),
+hit AS (
+  SELECT doc_id, key,
+         bool_and(bit IN (SELECT bit FROM bits)) AS bloom_hit
+  FROM pos GROUP BY doc_id, key
+)
+SELECT h.doc_id, h.bloom_hit, (e.key IS NOT NULL) AS is_dup
+FROM hit h LEFT JOIN ex e ON e.key = h.key
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (
@@ -2711,6 +2864,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         SQL_EVENTS_DISTINCT_USERS_STREAMING,
     ),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),
+    "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "dup_overlap": (q_dup_overlap, _sql_dup_overlap()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "corpus_stats_cube": (q_corpus_stats_cube, SQL_CORPUS_STATS_CUBE),

@@ -1,0 +1,164 @@
+"""Planted-input tests for the round-4 pipeline operators: KMV
+distinct sketch, decontamination screen, semantic dedup, Bloom screen.
+
+Each test constructs an input where the correct answer is computable by
+hand, so these pin SEMANTICS; engine parity with DuckDB is pinned
+separately by tests/test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cir_duplicate_detector_spark.operators import dedup, similarity, sketches, textops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --------------------------------------------------------------- KMV
+
+def test_kmv_exact_below_k(spark):
+    # 3 distinct tokens < k: the sketch must be EXACT.
+    df = _docs(spark, [(1, "a b c a"), (2, "b c")])
+    out = sketches.kmv_distinct_tokens(
+        df.withColumn("lang", F.lit("en")), k=64
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_kept == 3
+    assert row.est_distinct == 3.0
+
+
+def test_kmv_estimates_above_k(spark):
+    # 500 distinct tokens, k=32: estimate within 30% of truth (the
+    # estimator's relative error is ~1/sqrt(k-2) ≈ 18%).
+    text = " ".join(f"tok{i}" for i in range(500))
+    df = _docs(spark, [(1, text)]).withColumn("lang", F.lit("en"))
+    row = sketches.kmv_distinct_tokens(df, k=32).collect()[0]
+    assert row.n_kept == 32
+    assert 350 <= row.est_distinct <= 650
+
+
+def test_kmv_groups_independent(spark):
+    # Groups sketch independently: same tokens -> same estimate per group.
+    df = spark.createDataFrame(
+        [(1, "x y z", "en"), (2, "x y z", "de")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r.lang: r for r in sketches.kmv_distinct_tokens(df, k=8).collect()}
+    assert rows["en"].est_distinct == rows["de"].est_distinct == 3.0
+    assert rows["en"].kth_hash == rows["de"].kth_hash
+
+
+# ----------------------------------------------------- decontamination
+
+_EVAL_TEXT = "the quick brown fox jumps over the lazy dog today"  # 10 words
+
+
+def test_decontaminate_flags_verbatim_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "prefix words " + _EVAL_TEXT),  # contains every eval 8-gram
+            (2, "completely unrelated text with no overlap at all here"),
+        ],
+    )
+    ev = _docs(spark, [(100, _EVAL_TEXT)])
+    out = {r.doc_id: r for r in textops.decontaminate(train, ev).collect()}
+    assert set(out) == {1}
+    # eval text has 10 words -> 3 distinct 8-grams, all shared
+    assert out[1].n_shared_grams == 3
+    assert out[1].n_eval_docs == 1
+
+
+def test_decontaminate_short_text_whole_doc_gram(spark):
+    # Texts under 8 words shingle to the whole text: only an exact
+    # short-text match is contamination.
+    train = _docs(spark, [(1, "short snippet"), (2, "other snippet")])
+    ev = _docs(spark, [(100, "short snippet")])
+    out = textops.decontaminate(train, ev).collect()
+    assert [(r.doc_id, r.n_shared_grams) for r in out] == [(1, 1)]
+
+
+def test_decontaminate_df_cap_drops_boilerplate_gram(spark):
+    # A gram shared by every eval doc is dropped at max_df=1, so train
+    # docs matching ONLY it are not flagged.
+    boiler = "one two three four five six seven eight"
+    train = _docs(spark, [(1, boiler)])
+    ev = _docs(spark, [(100, boiler), (101, boiler)])
+    assert textops.decontaminate(train, ev, max_df=1).count() == 0
+    assert textops.decontaminate(train, ev, max_df=2).count() == 1
+
+
+# ----------------------------------------------------- semantic dedup
+
+def _vecs(spark, rows, dim=4):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df
+
+
+def test_semantic_dedup_within_cluster(spark):
+    # vec 0 is the only centroid (vec_id % 40 == 0); all vectors join
+    # its cluster. 1 and 2 are identical (cosine 1), 3 is orthogonal.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    out = similarity.semantic_near_duplicates(
+        _vecs(spark, rows), threshold=0.999
+    ).collect()
+    pairs = {(r.a, r.b): r for r in out}
+    assert (1, 2) in pairs
+    assert abs(pairs[(1, 2)].cosine - 1.0) < 1e-12
+    assert all(r.cid == 0 for r in out)
+    assert not any(3 in (a, b) for (a, b) in pairs)
+
+
+def test_semantic_dedup_blind_across_clusters(spark):
+    # Two well-separated centroids (0 and 40): identical vectors
+    # assigned to DIFFERENT clusters are never paired — the documented
+    # SemDeDup trade.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (40, [0.0, 1.0, 0.0, 0.0]),
+        # 1 leans to centroid 0; 41 leans to centroid 40; the pair
+        # (1, 41) has cosine 1.0 but straddles clusters.
+        (1, [0.8, 0.6, 0.0, 0.0]),
+        (41, [0.6, 0.8, 0.0, 0.0]),
+    ]
+    out = similarity.semantic_near_duplicates(
+        _vecs(spark, rows), threshold=0.5
+    ).collect()
+    ids = {(r.a, r.b) for r in out}
+    assert (1, 41) not in ids
+
+
+# -------------------------------------------------------- Bloom screen
+
+def test_bloom_no_false_negatives(spark):
+    # Every true duplicate MUST be a bloom hit (the filter's guarantee).
+    existing = _docs(spark, [(i, f"doc number {i}") for i in range(50)])
+    incoming = _docs(
+        spark,
+        [(100 + i, f"doc number {i}") for i in range(25)]  # dups
+        + [(200 + i, f"fresh text {i}") for i in range(25)],  # new
+    )
+    out = dedup.bloom_filter_dedup(existing, incoming).collect()
+    for r in out:
+        if r.is_dup:
+            assert r.bloom_hit, f"false negative at doc {r.doc_id}"
+    assert sum(r.is_dup for r in out) == 25
+
+
+def test_bloom_tiny_filter_false_positives(spark):
+    # m=4 bits / k=2: nearly every probe collides — false positives are
+    # EXPECTED (bloom_hit without is_dup), false negatives still never.
+    existing = _docs(spark, [(i, f"base {i}") for i in range(20)])
+    incoming = _docs(spark, [(100 + i, f"novel {i}") for i in range(20)])
+    out = dedup.bloom_filter_dedup(existing, incoming, m=4, k=2).collect()
+    assert all(not r.is_dup for r in out)
+    assert any(r.bloom_hit for r in out)  # saturated filter -> FPs
