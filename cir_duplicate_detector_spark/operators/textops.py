@@ -98,6 +98,108 @@ def chunk_documents(
     )
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    step: int = CHUNK_STEP,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Repeated-passage discovery: token-window chunks whose content
+    recurs across >= ``min_docs`` distinct documents — the chunk-level
+    form of exact substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better": repeated spans are memorized
+    disproportionately; a production pipeline drops or down-weights
+    them before packing training sequences).
+
+    Returns ``(chunk_hash, n_docs, n_occurrences, canonical_doc)``.
+
+    Physical shape: :func:`chunk_documents` is a pure scan (zero
+    shuffles), and this adds exactly ONE hash-aggregate shuffle on the
+    128-bit chunk digest — group keys are digests, never text, so the
+    shuffle payload is ~48 bytes/chunk at any corpus size, and the
+    count-distinct expands map-side.
+    """
+    ch = chunk_documents(docs, chunk_tokens, step)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+TOKEN_BUDGET = 2000
+
+
+def token_budget_sample(
+    docs: DataFrame, budget: int = TOKEN_BUDGET, group: str = "lang"
+) -> DataFrame:
+    """Greedy quality-ranked token-budget selection per ``group``: rank
+    documents by quality score (descending, doc_id tie-break), admit
+    each while the tokens BEFORE it total under ``budget`` — how a
+    training mix fills a per-language token quota with the best
+    documents first. Deterministic (no RNG), so the selected set is
+    reproducible across runs and engines.
+
+    Returns ``(group, doc_id, n_tokens, cum_tokens, quality_score)``
+    for admitted documents. One window shuffle on ``group``; the
+    feature projection rides the scan. An explicit ROWS frame keeps the
+    running sum peer-row-independent (the ordering is total anyway —
+    doc_id breaks ties).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group)
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = docs.select(
+        group,
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        quality_score_expr().alias("quality_score"),
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select(group, "doc_id", "n_tokens", "cum_tokens", "quality_score")
+    )
+
+
+def quality_band_filter(
+    docs: DataFrame,
+    lo: float = 0.1,
+    hi: float = 0.9,
+    group: str = "lang",
+) -> DataFrame:
+    """Keep documents inside the [lo, hi] quality percentile band per
+    ``group`` — the two-sided quantile prune (drop the bottom tail as
+    garbage AND the top tail as boilerplate/templated text, whose
+    "perfect" scores usually mean degenerate repetition). percent_rank
+    = (rank-1)/(n-1) with a total ordering (doc_id tie-break), so band
+    membership is exact and engine-reproducible — no approximate
+    quantile sketch divergence.
+
+    Returns ``(group, doc_id, quality_score, pr)``. One window shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(
+        F.col("quality_score").asc(), F.col("doc_id")
+    )
+    scored = docs.select(
+        group, "doc_id", quality_score_expr().alias("quality_score")
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .where((F.col("pr") >= lo) & (F.col("pr") <= hi))
+    )
+
+
 def quality_score_expr() -> "F.Column":
     """The composite quality score as a reusable expression over `text`."""
     ws = tokens("text")

@@ -86,17 +86,17 @@ _PRIORITY = [
     "semantic_dedup",
     "distinct_kmv",
     "bloom_dedup",
+    "chunk_dedup",
+    "token_budget_sample",
+    "quality_band",
     # (d) reference core (all driver-green in round 3; the tail of the
     # core set cedes its slots to the new round-4 queries — the driver
     # verifies the FIRST 50 entries only)
     "detect_duplicates",
-    "url_normalize",
     "url_duplicates",
-    "hash_explode_dedup",
     "pdq_pairs",
     "pdq_duplicates_naive",
     "pdq_duplicates_banded",
-    "pdq_duplicates_probed",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {

@@ -2784,6 +2784,94 @@ FROM hit h LEFT JOIN ex e ON e.key = h.key
 """
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Repeated-passage chunks over the derived near-dup corpus (exact
+    copies share every chunk; truncation mutants share all but the
+    final windows)."""
+    return textops.chunk_dedup(_docs_nd(spark, sf_dir))
+
+
+def _sql_chunk_dedup() -> str:
+    c, s = textops.CHUNK_TOKENS, textops.CHUNK_STEP
+    return f"""
+WITH docs_nd AS ({_ND}),
+w AS (
+  SELECT doc_id, {_DUCK_WORDS} AS ws FROM docs_nd
+),
+st AS (
+  SELECT doc_id, ws,
+         unnest(range(1, greatest(len(ws), 1) + 1, {s})) AS chunk_start
+  FROM w
+),
+ch AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_slice(ws, chunk_start, chunk_start + {c} - 1), ' '))
+           AS chunk_hash
+  FROM st
+)
+SELECT chunk_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS canonical_doc
+FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q_token_budget_sample(spark, sf_dir):
+    return textops.token_budget_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_quality_scored() -> str:
+    """Shared CTE body: (lang, doc_id, n_tokens, quality_score) with
+    the exact `textops.quality_score_expr` arithmetic (integer counts
+    divided as exact ints, same fold order)."""
+    stop = textops.lang_pattern(textops.STOPWORDS_EN)
+    return f"""
+  SELECT lang, doc_id,
+         len({_DUCK_WORDS})::BIGINT AS n_tokens,
+         0.4 * least(len(regexp_extract_all(text, '{stop}'))
+                     / len({_DUCK_WORDS}) * 4, 1.0)
+         + 0.3 * least(cast(len({_DUCK_WORDS}) as double) / 100.0, 1.0)
+         + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]'))
+                              / length(text) * 10, 1.0)) AS quality_score
+  FROM documents
+"""
+
+
+def _sql_token_budget_sample() -> str:
+    return f"""
+WITH scored AS ({_sql_quality_scored()}),
+c AS (
+  SELECT lang, doc_id, n_tokens, quality_score,
+         sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY quality_score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS cum_tokens
+  FROM scored
+)
+SELECT lang, doc_id, n_tokens, cum_tokens, quality_score
+FROM c WHERE cum_tokens - n_tokens < {textops.TOKEN_BUDGET}
+"""
+
+
+def q_quality_band(spark, sf_dir):
+    return textops.quality_band_filter(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_quality_band() -> str:
+    return f"""
+WITH scored AS ({_sql_quality_scored()})
+SELECT lang, doc_id, quality_score, pr FROM (
+  SELECT lang, doc_id, quality_score,
+         percent_rank() OVER (
+           PARTITION BY lang ORDER BY quality_score ASC, doc_id
+         ) AS pr
+  FROM scored
+) WHERE pr >= 0.1 AND pr <= 0.9
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (
@@ -2864,6 +2952,9 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         SQL_EVENTS_DISTINCT_USERS_STREAMING,
     ),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
+    "chunk_dedup": (q_chunk_dedup, _sql_chunk_dedup()),
+    "token_budget_sample": (q_token_budget_sample, _sql_token_budget_sample()),
+    "quality_band": (q_quality_band, _sql_quality_band()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),

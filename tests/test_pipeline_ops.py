@@ -137,6 +137,81 @@ def test_semantic_dedup_blind_across_clusters(spark):
     assert (1, 41) not in ids
 
 
+# ----------------------------------------------------- chunk-level dedup
+
+def test_chunk_dedup_finds_repeated_passage(spark):
+    # Two docs share an identical 8-token passage; chunking at 8/8
+    # (no overlap) isolates it as one recurring chunk.
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    df = _docs(
+        spark,
+        [
+            (1, passage + " " + "unique one two three four five six seven"),
+            (2, passage + " " + "different eight nine ten eleven twelve thirteen fourteen"),
+            (3, "nothing in common here at all whatsoever friends"),
+        ],
+    )
+    out = textops.chunk_dedup(df, chunk_tokens=8, step=8).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2
+    assert out[0].n_occurrences == 2
+    assert out[0].canonical_doc == 1
+
+
+def test_chunk_dedup_within_doc_repeat_not_cross_doc(spark):
+    # A passage repeated INSIDE one doc is not cross-doc duplication
+    # (n_docs counts distinct docs, the min_docs gate uses it).
+    passage = "rep one two three four five six seven"
+    df = _docs(spark, [(1, passage + " " + passage)])
+    assert textops.chunk_dedup(df, chunk_tokens=8, step=8).count() == 0
+
+
+# ----------------------------------------------------- budget sampling
+
+def test_token_budget_greedy_prefix(spark):
+    # Equal quality -> doc_id order; budget 5 admits docs while tokens
+    # BEFORE each stay under budget: 1 (0<5), 2 (3<5), not 3 (6>=5).
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "d e f", "en"), (3, "g h i", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = textops.token_budget_sample(df, budget=5)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def test_token_budget_prefers_quality(spark):
+    # Higher-quality doc admitted first even with a larger doc_id.
+    low = "zzz qqq xxx"  # no stopwords, no punct -> low score
+    high = "the cat and the dog is in the house. it is nice."
+    df = spark.createDataFrame(
+        [(1, low, "en"), (2, high, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in textops.token_budget_sample(df, budget=1).collect()}
+    assert set(out) == {2}  # only the high-quality doc fits the 1-token budget gate
+
+
+def test_quality_band_drops_both_tails(spark):
+    # 11 docs, distinct scores -> percent_rank = i/10; band [0.1, 0.9]
+    # drops exactly the extremes.
+    rows = [
+        (i, ("the is and of to in. " * (i + 1)).strip(), "en")
+        for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textops.quality_band_filter(df, lo=0.1, hi=0.9)
+    kept = sorted(r.doc_id for r in out.collect())
+    assert len(kept) == 9
+    scores = {
+        r.doc_id: r.quality_score
+        for r in df.select(
+            "doc_id", textops.quality_score_expr().alias("quality_score")
+        ).collect()
+    }
+    order = sorted(scores, key=lambda d: (scores[d], d))
+    assert kept == sorted(order[1:-1])
+
+
 # -------------------------------------------------------- Bloom screen
 
 def test_bloom_no_false_negatives(spark):
