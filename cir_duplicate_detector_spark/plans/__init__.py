@@ -89,11 +89,11 @@ _PRIORITY = [
     "chunk_dedup",
     "token_budget_sample",
     "quality_band",
+    "bloom_dedup_streaming",
     # (d) reference core (all driver-green in round 3; the tail of the
     # core set cedes its slots to the new round-4 queries — the driver
     # verifies the FIRST 50 entries only)
     "detect_duplicates",
-    "url_duplicates",
     "pdq_pairs",
     "pdq_duplicates_naive",
     "pdq_duplicates_banded",
@@ -113,6 +113,7 @@ ALL_QUERIES.update(
 for _batch, _streaming in [
     ("events_sessionize", "events_sessionize_stateful"),
     ("events_window", "events_window_streaming"),
+    ("bloom_dedup", "bloom_dedup_streaming"),
 ]:
     if _batch in ALL_QUERIES and _streaming in ALL_QUERIES:
         assert ALL_QUERIES[_batch][1] == ALL_QUERIES[_streaming][1], (

@@ -2756,6 +2756,12 @@ def q_bloom_dedup(spark, sf_dir):
     )
 
 
+def q_bloom_dedup_streaming(spark, sf_dir):
+    from ..streaming.windows import streaming_bloom_dedup
+
+    return streaming_bloom_dedup(spark, sf_dir)
+
+
 SQL_BLOOM_DEDUP = f"""
 WITH docs_nd AS ({_ND}),
 ex AS (
@@ -2959,6 +2965,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
+    "bloom_dedup_streaming": (q_bloom_dedup_streaming, SQL_BLOOM_DEDUP),
     "dup_overlap": (q_dup_overlap, _sql_dup_overlap()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "corpus_stats_cube": (q_corpus_stats_cube, SQL_CORPUS_STATS_CUBE),

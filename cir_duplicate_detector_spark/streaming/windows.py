@@ -157,6 +157,93 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom membership screen AS A STREAM: incoming documents
+    arrive on a file stream and are screened against a STATIC Bloom
+    bitset built (batch-side) from the existing corpus — the canonical
+    continuous-ingest shape: the reference corpus is indexed once, and
+    each micro-batch pays only a broadcast hash join against the ≤ m-row
+    bitset plus per-doc aggregation state. Both static sides (bitset,
+    exact-key set) join BEFORE the aggregation — Structured Streaming
+    allows stream-static joins pre-aggregation; post-aggregation joins
+    are not supported in complete mode.
+
+    Output is identical to the batch `operators.dedup.bloom_filter_dedup`
+    — the two registry entries share one oracle string by construction
+    (the batch/streaming twin guard in ``plans/__init__``).
+    """
+    import os
+    import tempfile
+
+    from ..operators.dedup import BLOOM_K, bloom_bit_positions
+    from ..sources.derived import derive_near_dup_corpus
+
+    # Static side (batch): bitset + exact-key set of the existing split.
+    split = "(doc_id div 2000000 + doc_id) % 2"
+    docs_b = derive_near_dup_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    existing = docs_b.where(F.expr(split) == 0)
+    key_b = F.md5("text")
+    bits = (
+        existing.select(F.explode(bloom_bit_positions(key_b)).alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    seen = existing.select(key_b.alias("key")).distinct().withColumn(
+        "seen", F.lit(1)
+    )
+
+    # Stream side: documents file stream -> derived-corpus branches
+    # (same expressions as sources.derived) -> incoming split.
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="docs_bloom_stream_")
+    os.symlink(path, os.path.join(stage, "documents.parquet"))
+    docs = spark.readStream.schema(schema).parquet(stage)
+    words = "split(text, '\\\\s+')"
+    orig = docs.select("doc_id", "text")
+    mut = docs.where("doc_id % 5 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        f"array_join(slice({words}, 1, greatest(size({words}) - 3, 1)), ' ')"
+        " AS text",
+    )
+    copies = docs.where("doc_id % 11 = 0").selectExpr(
+        "doc_id + 2000000 AS doc_id", "text"
+    )
+    incoming = (
+        orig.unionAll(mut).unionAll(copies).where(F.expr(split) == 1)
+    )
+
+    probed = (
+        incoming.select("doc_id", F.md5("text").alias("key"))
+        .select(
+            "doc_id",
+            "key",
+            F.explode(bloom_bit_positions(F.col("key"))).alias("bit"),
+        )
+        .join(F.broadcast(bits), "bit", "left")
+        .join(F.broadcast(seen), "key", "left")
+        .groupBy("doc_id", "key", F.col("seen").isNotNull().alias("is_dup"))
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("present"), F.lit(0))) == BLOOM_K
+            ).alias("bloom_hit")
+        )
+        .select("doc_id", "bloom_hit", "is_dup")
+    )
+    name = f"stream_bloom_{uuid.uuid4().hex[:8]}"
+    query = (
+        probed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_dedup_to_parquet(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:
