@@ -350,13 +350,18 @@ def semantic_near_duplicates(
     one broadcast-centroid cross join + ``max_by`` argmax to assign
     members (map-side, no corpus shuffle), then a self equi-join on
     ``cid`` — pair work is cluster-local, so the join scales with the
-    largest cluster, not the corpus. Complements
-    :func:`embedding_near_duplicates` (SRP sketch buckets): centroid
-    clustering catches moderate-similarity semantic pairs that 16-bit
-    sketch identity misses.
+    largest cluster, not the corpus. The assignment result is
+    MATERIALIZED once (`cache.materialize`): it feeds both sides of the
+    self-join, and without the lineage cut Spark recomputes the whole
+    broadcast-scan-argmax subtree per side (observed in the executed
+    plan — exchange reuse does not fire across the two alias
+    projections). Complements :func:`embedding_near_duplicates` (SRP
+    sketch buckets): centroid clustering catches moderate-similarity
+    semantic pairs that 16-bit sketch identity misses.
 
     Returns ``(a, b, cid, cosine)``.
     """
+    from ..cache import materialize
     base = vectors.select(
         "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
     )
@@ -388,6 +393,7 @@ def semantic_near_duplicates(
             F.col("m.nrm").alias("nrm"),
         )
     )
+    member = materialize(member)
     a = member.select(
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("a_emb"),

@@ -265,3 +265,58 @@ def test_jaccard_verify_broadcast_gate(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_bloom_bitset_is_broadcast_and_bounded(spark):
+    # The Bloom screen's whole point at 100 TB: the bitset side of the
+    # bit join must be a BROADCAST (<= m rows by construction), so the
+    # incoming batch is screened map-side — never a shuffle of the
+    # incoming stream keyed on bit.
+    from pyspark.sql import functions as F
+
+    from cir_duplicate_detector_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dedup.bloom_filter_dedup(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # Bitset cardinality is bounded by m regardless of corpus size.
+    bits = docs.select(
+        F.explode(dedup.bloom_bit_positions(F.md5("text"), m=64)).alias("b")
+    ).distinct()
+    assert bits.count() <= 64
+
+
+def test_decontaminate_is_equijoin(spark):
+    # The gram match must be an equi-join on the hash (shuffle or
+    # AQE-broadcast), never a nested-loop/cartesian product.
+    plan = _plan(spark, "decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_pairs_cluster_local(spark):
+    # Centroids broadcast; the pair join is an equi-join on cid (the
+    # cluster-local shape) — no all-pairs cross join outside the
+    # bounded centroid assignment.
+    plan = _plan(spark, "semantic_dedup")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # centroid assign only
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_bottom_k_bounded_output(spark):
+    # The sketch keeps <= k rows per group no matter the input size.
+    from pyspark.sql import functions as F
+
+    from cir_duplicate_detector_spark.operators import sketches
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sketches.kmv_distinct_tokens(docs, k=16)
+    rows = out.collect()
+    assert all(r.n_kept <= 16 for r in rows)
+    # And exactly one output row per group.
+    assert out.groupBy("lang").count().where("count > 1").count() == 0
