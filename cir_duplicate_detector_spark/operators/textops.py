@@ -131,6 +131,75 @@ def chunk_dedup(
     )
 
 
+def doc_repetition(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document repetition scoring: the fraction of word
+    ``n``-grams that are repeats of an earlier gram in the SAME document
+    (Gopher/Rae et al.'s duplicate-n-gram quality signal — looping or
+    template-stuffed text scores high and is filtered before training).
+
+    ``rep_ratio = (total - distinct) / total`` over exact integer
+    counts, so the oracle reproduces the double bitwise. Entirely
+    per-row array expressions — zero shuffles, scan-linear; the gram
+    set never leaves its row.
+
+    Returns ``(doc_id, n_grams, n_distinct_grams, rep_ratio)``.
+    """
+    from ..functions.text import word_shingles
+
+    grams = word_shingles("text", n)
+    total = F.size(grams).cast("bigint")
+    distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct_grams"),
+        ((total - distinct) / total).alias("rep_ratio"),
+    )
+
+
+SEQ_LEN = 512
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = SEQ_LEN, group: str = "lang"
+) -> DataFrame:
+    """Training-sequence packing by concatenation: documents are laid
+    end-to-end per ``group`` in deterministic (doc_id) order and cut
+    into fixed ``seq_len``-token sequences; each document's pack is
+    where its first token lands (``tokens-before div seq_len``) — the
+    standard concat-then-split packing a pre-training dataloader
+    performs, computed engine-side so the pack manifest ships with the
+    data. Returns the per-pack manifest
+    ``(group, pack_id, n_docs, n_tokens, first_doc)``.
+
+    Physical shape: one window shuffle on ``group`` for the running
+    token count (explicit ROWS frame, total order), one aggregate on
+    ``(group, pack_id)``. No skew risk beyond group cardinality —
+    production would sub-salt a giant language by date/shard, which
+    composes with the same two-stage shape.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        group, "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    # Integer `div`, not a double divide+cast: the running token count
+    # at 100 TB exceeds 2^53 and double division would misplace packs.
+    packed = sized.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).withColumn("pack_id", F.expr(f"cum_before div {seq_len}"))
+    return packed.groupBy(group, "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 TOKEN_BUDGET = 2000
 
 

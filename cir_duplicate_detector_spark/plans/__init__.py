@@ -90,12 +90,12 @@ _PRIORITY = [
     "token_budget_sample",
     "quality_band",
     "bloom_dedup_streaming",
+    "doc_repetition",
+    "pack_sequences",
     # (d) reference core (all driver-green in round 3; the tail of the
     # core set cedes its slots to the new round-4 queries — the driver
     # verifies the FIRST 50 entries only)
     "detect_duplicates",
-    "pdq_pairs",
-    "pdq_duplicates_naive",
     "pdq_duplicates_banded",
 ]
 

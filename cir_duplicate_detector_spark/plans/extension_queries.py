@@ -2878,6 +2878,47 @@ SELECT lang, doc_id, quality_score, pr FROM (
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    return textops.doc_repetition(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOC_REPETITION = f"""
+WITH g AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS grams FROM documents
+)
+SELECT doc_id,
+       len(grams)::BIGINT AS n_grams,
+       len(list_distinct(grams))::BIGINT AS n_distinct_grams,
+       (len(grams)::BIGINT - len(list_distinct(grams))::BIGINT)
+         / len(grams)::BIGINT AS rep_ratio
+FROM g
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    return textops.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_pack_sequences() -> str:
+    return f"""
+WITH sized AS (
+  SELECT lang, doc_id, len({_DUCK_WORDS})::BIGINT AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT lang, doc_id, n_tokens,
+         (sum(n_tokens) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          )::BIGINT - n_tokens) // {textops.SEQ_LEN} AS pack_id
+  FROM sized
+)
+SELECT lang, pack_id, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens, min(doc_id) AS first_doc
+FROM packed GROUP BY lang, pack_id
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (
@@ -2958,6 +2999,8 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         SQL_EVENTS_DISTINCT_USERS_STREAMING,
     ),
     "events_quantiles": (q_events_quantiles, SQL_EVENTS_QUANTILES),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "pack_sequences": (q_pack_sequences, _sql_pack_sequences()),
     "chunk_dedup": (q_chunk_dedup, _sql_chunk_dedup()),
     "token_budget_sample": (q_token_budget_sample, _sql_token_budget_sample()),
     "quality_band": (q_quality_band, _sql_quality_band()),

@@ -212,6 +212,54 @@ def test_quality_band_drops_both_tails(spark):
     assert kept == sorted(order[1:-1])
 
 
+# ----------------------------------------------------- repetition score
+
+def test_doc_repetition_planted(spark):
+    # "a b c a b c a b c" -> 7 3-grams, 3 distinct -> ratio 4/7.
+    # A non-repetitive doc scores 0; <3 words scores 0 (whole-text gram).
+    df = _docs(
+        spark,
+        [(1, "a b c a b c a b c"), (2, "all words unique here now"), (3, "so short")],
+    )
+    out = {r.doc_id: r for r in textops.doc_repetition(df).collect()}
+    assert out[1].n_grams == 7 and out[1].n_distinct_grams == 3
+    assert out[1].rep_ratio == 4 / 7
+    assert out[2].rep_ratio == 0.0
+    assert out[3].n_grams == 1 and out[3].rep_ratio == 0.0
+
+
+# ----------------------------------------------------- sequence packing
+
+def test_pack_sequences_concat_then_split(spark):
+    # 4 docs of 3 tokens each, seq_len=5: cumulative starts 0,3,6,9 ->
+    # packs 0,0,1,1. Manifest: two packs of 2 docs / 6 tokens.
+    df = spark.createDataFrame(
+        [(i, "x y z", "en") for i in range(1, 5)],
+        "doc_id long, text string, lang string",
+    )
+    out = sorted(
+        textops.pack_sequences(df, seq_len=5).collect(),
+        key=lambda r: r.pack_id,
+    )
+    assert [(r.pack_id, r.n_docs, r.n_tokens, r.first_doc) for r in out] == [
+        (0, 2, 6, 1),
+        (1, 2, 6, 3),
+    ]
+
+
+def test_pack_sequences_groups_pack_independently(spark):
+    # Each language concatenates separately: same layout per group.
+    df = spark.createDataFrame(
+        [(1, "a b", "en"), (2, "c d", "en"), (3, "e f", "de"), (4, "g h", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = textops.pack_sequences(df, seq_len=2).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append((r.pack_id, r.n_docs, r.n_tokens))
+    assert sorted(by_lang["en"]) == sorted(by_lang["de"]) == [(0, 1, 2), (1, 1, 2)]
+
+
 # -------------------------------------------------------- Bloom screen
 
 def test_bloom_no_false_negatives(spark):
