@@ -92,11 +92,11 @@ _PRIORITY = [
     "bloom_dedup_streaming",
     "doc_repetition",
     "pack_sequences",
+    "ann_recall_lsh",
     # (d) reference core (all driver-green in round 3; the tail of the
     # core set cedes its slots to the new round-4 queries — the driver
     # verifies the FIRST 50 entries only)
     "detect_duplicates",
-    "pdq_duplicates_banded",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {

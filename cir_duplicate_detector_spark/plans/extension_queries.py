@@ -769,6 +769,98 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def q_ann_recall_lsh(spark, sf_dir):
+    """Self-measuring ANN quality: recall@5 of the banded SRP-LSH path
+    against the exact brute-force ranking, per probe — the "measure,
+    don't guess" diagnostic a pipeline runs before trusting an
+    approximate index (pytest pins recall FLOORS in
+    `tests/test_ann_recall.py`; this exposes the same measurement as a
+    driver-checked query). Both sides are deterministic, so per-probe
+    recall is value-hash-checkable like any exact query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = _knn_probe_df(spark, sf_dir)
+    bf = similarity.knn_bruteforce(emb, probes, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = similarity.knn_lsh(emb, probes, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_RECALL_LSH = f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+bf_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65), j -> q.e[j] * c.e[j]))
+           / (q.nrm * c.nrm) AS cosine
+  FROM n q, n c
+  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank FROM bf_scored
+  ) WHERE rank <= 5
+),
+planes AS (SELECT * FROM (VALUES {_srp_planes_values(_LSH_N_PLANES)}) t(p, w)),
+nb AS (
+  SELECT vec_id, e, nrm, p // {_LSH_BITS} AS band_id,
+         sum(CASE WHEN list_sum(list_transform(range(1, 65), j -> e[j] * w[j])) > 0
+                  THEN 1 << (p % {_LSH_BITS}) ELSE 0 END)::BIGINT AS bucket
+  FROM n CROSS JOIN planes
+  GROUP BY vec_id, e, nrm, p // {_LSH_BITS}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM nb q JOIN nb c ON q.band_id = c.band_id AND q.bucket = c.bucket
+  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
+),
+l_scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(range(1, 65), j -> q.e[j] * c.e[j]))
+           / (q.nrm * c.nrm) AS cosine
+  FROM cand
+  JOIN n q ON q.vec_id = cand.query_id
+  JOIN n c ON c.vec_id = cand.neighbor_id
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank FROM l_scored
+  ) WHERE rank <= 5
+)
+SELECT bf.query_id, count(*) AS n_true,
+       sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       sum(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         / count(*) AS recall
+FROM bf LEFT JOIN lsh
+  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
 def q_knn_pq_adc(spark, sf_dir):
     """PQ-ADC approximate kNN (`operators.pq`): 8×8-dim product
     quantization with a FIXED 256-codeword codebook per subspace
@@ -2947,6 +3039,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "knn_cosine_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "knn_cosine_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "knn_pq_adc": (q_knn_pq_adc, _sql_knn_pq_adc()),
+    "ann_recall_lsh": (q_ann_recall_lsh, SQL_ANN_RECALL_LSH),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
