@@ -275,31 +275,13 @@ def knn_ivf(
     an equi-join on centroid id. Both are the canonical scale-out
     shapes: no all-pairs work anywhere.
     """
-    base = vectors.select(
-        "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
-    )
-    cents = F.broadcast(
-        base.where(F.col("vec_id") % centroid_mod == 0).select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
-    )
-    cos_c = dot64(F.col("embedding"), F.col("c_emb")) / (
-        F.col("nrm") * F.col("c_nrm")
-    )
-    scored_c = base.crossJoin(cents).withColumn("ccos", cos_c)
-    # Ties broken toward the smallest centroid id: max of (ccos, -cid).
-    member = scored_c.groupBy("vec_id").agg(
-        F.max_by(
-            F.struct("cid", "embedding", "nrm"),
-            F.struct(F.col("ccos"), (-F.col("cid")).alias("neg_cid")),
-        ).alias("m")
-    ).select(
-        F.col("m.cid").alias("cid"),
+    scored_c = _centroid_scores(vectors, centroid_mod)
+    # Ties broken toward the smallest centroid id (shared rule).
+    member = _centroid_assign(scored_c).select(
+        "cid",
         F.col("vec_id").alias("neighbor_id"),
-        F.col("m.embedding").alias("c_emb"),
-        F.col("m.nrm").alias("c_nrm"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
     )
     probes = _probe_restrict(scored_c, probe_ids)
     w_probe = Window.partitionBy("vec_id").orderBy(
@@ -333,6 +315,50 @@ def knn_ivf(
     )
 
 
+def _centroid_scores(vectors: DataFrame, centroid_mod: int) -> DataFrame:
+    """Every vector scored against the broadcast deterministic centroid
+    sample (``vec_id % centroid_mod == 0``):
+    ``(vec_id, embedding, nrm, cid, c_emb, c_nrm, ccos)``. Shared by
+    :func:`knn_ivf` (build + probe passes) and
+    :func:`semantic_near_duplicates` so the assignment rule cannot
+    drift between them."""
+    base = vectors.select(
+        "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
+    )
+    cents = F.broadcast(
+        base.where(F.col("vec_id") % centroid_mod == 0).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    cos_c = dot64(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
+    return base.crossJoin(cents).withColumn("ccos", cos_c)
+
+
+def _centroid_assign(scored: DataFrame) -> DataFrame:
+    """Argmax cluster assignment over :func:`_centroid_scores` output,
+    ties toward the smallest centroid id: ``(vec_id, cid, embedding,
+    nrm)``."""
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "embedding", "nrm"),
+                F.struct(F.col("ccos"), (-F.col("cid")).alias("neg_cid")),
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            F.col("m.embedding").alias("embedding"),
+            F.col("m.nrm").alias("nrm"),
+        )
+    )
+
+
 def semantic_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.9,
@@ -362,38 +388,10 @@ def semantic_near_duplicates(
     Returns ``(a, b, cid, cosine)``.
     """
     from ..cache import materialize
-    base = vectors.select(
-        "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
+
+    member = materialize(
+        _centroid_assign(_centroid_scores(vectors, centroid_mod))
     )
-    cents = F.broadcast(
-        base.where(F.col("vec_id") % centroid_mod == 0).select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
-    )
-    cos_c = dot64(F.col("embedding"), F.col("c_emb")) / (
-        F.col("nrm") * F.col("c_nrm")
-    )
-    member = (
-        base.crossJoin(cents)
-        .withColumn("ccos", cos_c)
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("cid", "embedding", "nrm"),
-                # ties toward the smallest centroid id (same rule as knn_ivf)
-                F.struct(F.col("ccos"), (-F.col("cid")).alias("neg_cid")),
-            ).alias("m")
-        )
-        .select(
-            "vec_id",
-            F.col("m.cid").alias("cid"),
-            F.col("m.embedding").alias("embedding"),
-            F.col("m.nrm").alias("nrm"),
-        )
-    )
-    member = materialize(member)
     a = member.select(
         F.col("vec_id").alias("a"),
         F.col("embedding").alias("a_emb"),

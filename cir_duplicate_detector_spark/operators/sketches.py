@@ -14,9 +14,12 @@ the bottom k).
 
 Physical shape at 100 TB: the explode never leaves the map side — the
 (group, hash) distinct is a partial-aggregated groupBy (map-side
-combine collapses duplicate tokens before the shuffle), and the
-bottom-k window runs on the already-distinct stream, partitioned by
-group. Output is one row per group. No driver-side state, no collect.
+combine collapses duplicate tokens before the shuffle) — and the
+bottom-k itself is TWO-PHASE, exploiting the sketch's mergeability:
+salt buckets each keep a local bottom-k (parallel, bounded output),
+then the union of locals (≤ S·k rows per group) takes the exact global
+bottom-k. A group's full distinct vocabulary is never sorted by one
+task. Output is one row per group. No driver-side state, no collect.
 """
 
 from __future__ import annotations
@@ -26,6 +29,10 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.text import hash60, tokens
 
 KMV_K = 64
+
+# Phase-1 salt width for the two-phase bottom-k: each group's distinct
+# hashes spread over this many parallel local-bottom-k aggregations.
+KMV_SALT_BUCKETS = 64
 
 # 2^60: the hash60 family is uniform on [0, 2^60). Exactly representable
 # as a double, so (k-1) * HASH_SPACE is one exact product and the
@@ -50,17 +57,34 @@ def kmv_distinct(
     * ``est_distinct`` — (k-1) · 2^60 / kth_hash, or the exact count
       when the group is below k.
 
-    One partial-aggregated distinct + one bounded per-group window; the
-    sketch rows that survive are ≤ k per group.
+    Bottom-k runs in two phases (a per-group global sort would put a
+    whole group's distinct vocabulary on ONE task at 100 TB):
+
+    1. salt by ``h % KMV_SALT_BUCKETS``: each (group, salt) aggregation
+       keeps only its LOCAL bottom-k (sorted slice of the bucket's
+       hashes) — S parallel tasks per group, ≤ S·k surviving rows;
+    2. exact global bottom-k over the exploded locals via a per-group
+       window that now sorts ≤ S·k rows.
+
+    Phase 1 is lossless: any hash in the global bottom-k has < k
+    hashes below it overall, hence < k in its own bucket, so it
+    survives its bucket's local bottom-k. (This merge is the same
+    union-then-retake operation that makes KMV sketches composable
+    across days/shards.)
     """
     # distinct() compiles to a partial HashAggregate on (group, h):
     # duplicate tokens collapse map-side before the shuffle.
     hashed = items.select(
         F.col(group), hash60(F.col(value), seed="kmv").alias("h")
     ).distinct()
+    local = (
+        hashed.groupBy(group, (F.col("h") % KMV_SALT_BUCKETS).alias("_salt"))
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("loc"))
+    )
+    merged = local.select(group, F.explode("loc").alias("h"))
     w = Window.partitionBy(group).orderBy("h")
     bottom = (
-        hashed.withColumn("rn", F.row_number().over(w))
+        merged.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
     )
     return bottom.groupBy(group).agg(

@@ -32,13 +32,16 @@ except ImportError:
 #     round 2 and in the uncapped local parity suite, but rotate to the
 #     front so every registered query has a fresh driver-green row),
 # (b) the two round-3 hash-mismatch fixes (oracle ::BIGINT casts),
-# (c) queries whose PLANS changed this round: the jaccard candidate
-#     pipeline gained a size-gated broadcast (dedup_minhash,
+# (c) queries whose PLANS changed between rounds 3 and 4: the jaccard
+#     candidate pipeline gained a size-gated broadcast (dedup_minhash,
 #     dup_clusters, cluster_representatives) and the inverted-index
 #     family gained a document-frequency hot-key cap (dedup_containment,
 #     doc_topk_similar, dedup_ngram_jaccard; substring_dup is in (a)),
-# (d) the reference-core workload. Everything else follows in registry
-#     order — all of it driver-green in round 3.
+# (e) the 11 queries NEW in round 4 — never driver-verified,
+# (d) one reference-core flagship (driver-green in round 3; the rest of
+#     the core set ceded its slots to (e)). Everything past entry 50
+#     follows in registry order — all of it driver-green in r2/r3 and
+#     covered by the uncapped local parity suite every round.
 _PRIORITY = [
     # (a) no round-3 driver row
     "embedding_near_dup",

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from ..functions.text import hash60_sql
 from ..operators import dedup, events, multimodal, similarity, sketches, textops
 from ..sources.derived import (
+    BLOOM_SPLIT_DUCK,
+    BLOOM_SPLIT_SPARK,
     PII_CORPUS_SQL,
     derive_near_dup_corpus,
     derive_near_dup_embeddings,
@@ -249,11 +251,7 @@ def _sql_cluster_representatives() -> str:
 WITH RECURSIVE {_DUCK_CC_CTES},
 q AS (
   SELECT doc_id,
-         0.4 * least(len(regexp_extract_all(text, '{_STOP_EN}'))
-                     / len({_DUCK_WORDS}) * 4, 1.0)
-         + 0.3 * least(cast(len({_DUCK_WORDS}) as double) / 100.0, 1.0)
-         + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]'))
-                              / length(text) * 10, 1.0)) AS q
+         {_DUCK_QUALITY_EXPR} AS q
   FROM docs_nd
 ),
 m AS (SELECT cc.doc_id, cc.cluster_id, q.q FROM cc JOIN q USING (doc_id)),
@@ -672,19 +670,28 @@ def q_knn_bruteforce(spark, sf_dir):
     return similarity.knn_bruteforce(emb, _knn_probe_df(spark, sf_dir), k=5)
 
 
-SQL_KNN_BRUTEFORCE = """
-WITH n AS (
+# Shared ANN oracle fragments — SQL_KNN_BRUTEFORCE, SQL_KNN_LSH and
+# SQL_ANN_RECALL_LSH are all composed from these, so the recall
+# diagnostic measures EXACTLY the index the knn queries ship (a
+# hand-kept copy could silently diverge and still oracle-validate).
+
+_DUCK_VEC_N = """
   SELECT vec_id, embedding::DOUBLE[] AS e,
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
   FROM embeddings
-),
-scored AS (
+"""
+
+_DUCK_BF_SCORED = """
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_sum(list_transform(range(1, 65), j -> q.e[j] * c.e[j]))
            / (q.nrm * c.nrm) AS cosine
   FROM n q, n c
   WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
-)
+"""
+
+SQL_KNN_BRUTEFORCE = f"""
+WITH n AS ({_DUCK_VEC_N}),
+scored AS ({_DUCK_BF_SCORED})
 SELECT query_id, neighbor_id, rank, cosine FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
@@ -734,12 +741,9 @@ nb AS (
 _LSH_N_PLANES = similarity.LSH_BANDS * similarity.LSH_BAND_BITS
 _LSH_BITS = similarity.LSH_BAND_BITS
 
-SQL_KNN_LSH = f"""
-WITH n AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e,
-         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-  FROM embeddings
-),
+# Banded-SRP candidate generation + exact re-scoring, as a reusable
+# CTE chain ending in `lsh_scored` (expects an `n` CTE in scope).
+_DUCK_LSH_CANDS = f"""
 planes AS (SELECT * FROM (VALUES {_srp_planes_values(_LSH_N_PLANES)}) t(p, w)),
 nb AS (
   SELECT vec_id, e, nrm, p // {_LSH_BITS} AS band_id,
@@ -753,18 +757,22 @@ cand AS (
   FROM nb q JOIN nb c ON q.band_id = c.band_id AND q.bucket = c.bucket
   WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
 ),
-scored AS (
+lsh_scored AS (
   SELECT cand.query_id, cand.neighbor_id,
          list_sum(list_transform(range(1, 65), j -> q.e[j] * c.e[j]))
            / (q.nrm * c.nrm) AS cosine
   FROM cand
   JOIN n q ON q.vec_id = cand.query_id
   JOIN n c ON c.vec_id = cand.neighbor_id
-)
+)"""
+
+SQL_KNN_LSH = f"""
+WITH n AS ({_DUCK_VEC_N}),
+{_DUCK_LSH_CANDS}
 SELECT query_id, neighbor_id, rank, cosine FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
-  )::BIGINT AS rank FROM scored
+  )::BIGINT AS rank FROM lsh_scored
 ) WHERE rank <= 5
 """
 
@@ -803,18 +811,8 @@ def q_ann_recall_lsh(spark, sf_dir):
 
 
 SQL_ANN_RECALL_LSH = f"""
-WITH n AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e,
-         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-  FROM embeddings
-),
-bf_scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_sum(list_transform(range(1, 65), j -> q.e[j] * c.e[j]))
-           / (q.nrm * c.nrm) AS cosine
-  FROM n q, n c
-  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
-),
+WITH n AS ({_DUCK_VEC_N}),
+bf_scored AS ({_DUCK_BF_SCORED}),
 bf AS (
   SELECT query_id, neighbor_id FROM (
     SELECT *, row_number() OVER (
@@ -822,32 +820,12 @@ bf AS (
     ) AS rank FROM bf_scored
   ) WHERE rank <= 5
 ),
-planes AS (SELECT * FROM (VALUES {_srp_planes_values(_LSH_N_PLANES)}) t(p, w)),
-nb AS (
-  SELECT vec_id, e, nrm, p // {_LSH_BITS} AS band_id,
-         sum(CASE WHEN list_sum(list_transform(range(1, 65), j -> e[j] * w[j])) > 0
-                  THEN 1 << (p % {_LSH_BITS}) ELSE 0 END)::BIGINT AS bucket
-  FROM n CROSS JOIN planes
-  GROUP BY vec_id, e, nrm, p // {_LSH_BITS}
-),
-cand AS (
-  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM nb q JOIN nb c ON q.band_id = c.band_id AND q.bucket = c.bucket
-  WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id
-),
-l_scored AS (
-  SELECT cand.query_id, cand.neighbor_id,
-         list_sum(list_transform(range(1, 65), j -> q.e[j] * c.e[j]))
-           / (q.nrm * c.nrm) AS cosine
-  FROM cand
-  JOIN n q ON q.vec_id = cand.query_id
-  JOIN n c ON c.vec_id = cand.neighbor_id
-),
+{_DUCK_LSH_CANDS},
 lsh AS (
   SELECT query_id, neighbor_id FROM (
     SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
-    ) AS rank FROM l_scored
+    ) AS rank FROM lsh_scored
   ) WHERE rank <= 5
 )
 SELECT bf.query_id, count(*) AS n_true,
@@ -1015,6 +993,17 @@ def q_text_quality(spark, sf_dir):
 
 
 _STOP_EN = textops.lang_pattern(textops.STOPWORDS_EN)
+
+# THE oracle-side copy of `textops.quality_score_expr` (inline form
+# over `text`). Every oracle needing the composite score interpolates
+# this one string — the Spark side funnels through one
+# quality_score_expr(), and hand-keeping several SQL copies
+# IEEE-identical is exactly the drift this prevents.
+_DUCK_QUALITY_EXPR = f"""0.4 * least(len(regexp_extract_all(text, '{_STOP_EN}'))
+                     / len({_DUCK_WORDS}) * 4, 1.0)
+         + 0.3 * least(cast(len({_DUCK_WORDS}) as double) / 100.0, 1.0)
+         + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]'))
+                              / length(text) * 10, 1.0))"""
 
 SQL_TEXT_QUALITY = f"""
 WITH t AS (
@@ -1296,11 +1285,7 @@ WITH docs_nd AS ({_ND}),
 t AS (
   SELECT doc_id,
          len({_DUCK_WORDS})::BIGINT AS n_tokens,
-         0.4 * least(len(regexp_extract_all(text, '{_STOP_EN}'))
-                     / len({_DUCK_WORDS}) * 4, 1.0)
-         + 0.3 * least(cast(len({_DUCK_WORDS}) as double) / 100.0, 1.0)
-         + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]'))
-                              / length(text) * 10, 1.0)) AS quality_score,
+         {_DUCK_QUALITY_EXPR} AS quality_score,
          {cascade} AS lang_pred,
          min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
   FROM docs_nd
@@ -2831,13 +2816,11 @@ SELECT lang, count(*) AS n_kept, max(h) AS kth_hash,
 FROM bottom WHERE rn <= {sketches.KMV_K} GROUP BY lang
 """
 
-# Existing/incoming split for the Bloom screen: div 2000000 flips the
-# parity of the EXACT-COPY band (+2000000, doc_id % 11 == 0 originals)
-# so copies land opposite their original — a plain doc_id % 2 split
-# keeps every exact-dup group on one side and is_dup is vacuously
-# false. Even-d copies end up incoming vs their existing originals.
-_BLOOM_SPLIT = "(doc_id // 2000000 + doc_id) % 2"
-_BLOOM_SPLIT_SPARK = "(doc_id div 2000000 + doc_id) % 2"
+# Existing/incoming split for the Bloom screen — shared with the
+# streaming twin via sources.derived so the two cannot drift (the
+# rationale for the div-2000000 band mix lives there).
+_BLOOM_SPLIT = BLOOM_SPLIT_DUCK
+_BLOOM_SPLIT_SPARK = BLOOM_SPLIT_SPARK
 
 
 def q_bloom_dedup(spark, sf_dir):
@@ -2924,15 +2907,10 @@ def _sql_quality_scored() -> str:
     """Shared CTE body: (lang, doc_id, n_tokens, quality_score) with
     the exact `textops.quality_score_expr` arithmetic (integer counts
     divided as exact ints, same fold order)."""
-    stop = textops.lang_pattern(textops.STOPWORDS_EN)
     return f"""
   SELECT lang, doc_id,
          len({_DUCK_WORDS})::BIGINT AS n_tokens,
-         0.4 * least(len(regexp_extract_all(text, '{stop}'))
-                     / len({_DUCK_WORDS}) * 4, 1.0)
-         + 0.3 * least(cast(len({_DUCK_WORDS}) as double) / 100.0, 1.0)
-         + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[.,;:!?]'))
-                              / length(text) * 10, 1.0)) AS quality_score
+         {_DUCK_QUALITY_EXPR} AS quality_score
   FROM documents
 """
 

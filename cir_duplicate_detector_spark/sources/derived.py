@@ -85,6 +85,16 @@ def derive_near_dup_corpus(documents: DataFrame) -> DataFrame:
     return spark.sql(near_dup_corpus_sql("spark")).repartition(width)
 
 
+# Existing/incoming split for the Bloom membership screen (batch AND
+# streaming twins — one definition so they cannot drift): div 2000000
+# flips the parity of the EXACT-COPY band (+2000000, doc_id % 11 == 0
+# originals) so copies land opposite their original; a plain doc_id % 2
+# split keeps every exact-dup group on one side and the screen's
+# ground-truth column is vacuously false.
+BLOOM_SPLIT_SPARK = "(doc_id div 2000000 + doc_id) % 2"
+BLOOM_SPLIT_DUCK = "(doc_id // 2000000 + doc_id) % 2"
+
+
 # Deterministic planted PII over `documents` (the synthetic texts carry
 # none). Single dialect-neutral SQL: `||`, CASE, CAST(AS STRING) and
 # `%` behave identically in Spark SQL and DuckDB.

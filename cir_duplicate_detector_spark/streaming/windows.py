@@ -110,23 +110,23 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate detection AS A STREAM: the continuously-ingesting
-    form of `operators.dedup.exact_duplicates` — documents arrive on a
-    file stream, the derived near-dup corpus branches (original / mutant
-    / exact copy, same expressions as `sources.derived`) are unioned
-    stream-side, and duplicate groups accumulate in a complete-mode
-    hash-state aggregation keyed on the 128-bit digest. State is one
-    entry per distinct text digest (the bounded-state shape: digest +
-    count, never the text). Returns ``(text_hash, group_size)`` for
-    groups > 1, identical to the batch oracle's digest/count pairs.
+def _stream_near_dup_corpus(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> DataFrame:
+    """File-stream over the documents parquet with the derived
+    near-dup corpus branches (original / truncation mutant / exact
+    copy) applied STREAM-SIDE — the same expressions as
+    ``sources.derived.near_dup_corpus_sql``, kept here in streaming
+    form because that builder emits one batch SQL string. The file
+    stream source requires a DIRECTORY; the single parquet file is
+    staged into a temp dir via symlink (zero-copy).
     """
     import os
     import tempfile
 
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix="docs_dedup_stream_")
+    stage = tempfile.mkdtemp(prefix=prefix)
     os.symlink(path, os.path.join(stage, "documents.parquet"))
     docs = spark.readStream.schema(schema).parquet(stage)
     words = "split(text, '\\\\s+')"
@@ -139,7 +139,21 @@ def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = docs.where("doc_id % 11 = 0").selectExpr(
         "doc_id + 2000000 AS doc_id", "text"
     )
-    corpus = orig.unionAll(mut).unionAll(copies)
+    return orig.unionAll(mut).unionAll(copies)
+
+
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection AS A STREAM: the continuously-ingesting
+    form of `operators.dedup.exact_duplicates` — documents arrive on a
+    file stream, the derived near-dup corpus branches (original / mutant
+    / exact copy, same expressions as `sources.derived`) are unioned
+    stream-side, and duplicate groups accumulate in a complete-mode
+    hash-state aggregation keyed on the 128-bit digest. State is one
+    entry per distinct text digest (the bounded-state shape: digest +
+    count, never the text). Returns ``(text_hash, group_size)`` for
+    groups > 1, identical to the batch oracle's digest/count pairs.
+    """
+    corpus = _stream_near_dup_corpus(spark, sf_dir, "docs_dedup_stream_")
     agg = (
         corpus.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.count("*").alias("group_size"))
@@ -172,18 +186,14 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the two registry entries share one oracle string by construction
     (the batch/streaming twin guard in ``plans/__init__``).
     """
-    import os
-    import tempfile
-
     from ..operators.dedup import BLOOM_K, bloom_bit_positions
-    from ..sources.derived import derive_near_dup_corpus
+    from ..sources.derived import BLOOM_SPLIT_SPARK, derive_near_dup_corpus
 
     # Static side (batch): bitset + exact-key set of the existing split.
-    split = "(doc_id div 2000000 + doc_id) % 2"
     docs_b = derive_near_dup_corpus(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
-    existing = docs_b.where(F.expr(split) == 0)
+    existing = docs_b.where(F.expr(BLOOM_SPLIT_SPARK) == 0)
     key_b = F.md5("text")
     bits = (
         existing.select(F.explode(bloom_bit_positions(key_b)).alias("bit"))
@@ -195,25 +205,10 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Stream side: documents file stream -> derived-corpus branches
-    # (same expressions as sources.derived) -> incoming split.
-    path = f"{sf_dir}/documents.parquet"
-    schema = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix="docs_bloom_stream_")
-    os.symlink(path, os.path.join(stage, "documents.parquet"))
-    docs = spark.readStream.schema(schema).parquet(stage)
-    words = "split(text, '\\\\s+')"
-    orig = docs.select("doc_id", "text")
-    mut = docs.where("doc_id % 5 = 0").selectExpr(
-        "doc_id + 1000000 AS doc_id",
-        f"array_join(slice({words}, 1, greatest(size({words}) - 3, 1)), ' ')"
-        " AS text",
-    )
-    copies = docs.where("doc_id % 11 = 0").selectExpr(
-        "doc_id + 2000000 AS doc_id", "text"
-    )
-    incoming = (
-        orig.unionAll(mut).unionAll(copies).where(F.expr(split) == 1)
-    )
+    # (shared helper) -> incoming split.
+    incoming = _stream_near_dup_corpus(
+        spark, sf_dir, "docs_bloom_stream_"
+    ).where(F.expr(BLOOM_SPLIT_SPARK) == 1)
 
     probed = (
         incoming.select("doc_id", F.md5("text").alias("key"))

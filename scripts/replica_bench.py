@@ -29,6 +29,9 @@ DEFAULT_QUERIES = [
     "chunk_dedup",
     "token_budget_sample",
     "quality_band",
+    "doc_repetition",
+    "pack_sequences",
+    "ann_recall_lsh",
 ]
 
 

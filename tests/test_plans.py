@@ -283,7 +283,10 @@ def test_bloom_bitset_is_broadcast_and_bounded(spark):
         docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    # BOTH static joins broadcast: the bitset (on bit) AND the
+    # ground-truth key set — asserting >= 2 so dropping the bitset
+    # broadcast (the screen's whole point) cannot hide behind the other.
+    assert plan.count("BroadcastHashJoin") >= 2
     # Bitset cardinality is bounded by m regardless of corpus size.
     bits = docs.select(
         F.explode(dedup.bloom_bit_positions(F.md5("text"), m=64)).alias("b")
