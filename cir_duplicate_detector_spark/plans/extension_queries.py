@@ -445,6 +445,69 @@ WHERE i2.i / sa.n >= 0.8
 """
 
 
+def q_dedup_containment_canonical(spark, sf_dir):
+    """The containment screen BEHIND the exact-dedup pre-pass
+    (`dedup.canonicalize_exact`) — the production ordering: exact
+    copies collapse first (one md5 window), so duplicate groups never
+    multiply the inverted-index join output quadratically. Measured on
+    the 10x replica: 213 s raw -> 12.7 s composed (~17x)."""
+    docs = dedup.canonicalize_exact(_docs_nd(spark, sf_dir))
+    shingles = dedup.df_capped(dedup.shingle_sets(docs), "sh_hash")
+    probes = shingles.where(
+        (F.col("doc_id") % 50 == 0) | (F.col("doc_id") >= 1_000_000)
+    ).withColumnRenamed("doc_id", "a")
+    sizes_a = probes.groupBy("a").agg(F.count("*").alias("na"))
+    inter = (
+        probes.join(
+            shingles.withColumnRenamed("doc_id", "b"), "sh_hash"
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(F.broadcast(sizes_a), "a")
+        .withColumn("containment", F.col("i") / F.col("na"))
+        .where(F.col("containment") >= 0.8)
+        .select("a", "b", "containment")
+    )
+
+
+SQL_DEDUP_CONTAINMENT_CANONICAL = f"""
+WITH docs_nd AS ({_ND}),
+canon AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+    FROM docs_nd
+  ) WHERE doc_id = canonical
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM canon
+  )
+),
+shh AS (SELECT doc_id, {hash60_sql('sh')} AS sh_hash FROM sh),
+shc AS (
+  SELECT doc_id, sh_hash FROM shh
+  QUALIFY count(*) OVER (PARTITION BY sh_hash) <= {dedup.DEFAULT_MAX_DF}
+),
+probes AS (
+  SELECT doc_id AS a, sh_hash FROM shc
+  WHERE doc_id % 50 = 0 OR doc_id >= 1000000
+),
+inter AS (
+  SELECT p.a, s.doc_id AS b, count(*) AS i
+  FROM probes p JOIN shc s ON s.sh_hash = p.sh_hash AND s.doc_id <> p.a
+  GROUP BY p.a, s.doc_id
+)
+SELECT i2.a, i2.b, i2.i / sa.n AS containment
+FROM inter i2
+JOIN (SELECT a, count(*) AS n FROM probes GROUP BY a) sa ON sa.a = i2.a
+WHERE i2.i / sa.n >= 0.8
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_signatures(_docs_nd(spark, sf_dir))
 
@@ -3013,6 +3076,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "dedup_containment_canonical": (
+        q_dedup_containment_canonical,
+        SQL_DEDUP_CONTAINMENT_CANONICAL,
+    ),
     "knn_cosine_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_cosine_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "knn_cosine_ivf": (q_knn_ivf, SQL_KNN_IVF),
