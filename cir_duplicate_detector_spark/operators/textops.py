@@ -114,10 +114,11 @@ def chunk_dedup(
     Returns ``(chunk_hash, n_docs, n_occurrences, canonical_doc)``.
 
     Physical shape: :func:`chunk_documents` is a pure scan (zero
-    shuffles), and this adds exactly ONE hash-aggregate shuffle on the
-    128-bit chunk digest — group keys are digests, never text, so the
-    shuffle payload is ~48 bytes/chunk at any corpus size, and the
-    count-distinct expands map-side.
+    shuffles); the aggregation shuffles twice (the two-phase
+    count-distinct: (chunk_hash, doc_id) occurrence dedup, then the
+    per-digest counts) — both keyed on the 128-bit digest, never the
+    text, so the shuffle payload is ~48 bytes/chunk at any corpus
+    size. Pinned by ``tests/test_plans.py``.
     """
     ch = chunk_documents(docs, chunk_tokens, step)
     return (

@@ -137,6 +137,22 @@ def test_semantic_dedup_blind_across_clusters(spark):
     assert (1, 41) not in ids
 
 
+# ------------------------------------------------ exact canonicalization
+
+def test_canonicalize_exact_keeps_smallest_id(spark):
+    df = _docs(
+        spark,
+        [(5, "same text"), (2, "same text"), (9, "same text"), (7, "other")],
+    )
+    out = sorted(r.doc_id for r in dedup.canonicalize_exact(df).collect())
+    assert out == [2, 7]
+
+
+def test_canonicalize_exact_preserves_non_dups(spark):
+    df = _docs(spark, [(i, f"unique {i}") for i in range(10)])
+    assert dedup.canonicalize_exact(df).count() == 10
+
+
 # ----------------------------------------------------- chunk-level dedup
 
 def test_chunk_dedup_finds_repeated_passage(spark):

@@ -323,3 +323,26 @@ def test_kmv_bottom_k_bounded_output(spark):
     assert all(r.n_kept <= 16 for r in rows)
     # And exactly one output row per group.
     assert out.groupBy("lang").count().where("count > 1").count() == 0
+
+
+def test_chunk_dedup_digest_keyed_shuffles_only(spark):
+    # Chunking is a pure scan; the dedup aggregation shuffles exactly
+    # twice — the two-phase count-distinct: once on (chunk_hash,
+    # doc_id) to dedup occurrences, once on chunk_hash for the final
+    # counts. BOTH exchanges are keyed on the 128-bit digest (never the
+    # text), which is the property that keeps the shuffle payload
+    # ~48 bytes/chunk at any corpus size.
+    from cir_duplicate_detector_spark.operators import textops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        textops.chunk_dedup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 2
+    assert all("chunk_hash" in l for l in exchanges)
