@@ -3052,6 +3052,93 @@ FROM packed GROUP BY lang, pack_id
 """
 
 
+PIPELINE_MIN_QUALITY = 0.4
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The END-TO-END pre-training curation pipeline as ONE lazy DAG,
+    composed from the engine's stages — proof the operators compose the
+    way a user would chain them:
+
+      raw documents
+        → `dedup.canonicalize_exact`        (exact-dup collapse first —
+                                             the measured-17x ordering)
+        → quality floor (`quality_score_expr >= 0.4`)
+        → held-out eval split excluded (doc_id % 10 == 7) and
+          `textops.decontaminate`-flagged train docs dropped
+        → `textops.pack_sequences`          (training-sequence manifest)
+
+    Output: the final per-pack manifest. Catalyst fuses the scan-side
+    stages (canonicalize window + quality + splits ride one scan); the
+    decon gram join and the pack window are the only data-sized
+    shuffles.
+    """
+    from ..operators.dedup import canonicalize_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = canonicalize_exact(docs)
+    train = canon.where(
+        (F.expr("doc_id % 10") != 7)
+        & (textops.quality_score_expr() >= PIPELINE_MIN_QUALITY)
+    )
+    eval_docs = docs.where(F.expr("doc_id % 10") == 7)
+    contaminated = textops.decontaminate(train, eval_docs).select("doc_id")
+    clean = train.join(contaminated, "doc_id", "anti")
+    return textops.pack_sequences(clean)
+
+
+def _sql_curation_pipeline() -> str:
+    n, seq = textops.DECON_NGRAM, textops.SEQ_LEN
+    grams8 = _DUCK_SHINGLES8
+    return f"""
+WITH canon AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+    FROM documents
+  ) WHERE doc_id = canonical
+),
+train AS (
+  SELECT doc_id, lang, text FROM canon
+  WHERE doc_id % 10 <> 7 AND ({_DUCK_QUALITY_EXPR}) >= {PIPELINE_MIN_QUALITY}
+),
+evg AS (
+  SELECT DISTINCT doc_id AS eval_id, {hash60_sql('sh')} AS g FROM (
+    SELECT doc_id, unnest({grams8}) AS sh
+    FROM documents WHERE doc_id % 10 = 7
+  )
+),
+hot AS (SELECT g FROM evg GROUP BY g HAVING count(*) > {dedup.DEFAULT_MAX_DF}),
+evc AS (SELECT * FROM evg WHERE g NOT IN (SELECT g FROM hot)),
+trg AS (
+  SELECT DISTINCT doc_id, {hash60_sql('sh')} AS g FROM (
+    SELECT doc_id, unnest({grams8}) AS sh FROM train
+  )
+),
+contaminated AS (
+  SELECT DISTINCT t.doc_id FROM trg t JOIN evc e ON t.g = e.g
+),
+clean AS (
+  SELECT * FROM train
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+sized AS (
+  SELECT lang, doc_id, len({_DUCK_WORDS})::BIGINT AS n_tokens FROM clean
+),
+packed AS (
+  SELECT lang, doc_id, n_tokens,
+         (sum(n_tokens) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          )::BIGINT - n_tokens) // {seq} AS pack_id
+  FROM sized
+)
+SELECT lang, pack_id, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens, min(doc_id) AS first_doc
+FROM packed GROUP BY lang, pack_id
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (
@@ -3143,6 +3230,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "token_budget_sample": (q_token_budget_sample, _sql_token_budget_sample()),
     "quality_band": (q_quality_band, _sql_quality_band()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
