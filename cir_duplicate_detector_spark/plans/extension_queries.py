@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import hash60_sql
 from ..operators import dedup, events, multimodal, similarity, sketches, textops
+from ..operators.skew import salted_join
 from ..sources.derived import (
     BLOOM_SPLIT_DUCK,
     BLOOM_SPLIT_SPARK,
@@ -1664,6 +1665,54 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
+def q_tpch_q5_skewed(spark, sf_dir):
+    """tpch_q5 with the lineitem<-(orders x customer) join routed
+    through ``skew.salted_join``.
+
+    The physical-plan demonstration query for the explicit skew tool:
+    at 100 TB a handful of mega-orders can make ``l_orderkey`` hot
+    enough that one shuffle partition of the lineitem<-orders join
+    dominates the stage, and the build side (orders x customer in the
+    date window) is too big to broadcast — the exact case AQE skew
+    splitting cannot always fix and ``salted_join`` is for. The salt
+    scatters each hot l_orderkey over 8 sub-keys; results are
+    IDENTICAL to tpch_q5, so the two queries share one oracle string
+    (asserted in plans.__init__).
+    """
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - dec("l_discount")
+    )
+    ordc = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select(F.col("o_orderkey").alias("okey"), "c_nationkey")
+    )
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"),
+        "l_suppkey", "l_extendedprice", "l_discount",
+    )
+    return (
+        salted_join(li, ordc, on="okey", num_salts=8)
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
 TPCH_Q18_QTY = 160
 
 
@@ -3199,6 +3248,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q5_skewed": (q_tpch_q5_skewed, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),

@@ -346,3 +346,13 @@ def test_chunk_dedup_digest_keyed_shuffles_only(spark):
     ]
     assert len(exchanges) == 2
     assert all("chunk_hash" in l for l in exchanges)
+
+
+def test_tpch_q5_skewed_salts_the_fact_join(spark):
+    # The skewed variant must actually scatter: the salt column appears
+    # in a join's keys (okey + __salt__), and the result still carries
+    # no salt column (dropped before the agg).
+    plan = _plan(spark, "tpch_q5_skewed")
+    assert "__salt__" in plan
+    fn, _ = ALL_QUERIES["tpch_q5_skewed"]
+    assert "__salt__" not in fn(spark, SF).columns
