@@ -16,9 +16,12 @@ artifact — SURVEY §7.4.4).
 Scale notes (100 TB): the window shuffle partitions by ``base_url``; a
 pathological URL shared by millions of rows would make a hot partition,
 but the *output semantics* require the full member list per row, so that
-cost is inherent. AQE skew-join handling does not apply to windows;
-callers with known mega-groups should pre-filter them (they are rarely
-meaningful duplicates).
+cost is inherent. AQE skew-join handling does not apply to windows; the
+opt-in ``max_group_size`` bound drops known mega-groups (they are rarely
+meaningful duplicates — a link shortener, a platform root URL) with a
+cheap map-side-combined count pre-pass before the window ever
+materializes a member array, mirroring ``dedup.df_capped``'s rationale.
+Default ``None`` keeps exact reference semantics.
 """
 
 from __future__ import annotations
@@ -39,11 +42,18 @@ EMPTY_SCHEMA = "index string, url_duplicates array<string>"
 def find_url_duplicates(
     df: DataFrame,
     indexes_to_check: list[str] | DataFrame | None = None,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """Return ``(index, url_duplicates)`` for rows with >=1 url duplicate.
 
     ``df`` must have columns ``index`` (unique string) and ``url``
     (nullable string). Null urls are dropped (reference ``url.py:70-74``).
+
+    ``max_group_size``: opt-in skew guard — normalized-url groups with
+    more rows than this are dropped entirely (logged at plan build)
+    before the member-list window runs, so one viral URL cannot emit a
+    million-element array per member row. ``None`` (default) = exact
+    reference semantics, every group annotated.
 
     ``indexes_to_check``: a list embeds as a plan literal (reference
     shape, right for small interactive probe sets); a DataFrame joins as
@@ -73,6 +83,26 @@ def find_url_duplicates(
         df.where(F.col("url").isNotNull())
         .select("index", normalize_url(F.col("url")).alias("base_url"))
     )
+
+    if max_group_size is not None:
+        if max_group_size < 1:
+            raise ValueError(
+                f"max_group_size must be >= 1, got {max_group_size}"
+            )
+        logger.info(
+            "find_url_duplicates: dropping url groups larger than %d rows",
+            max_group_size,
+        )
+        # Count pre-pass is map-side combined (tiny: one row per
+        # distinct base_url); the anti-join side holds only the
+        # over-bound keys, which Catalyst broadcasts when small.
+        hot = (
+            base.groupBy("base_url")
+            .count()
+            .where(F.col("count") > max_group_size)
+            .select("base_url")
+        )
+        base = base.join(hot, "base_url", "anti")
 
     members = F.collect_list("index").over(Window.partitionBy("base_url"))
     annotated = base.withColumn("members", members).where(F.size("members") > 1)

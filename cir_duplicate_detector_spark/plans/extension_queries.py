@@ -2884,7 +2884,16 @@ n AS (
          sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm
   FROM emb_nd
 ),
-cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
+-- sqrt-scaled centroid sampling: greatest(2, floor(sqrt(N))) is the
+-- oracle twin of similarity.sqrt_centroid_mod (isqrt == floor(sqrt)
+-- at any testable N).
+cmod AS (
+  SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) AS m FROM n
+),
+cent AS (
+  SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n
+  WHERE vec_id % (SELECT m FROM cmod) = 0
+),
 sc AS (
   SELECT n.vec_id, n.e, n.nrm, c.cid,
          list_sum(list_transform(range(1, 65), j -> n.e[j] * c.ce[j]))

@@ -77,3 +77,27 @@ def test_no_duplicates_empty_result(spark):
     rows = [("A", "x.com/1"), ("B", "x.com/2")]
     out = find_url_duplicates(spark.createDataFrame(rows, "index string, url string"))
     assert out.count() == 0
+
+
+def test_url_duplicates_max_group_size_drops_planted_hot_key(spark):
+    # One viral url shared by 50 rows, one normal pair. The opt-in cap
+    # drops the mega-group before the window materializes its member
+    # array; the pair survives; default None keeps reference semantics.
+    import pytest
+
+    rows = [(f"V{i:03d}", "https://viral.example.com/hot") for i in range(50)]
+    rows += [("P1", "https://a.example.com/x"), ("P2", "http://a.example.com/x")]
+    df = spark.createDataFrame(rows, "index string, url string")
+
+    capped = find_url_duplicates(df, max_group_size=10)
+    got = rows_by_index(capped)
+    assert set(got) == {"P1", "P2"}
+    assert got["P1"]["url_duplicates"] == ["P2"]
+
+    uncapped = find_url_duplicates(df)
+    assert uncapped.count() == 52
+    # A bound the group fits under changes nothing.
+    assert find_url_duplicates(df, max_group_size=50).count() == 52
+
+    with pytest.raises(ValueError, match="max_group_size"):
+        find_url_duplicates(df, max_group_size=0)
