@@ -63,9 +63,15 @@ def df_capped(index: DataFrame, key: str, max_df: int = DEFAULT_MAX_DF) -> DataF
 
     Physical shape: a partial-aggregated groupBy count (map-side
     combine, so a hot key never concentrates its raw rows on one task)
-    produces the hot-key list — small BY CONSTRUCTION (at most
-    rows/max_df keys) — which anti-joins back as a broadcast. The index
-    itself is never shuffled by the cap.
+    produces the hot-key list, which anti-joins back. The hot-key side
+    is NOT force-broadcast (round-4 advice): its bound is rows/max_df
+    keys, which grows LINEARLY with the index — a 10¹²-row index at
+    max_df=1000 admits up to 10⁹ hot keys, far past broadcast safety.
+    Leaving the strategy to Catalyst/AQE gets the broadcast anti-join
+    whenever the runtime-measured hot set is small (every realistic
+    corpus: at sf0.1 the set is empty) and a shuffle anti-join when it
+    is not — the same size-gated posture as ``jaccard_pairs``, but
+    decided from runtime stats instead of a plan-time count job.
     """
     hot = (
         index.groupBy(key)
@@ -73,7 +79,7 @@ def df_capped(index: DataFrame, key: str, max_df: int = DEFAULT_MAX_DF) -> DataF
         .where(F.col("_df") > max_df)
         .select(key)
     )
-    return index.join(F.broadcast(hot), key, "left_anti")
+    return index.join(hot, key, "left_anti")
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -257,14 +263,18 @@ def jaccard_pairs(
     broadcast memory (`with_a` carries a shingle array per pair and is
     output-tracking — force-broadcasting it unbounded is the 100 TB OOM
     the gate exists to prevent). Pass ``candidate_count`` when the
-    caller already materialized the candidate frame; otherwise this
-    function counts it (one cheap job on a materialized input).
+    caller already materialized the candidate frame (then the gate
+    costs nothing); with ``candidate_count=None`` this function
+    materializes ``candidates`` itself before counting — counting an
+    unmaterialized frame would execute the (expensive) candidate plan
+    once for the count and AGAIN per verify branch (round-4 advice).
 
     Jaccard = i / (|A| + |B| - i) over exact ints — bitwise equal to the
     DuckDB oracle.
     """
     cand = candidates.select("a", "b")
     if candidate_count is None:
+        cand = materialize(cand)
         candidate_count = cand.count()
     if candidate_count <= broadcast_max_pairs:
         hint = F.broadcast

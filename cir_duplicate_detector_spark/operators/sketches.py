@@ -60,10 +60,16 @@ def kmv_distinct(
     Bottom-k runs in two phases (a per-group global sort would put a
     whole group's distinct vocabulary on ONE task at 100 TB):
 
-    1. salt by ``h % KMV_SALT_BUCKETS``: each (group, salt) aggregation
-       keeps only its LOCAL bottom-k (sorted slice of the bucket's
-       hashes) — S parallel tasks per group, ≤ S·k surviving rows;
-    2. exact global bottom-k over the exploded locals via a per-group
+    1. salt by ``h % KMV_SALT_BUCKETS``: a ``row_number`` window over
+       each (group, salt) bucket keeps only its LOCAL bottom-k — S
+       parallel partitions per group, ≤ S·k surviving rows. A window,
+       NOT a ``collect_list`` aggregation, deliberately: WindowExec
+       buffers each partition in a spillable external row array, so
+       per-task memory stays bounded even when one bucket holds
+       ~1/S of a 10¹⁰-hash vocabulary; an aggregation buffer holding
+       the bucket's whole hash set would be resident in one task's
+       heap before the sort/slice (round-4 advice).
+    2. exact global bottom-k over the survivors via a per-group
        window that now sorts ≤ S·k rows.
 
     Phase 1 is lossless: any hash in the global bottom-k has < k
@@ -77,11 +83,14 @@ def kmv_distinct(
     hashed = items.select(
         F.col(group), hash60(F.col(value), seed="kmv").alias("h")
     ).distinct()
-    local = (
-        hashed.groupBy(group, (F.col("h") % KMV_SALT_BUCKETS).alias("_salt"))
-        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("loc"))
+    w_local = Window.partitionBy(
+        group, (F.col("h") % KMV_SALT_BUCKETS)
+    ).orderBy("h")
+    merged = (
+        hashed.withColumn("_lrn", F.row_number().over(w_local))
+        .where(F.col("_lrn") <= k)
+        .select(group, "h")
     )
-    merged = local.select(group, F.explode("loc").alias("h"))
     w = Window.partitionBy(group).orderBy("h")
     bottom = (
         merged.withColumn("rn", F.row_number().over(w))
