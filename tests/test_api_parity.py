@@ -123,14 +123,49 @@ def test_empty_string_hashes_never_match(spark):
     )
 
 
-def test_compat_shims_raise_with_guidance():
-    # Reference execution-harness symbols exist at the package root so
-    # ported code fails fast with a redirect, not an AttributeError.
+def test_compat_pdq_hash_tree_is_functional():
+    # Ported reference code that builds a PDQHashTree directly must RUN
+    # and produce the reference answers (reference bk_tree.py:22-97
+    # shapes): construct from (id, binary-hash) pairs, probe with
+    # get_duplicates, self-excluded by id, dist <= n, distance-sorted.
     import pytest
 
     import cir_duplicate_detector_spark as cds
+    from cir_duplicate_detector_spark.functions.hashes import hex_to_binary
 
-    with pytest.raises(NotImplementedError, match="banded"):
-        cds.PDQHashTree(None)
-    with pytest.raises(NotImplementedError, match="find_pdq_hash_duplicates"):
-        cds.run_in_parallel(lambda x: x, [1, 2])
+    zeros = hex_to_binary("00" * 32, 256)
+    three = hex_to_binary("07" + "00" * 31, 256)  # dist 3 from zeros
+    far = hex_to_binary("ff" * 32, 256)  # dist 256 from zeros
+    corpus = {"A": zeros, "B": three, "C": far, "D": zeros}
+
+    tree = cds.PDQHashTree(corpus)
+    assert len(tree) == 4
+
+    # t=0.9 -> n=26: A matches D (dist 0) then B (dist 3); never itself.
+    out = tree.get_duplicates({"A": zeros}, 0.9)
+    assert out == [
+        [{"index": "D", "dist": 0}, {"index": "B", "dist": 3}]
+    ]
+    # Bidirectional shape: probing C finds nothing at t=0.9...
+    assert tree.get_duplicates({"C": far}, 0.9) == [[]]
+    # ...and everything at t=0.0 (n=256), self still excluded,
+    # distance-sorted: B is 253 bits away, A/D the full 256.
+    assert [h["index"] for h in tree.get_duplicates({"C": far}, 0.0)[0]] == [
+        "B",
+        "A",
+        "D",
+    ]
+
+    with pytest.raises(ValueError):
+        tree.get_duplicates({"A": zeros}, 1.1)
+    with pytest.warns(UserWarning, match="empty"):
+        assert tree.get_duplicates({}, 0.9) == []
+
+
+def test_compat_run_in_parallel_is_functional():
+    # Reference utils.py:108-146 semantics: tuple tasks unpack as
+    # *args, non-tuples pass whole, results keep task order.
+    import cir_duplicate_detector_spark as cds
+
+    assert cds.run_in_parallel(lambda a, b: a + b, [(1, 2), (3, 4)]) == [3, 7]
+    assert cds.run_in_parallel(lambda x: x * 2, [5, 6], num_workers=4) == [10, 12]

@@ -399,3 +399,50 @@ def test_semantic_dedup_centroid_mod_is_corpus_scaled(spark):
     )
     assert f"% {mod})" in splan
     assert "% 40)" not in splan
+
+
+def test_composed_dag_builds_with_zero_jobs(spark):
+    # README "Composing in larger DAGs": with every documented bypass
+    # applied, building a composed plan over the flagship operators must
+    # submit ZERO Spark jobs — construction stays pure and the whole
+    # DAG executes at the terminal action. Job submissions from this
+    # thread are tagged with a job group; any eager probe would land in
+    # it and fail the assertion.
+    from pyspark.sql import functions as F
+
+    import cir_duplicate_detector_spark as cds
+    from cir_duplicate_detector_spark.operators import dedup
+    from cir_duplicate_detector_spark.sources.entries import derive_entries
+
+    sc = spark.sparkContext
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    entries = derive_entries(docs)
+
+    sc.setJobGroup("plan-build-purity", "composed DAG construction")
+    try:
+        detected = cds.detect_duplicates(
+            entries,
+            pqd_hash_similarity_threshold=0.9,
+            pdq_duplicate_detection_method="banded",
+            validate=False,
+            max_hex_len=64,
+        )
+        hashed = dedup.hashed_shingle_arrays(docs.select("doc_id", "text"))
+        cands = dedup.lsh_candidates(dedup.minhash_signatures(hashed))
+        near = dedup.jaccard_pairs(
+            hashed, cands, 0.5, candidate_count=10_000
+        )
+        composed = detected.join(
+            near.select(
+                F.concat(F.lit("UW"), F.lpad(F.col("a").cast("string"), 8, "0"))
+                .alias("index")
+            ),
+            "index",
+            "left",
+        )
+        job_ids = sc.statusTracker().getJobIdsForGroup("plan-build-purity")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(job_ids) == [], f"plan build submitted jobs: {job_ids}"
+    # The plan is real: it executes (outside the tagged group).
+    assert composed.count() > 0
