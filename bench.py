@@ -207,30 +207,64 @@ def main() -> None:
             )
         ),
     )
+    # The reference's RECOMMENDED operating point (README.md:90): full
+    # corpus, t=0.8, naive — its heaviest published number (~110 s on
+    # 20 cores). Measured head-on, symmetrize included (r4 verdict
+    # item 3; the t=0.9 ref30k_naive point stays for the scan-cost
+    # comparison — naive scan cost is threshold-flat, but t=0.8 emits
+    # a heavier symmetrize output, which this point now measures).
+    timed(
+        "ref30k_t08_naive",
+        lambda: _flat_pdq(
+            find_pdq_hash_duplicates(
+                ref_entries(),
+                pqd_hash_similarity_threshold=0.8,
+                duplicate_detection_method="naive",
+                max_hex_len=64,
+            )
+        ),
+    )
 
-    # The driver records only the LAST 2000 chars of stdout
-    # (BENCH_r03: a 3-decimal, spaced line overflowed that window and
-    # "parsed" came back null). Emit ONE compact line and degrade value
-    # precision if the registry ever grows the line past the window;
-    # full 3-decimal detail is already on stderr.
+    # COMPLETE per-query results (full precision, every timed query) go
+    # to a committed repo artifact: the registry outgrew the driver's
+    # 2000-char stdout window in round 3 and again in round 4 (15
+    # queries elided from the parsed line — r4 verdict item 4; ~98 full
+    # query names alone exceed the window, so no one-line encoding can
+    # carry them all). The stdout line stays the driver-parsed summary
+    # and POINTS HERE via "queries_full".
+    full = {
+        "metric": "headline_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "n_queries": len(timings),
+    }
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # The driver json-parses from the first '{' of the LAST ~2000 chars
+    # of output (verified against BENCH_r02-r04: junk before the brace
+    # is tolerated, an overflowing line is not — r3's "parsed" came
+    # back null). Emit ONE compact line, last, under the window:
+    # adaptive precision first (1 decimal under 10 s, 0 decimals above,
+    # trailing ".0" stripped), then drop the FASTEST queries one at a
+    # time — they carry the least signal and the complete map is in
+    # BENCH_FULL.json — recording how many were elided.
+    def _fmt(t: float) -> float:
+        v = f"{t:.1f}" if t < 10 else f"{t:.0f}"
+        return json.loads(v.removesuffix(".0") or "0")
+
     payload = {
         "metric": "headline_total_runtime",
         "value": round(total, 2),
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: _fmt(t) for n, t in timings.items()},
         "sf": sf,
+        "queries_full": "BENCH_FULL.json",
     }
-    line = ""
-    for ndigits in (2, 1):
-        payload["queries"] = {
-            n: float(f"{t:.{ndigits}f}") for n, t in timings.items()
-        }
-        line = json.dumps(payload, separators=(",", ":"))
-        if len(line) <= 1900:
-            break
-    # Still too wide (the registry grew): drop the FASTEST queries from
-    # the map one at a time — they carry the least signal and the full
-    # per-query detail is on stderr — and record how many were elided.
+    line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
         kept = dict(
             sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
@@ -238,12 +272,15 @@ def main() -> None:
         while len(line) > 1900 and kept:
             kept.popitem()  # fastest remaining
             payload["queries"] = {
-                n: float(f"{t:.1f}") for n, t in timings.items() if n in kept
+                n: _fmt(t) for n, t in timings.items() if n in kept
             }
             payload["queries_omitted"] = len(timings) - len(kept)
             line = json.dumps(payload, separators=(",", ":"))
-    print(line)
     spark.stop()
+    # Printed AFTER spark.stop() so no shutdown chatter can push the
+    # line's head out of the driver's tail window.
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -27,79 +27,81 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Front of the line (the driver verifies the FIRST 50 entries):
-# (a) the 30 queries with no round-3 driver row (they were green in
-#     round 2 and in the uncapped local parity suite, but rotate to the
-#     front so every registered query has a fresh driver-green row),
-# (b) the two round-3 hash-mismatch fixes (oracle ::BIGINT casts),
-# (c) queries whose PLANS changed between rounds 3 and 4: the jaccard
-#     candidate pipeline gained a size-gated broadcast (dedup_minhash,
-#     dup_clusters, cluster_representatives) and the inverted-index
-#     family gained a document-frequency hot-key cap (dedup_containment,
-#     doc_topk_similar, dedup_ngram_jaccard; substring_dup is in (a)),
-# (e) the 11 queries NEW in round 4 — never driver-verified,
-# (d) one reference-core flagship (driver-green in round 3; the rest of
-#     the core set ceded its slots to (e)). Everything past entry 50
-#     follows in registry order — all of it driver-green in r2/r3 and
-#     covered by the uncapped local parity suite every round.
+# Front of the line (the driver verifies the FIRST 50 entries), round 5:
+# (a) 3 queries with NO driver row ever: dedup_containment_canonical
+#     and curation_pipeline landed at registry positions 70/90 in round
+#     4 (outside its window — r4 verdict item 1), tpch_q5_skewed is new
+#     this round;
+# (b) 8 queries whose PLANS changed this round: semantic_dedup (√N-
+#     scaled centroid modulus, results change with it), distinct_kmv
+#     (phase-1 bottom-k is now a spillable window), and the six
+#     df_capped consumers (the hot-key anti-join no longer forces a
+#     broadcast): dedup_containment, doc_topk_similar,
+#     dedup_ngram_jaccard, substring_dup, decontaminate,
+#     dedup_incremental;
+# (c) the 11 reference-core queries whose last driver row is round 3
+#     (they ceded their round-4 slots to the then-new extension set);
+# (d) 28 extension queries whose last driver row is round 2/3 (registry
+#     positions 61-92 in round 4's ordering). rollup_orders and
+#     window_topn — r3-green trivial aggregates — are the two stale
+#     queries that cede their slots to (a)/(b); they and the 44 round-4-
+#     green queries follow past entry 50 in registry order, all covered
+#     by the uncapped local parity suite every round.
 _PRIORITY = [
-    # (a) no round-3 driver row
-    "embedding_near_dup",
-    "text_quality",
-    "token_count",
-    "lang_id",
-    "doc_fingerprint",
-    "substring_dup",
-    "corpus_curation",
-    "pii_redact",
-    "ngram_topk",
-    "stratified_sample",
-    "dedup_incremental",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "events_window",
-    "events_window_streaming",
-    "events_sessionize",
-    "events_sessionize_stateful",
-    "events_asof",
-    "events_json",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q18",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q22_like",
-    "tpch_q4_like",
-    # (b) round-3 red rows, oracles fixed this round
-    "tpch_q12_like",
-    "corpus_stats_cube",
-    # (c) plan-changed last round
-    "dedup_minhash",
-    "dup_clusters",
-    "cluster_representatives",
+    # (a) never driver-verified
+    "dedup_containment_canonical",
+    "curation_pipeline",
+    "tpch_q5_skewed",
+    # (b) plan changed this round
+    "semantic_dedup",
+    "distinct_kmv",
     "dedup_containment",
     "doc_topk_similar",
     "dedup_ngram_jaccard",
-    # (e) NEW this round (round 4) — never driver-verified
+    "substring_dup",
     "decontaminate",
-    "semantic_dedup",
-    "distinct_kmv",
-    "bloom_dedup",
-    "chunk_dedup",
-    "token_budget_sample",
-    "quality_band",
-    "bloom_dedup_streaming",
-    "doc_repetition",
-    "pack_sequences",
-    "ann_recall_lsh",
-    # (d) reference core (all driver-green in round 3; the tail of the
-    # core set cedes its slots to the new round-4 queries — the driver
-    # verifies the FIRST 50 entries only)
-    "detect_duplicates",
+    "dedup_incremental",
+    # (c) reference core, last driver row round 3
+    "url_normalize",
+    "url_duplicates",
+    "url_duplicates_probed",
+    "hash_explode_dedup",
+    "hash_decode",
+    "pdq_pairs",
+    "pdq_duplicates_naive",
+    "pdq_duplicates_banded",
+    "pdq_duplicates_probed",
+    "pdq_duplicates_t08_probed",
+    "pdq_duplicates_t08_probe30",
+    # (d) extensions, last driver row round 2/3
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_exact_streaming",
+    "url_domain_stats",
+    "doc_chunks",
+    "docs_jsonl_roundtrip",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "knn_cosine_bruteforce",
+    "knn_cosine_lsh",
+    "knn_cosine_ivf",
+    "knn_pq_adc",
+    "events_funnel",
+    "tpch_q7_like",
+    "tpch_q8_like",
+    "tpch_q17_like",
+    "tpch_q19_like",
+    "tpch_q21_like",
+    "tpch_q2_like",
+    "tpch_q9_like",
+    "tpch_q11_like",
+    "tpch_q15_like",
+    "tpch_q16_like",
+    "tpch_q20_like",
+    "events_distinct_users",
+    "events_distinct_users_streaming",
+    "events_quantiles",
+    "dup_overlap",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {
