@@ -558,3 +558,121 @@ def curate_corpus(
         & (F.col("lang_pred") == language)
         & (F.col("quality_score") >= min_quality)
     ).select("doc_id", "n_tokens", "quality_score")
+
+
+def bigram_novelty(docs: DataFrame) -> DataFrame:
+    """Corpus-frequency n-gram language-model scoring, integer-exact.
+
+    The classic LM-based quality signal (KenLM-style perplexity scoring
+    a la CCNet/Gopher) needs log-probabilities, whose libm rounding
+    differs across engines; this operator keeps the *signal* — "is this
+    document made of common or of never-seen-again word sequences?" —
+    in exact integer arithmetic so every value is reproducible
+    bit-for-bit anywhere:
+
+    * ``avg_gram_freq`` — mean corpus frequency of the document's word
+      bigram occurrences (high = boilerplate-like, low = novel), one
+      exact ``sum(bigint)/count`` division;
+    * ``rare_ratio`` — fraction of the document's bigram occurrences
+      whose corpus frequency is 1 (hapax bigrams: high = unique prose
+      or noise), again a single exact division.
+
+    Physical shape: one explode + map-side-combined count aggregate
+    builds the corpus bigram frequency table, then one equi-join of
+    gram occurrences against it and a per-document re-aggregate — two
+    key-partitioned shuffles, both scale-out; no broadcast of the
+    (corpus-sized) frequency table, and hot boilerplate grams are
+    AQE-skew-join territory, same shape as :func:`decontaminate`.
+    Documents shorter than 2 words shingle to the whole text
+    (``word_shingles`` contract), so no document drops out.
+    """
+    from ..functions.text import word_shingles
+
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", 2)).alias("gram")
+    )
+    freq = grams.groupBy("gram").agg(F.count("*").alias("freq"))
+    return (
+        grams.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("freq").alias("freq_sum"),
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("freq_sum") / F.col("n_grams")).alias("avg_gram_freq"),
+            (F.col("n_rare") / F.col("n_grams")).alias("rare_ratio"),
+        )
+    )
+
+
+def domain_mixture(
+    docs: DataFrame, budget_docs: int = 100_000
+) -> DataFrame:
+    """Temperature-scaled source-mixture weights for training-data
+    sampling (the multi-corpus mixing step of every LLM data pipeline:
+    upweight small high-quality sources, damp the giant crawl).
+
+    Weight of source d with n_d documents is ``sqrt(n_d)`` normalized
+    over sources — temperature alpha = 1/2, chosen because IEEE-754
+    ``sqrt`` is correctly rounded on every engine (an ``n^0.7``-style
+    ``pow`` is not, and a 1-ulp divergence would break cross-engine
+    reproducibility). The rounded 1e6-scaled weight numerators are
+    BIGINTs, so the normalization denominator is an exact integer sum
+    (order-independent) and ``expected_docs`` is exact integer
+    arithmetic end-to-end.
+
+    One groupBy(source) aggregate (map-side combined) over the scan; the
+    unpartitioned normalization window moves only one tiny row per
+    source — cardinality = #corpora, not #documents.
+    """
+    from pyspark.sql import Window
+
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("total_tokens"),
+    )
+    w_num = F.round(F.sqrt(F.col("n_docs")) * 1_000_000).cast("bigint")
+    denom = F.sum("w_num").over(Window.partitionBy())
+    return (
+        per_source.withColumn("w_num", w_num)
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("w_num") / denom).alias("weight"),
+            F.floor(F.lit(budget_docs) * F.col("w_num") / denom)
+            .cast("bigint")
+            .alias("expected_docs"),
+        )
+    )
+
+
+def assign_shards(docs: DataFrame, n_shards: int = 20) -> DataFrame:
+    """Deterministic global shuffle + sharding for training output: the
+    final step that turns a curated corpus into N equal-ish shard files
+    in a reproducible pseudo-random read order.
+
+    Each document hashes to a shard (seeded 60-bit hash, so the
+    assignment is stable across runs, engines, and partition layouts —
+    unlike ``repartition``'s internal hash) and gets a within-shard
+    position by hash order (hash ties broken by doc_id). Writing with
+    ``partitionBy(shard) sortWithinPartitions(pos)`` then streams each
+    shard in training order. The only wide operation is the per-shard
+    ranking window, partitioned on the shard key — shards are the
+    parallel unit, so the sort scales out with shard count; no global
+    sort, no driver state.
+    """
+    from pyspark.sql import Window
+
+    h = hash60(F.col("doc_id").cast("string"), seed="shard")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )

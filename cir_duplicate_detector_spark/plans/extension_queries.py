@@ -3197,6 +3197,67 @@ FROM packed GROUP BY lang, pack_id
 """
 
 
+# ------------------------------------------- LM scoring / mixing / sharding
+
+def q_bigram_novelty(spark, sf_dir):
+    return textops.bigram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+# word_shingles(n=2) twin: len(W)-1 two-word grams, whole text when <2
+_DUCK_BIGRAMS = f"""
+CASE WHEN len({_DUCK_WORDS}) < 2 THEN [text]
+     ELSE [array_to_string(list_slice({_DUCK_WORDS}, i, i + 1), ' ')
+           for i in range(1, len({_DUCK_WORDS}))] END
+"""
+
+SQL_BIGRAM_NOVELTY = f"""
+WITH grams AS (
+  SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS gram FROM documents
+),
+freq AS (SELECT gram, count(*)::BIGINT AS freq FROM grams GROUP BY gram)
+SELECT g.doc_id AS doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(f.freq)::BIGINT / count(*)::BIGINT AS avg_gram_freq,
+       sum(CASE WHEN f.freq = 1 THEN 1 ELSE 0 END)::BIGINT
+         / count(*)::BIGINT AS rare_ratio
+FROM grams g JOIN freq f USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+def q_domain_mixture(spark, sf_dir):
+    return textops.domain_mixture(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOMAIN_MIXTURE = f"""
+WITH s AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len({_DUCK_WORDS}))::BIGINT AS total_tokens,
+         round(sqrt(count(*)) * 1000000)::BIGINT AS w_num
+  FROM documents GROUP BY source
+),
+d AS (SELECT sum(w_num)::BIGINT AS denom FROM s)
+SELECT source, n_docs, total_tokens,
+       w_num / denom AS weight,
+       floor(100000 * w_num / denom)::BIGINT AS expected_docs
+FROM s, d
+"""
+
+
+def q_shard_assign(spark, sf_dir):
+    return textops.assign_shards(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_shard_assign() -> str:
+    h = hash60_sql("doc_id::VARCHAR", "'shard'")
+    return f"""
+WITH h AS (SELECT doc_id, {h} AS h FROM documents)
+SELECT doc_id, (h % 20)::INT AS shard,
+       row_number() OVER (PARTITION BY h % 20 ORDER BY h, doc_id)::BIGINT AS pos
+FROM h
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (
@@ -3298,4 +3359,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "corpus_stats_cube": (q_corpus_stats_cube, SQL_CORPUS_STATS_CUBE),
     "window_topn": (q_window_topn, SQL_WINDOW_TOPN),
+    "bigram_novelty": (q_bigram_novelty, SQL_BIGRAM_NOVELTY),
+    "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
+    "shard_assign": (q_shard_assign, _sql_shard_assign()),
 }

@@ -100,8 +100,10 @@ def _vecs(spark, rows, dim=4):
 
 
 def test_semantic_dedup_within_cluster(spark):
-    # vec 0 is the only centroid (vec_id % 40 == 0); all vectors join
-    # its cluster. 1 and 2 are identical (cosine 1), 3 is orthogonal.
+    # centroid_mod pinned to 40: vec 0 is the only centroid, all
+    # vectors join its cluster (the default is √N-scaled, which at N=4
+    # would promote vec 2 to a centroid and split the cluster). 1 and 2
+    # are identical (cosine 1), 3 is orthogonal.
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
         (1, [0.9, 0.1, 0.0, 0.0]),
@@ -109,7 +111,7 @@ def test_semantic_dedup_within_cluster(spark):
         (3, [0.0, 0.0, 0.0, 1.0]),
     ]
     out = similarity.semantic_near_duplicates(
-        _vecs(spark, rows), threshold=0.999
+        _vecs(spark, rows), threshold=0.999, centroid_mod=40
     ).collect()
     pairs = {(r.a, r.b): r for r in out}
     assert (1, 2) in pairs
@@ -131,7 +133,7 @@ def test_semantic_dedup_blind_across_clusters(spark):
         (41, [0.6, 0.8, 0.0, 0.0]),
     ]
     out = similarity.semantic_near_duplicates(
-        _vecs(spark, rows), threshold=0.5
+        _vecs(spark, rows), threshold=0.5, centroid_mod=40
     ).collect()
     ids = {(r.a, r.b) for r in out}
     assert (1, 41) not in ids
@@ -301,3 +303,55 @@ def test_bloom_tiny_filter_false_positives(spark):
     out = dedup.bloom_filter_dedup(existing, incoming, m=4, k=2).collect()
     assert all(not r.is_dup for r in out)
     assert any(r.bloom_hit for r in out)  # saturated filter -> FPs
+
+
+# ------------------------------------- LM scoring / mixing / sharding
+
+def test_bigram_novelty_counts(spark):
+    # doc 1: grams {"a b", "b c"}; doc 2: gram {"a b"}. Corpus freq:
+    # "a b"=2, "b c"=1 -> doc1 avg=(2+1)/2, rare_ratio=1/2; doc2 avg=2.
+    out = {
+        r.doc_id: r
+        for r in textops.bigram_novelty(
+            _docs(spark, [(1, "a b c"), (2, "a b")])
+        ).collect()
+    }
+    assert out[1].n_grams == 2 and out[2].n_grams == 1
+    assert out[1].avg_gram_freq == 1.5 and out[1].rare_ratio == 0.5
+    assert out[2].avg_gram_freq == 2.0 and out[2].rare_ratio == 0.0
+
+
+def test_bigram_novelty_short_doc_whole_text_gram(spark):
+    # <2 words: the whole text is the single gram (word_shingles
+    # contract) -- the doc does not drop out.
+    out = textops.bigram_novelty(_docs(spark, [(1, "solo")])).collect()
+    assert [(r.doc_id, r.n_grams, r.rare_ratio) for r in out] == [(1, 1, 1.0)]
+
+
+def test_domain_mixture_sqrt_weights(spark):
+    df = spark.createDataFrame(
+        [(i, "w x y z", "big") for i in range(4)] + [(9, "w", "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in textops.domain_mixture(df).collect()}
+    # w_num: big=sqrt(4)*1e6=2e6, small=1e6 -> weights 2/3, 1/3.
+    assert abs(out["big"].weight - 2 / 3) < 1e-12
+    assert abs(out["small"].weight - 1 / 3) < 1e-12
+    assert out["big"].total_tokens == 16 and out["small"].total_tokens == 1
+    # expected_docs are exact floors summing to <= budget
+    assert out["big"].expected_docs == 66666
+    assert out["small"].expected_docs == 33333
+
+
+def test_assign_shards_deterministic_and_dense(spark):
+    docs = _docs(spark, [(i, "t") for i in range(50)])
+    a = textops.assign_shards(docs, n_shards=4).collect()
+    b = textops.assign_shards(docs, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # run-stable
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # positions are dense 1..len within every shard
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
