@@ -175,10 +175,24 @@ def _naive_pairs(
         joined = c.repartition(slices).crossJoin(F.broadcast(p))
     else:
         joined = _grid_joined(p, c, _grid_size(spark))
+    # Cascaded short-circuit predicate: the cumulative prefix sums
+    # bit_count(x0) <= n, bit_count(x0)+bit_count(x1) <= n, ... are each
+    # implied by the full distance bound (bit counts are non-negative),
+    # and the last conjunct IS the full bound — so the filter is
+    # semantically identical to `hamming64 <= n`, but codegen's
+    # short-circuit AND rejects a random far pair after 1-2 of the 4
+    # xor/bit_count terms (at n=26 the first word alone kills ~92% of
+    # random pairs; measured 4.2 s -> 3.2 s on the 30k-hash grid scan).
+    joined = joined.where(F.col("p_index") != F.col("c_index"))
+    prefix = None
+    for i in range(NUM_CHUNKS64):
+        term = F.bit_count(
+            F.col(f"p_h{i}").bitwiseXOR(F.col(f"c_h{i}"))
+        )
+        prefix = term if prefix is None else prefix + term
+        joined = joined.where(prefix <= F.lit(n_bits))
     return (
-        joined.where(F.col("p_index") != F.col("c_index"))
-        .withColumn("dist", hamming64("p_h", "c_h"))
-        .where(F.col("dist") <= F.lit(n_bits))
+        joined.withColumn("dist", hamming64("p_h", "c_h"))
         .select(F.col("p_index").alias("index"), F.col("c_index").alias("dup"), "dist")
     )
 
