@@ -68,3 +68,99 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
         F.count("*").alias("n_events"),
         _sum_value_exact().alias("sum_value"),
     )
+
+
+def range_join(
+    events: DataFrame,
+    windows: DataFrame,
+    bucket_us: int = HOUR_US,
+    key: str = "user_id",
+) -> DataFrame:
+    """Bucketed interval join: each event row joins every window row of
+    the same ``key`` whose half-open interval ``[start_us, end_us)``
+    contains the event's ``ts_us``. Returns the INNER matched pairs
+    (all window columns + the event columns).
+
+    Spark has no native range-join optimization — a raw
+    ``BETWEEN``-only join degenerates to a per-key nested loop, and a
+    key-only equi-join with a post-filter ships every (event, window)
+    pair of a hot key through the join before filtering. The scalable
+    shape is TIME BUCKETING: windows explode to the buckets they cover,
+    events compute their single containing bucket, and the join is a
+    plain shuffle-hash equi-join on ``(key, bucket)`` with the interval
+    predicate verified inline. An event's bucket is unique, so a
+    multi-bucket window meets it at most once — no pair dedup needed.
+    Replication factor is ``ceil(span / bucket_us) + 1`` per window;
+    pick ``bucket_us`` near the typical span (the standard trade, same
+    as the PDQ band layout selectivity rule).
+
+    ``windows`` needs (``key``, ``start_us``, ``end_us``); empty or
+    inverted intervals are dropped (``sequence`` would otherwise count
+    DOWN and fabricate buckets).
+    """
+    spans = windows.where(F.col("end_us") > F.col("start_us")).withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {int(bucket_us)}"),
+                F.expr(f"(end_us - 1) div {int(bucket_us)}"),
+            )
+        ),
+    )
+    evb = events.withColumn("bucket", F.expr(f"ts_us div {int(bucket_us)}"))
+    return (
+        spans.join(evb, [key, "bucket"])
+        .where(
+            (F.col("ts_us") >= F.col("start_us"))
+            & (F.col("ts_us") < F.col("end_us"))
+        )
+        .drop("bucket")
+    )
+
+
+def purchase_attribution(
+    events: DataFrame, lookback_us: int = HOUR_US
+) -> DataFrame:
+    """Last-touch attribution: every purchase is credited with the
+    user's non-purchase events in the preceding ``lookback_us`` window
+    — the canonical interval-join consumer (ad attribution, incident
+    correlation, feature windows for training data).
+
+    Windows are derived per purchase as ``[ts - lookback, ts)``; the
+    join is :func:`range_join`'s bucketed equi-join (buckets sized to
+    the lookback, so each window explodes to at most 2 buckets).
+    Purchases with no attributable events are kept at zero via the
+    final left join — output is one row per purchase. Value sums
+    accumulate in DECIMAL (exact, order-independent).
+    """
+    wins = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        (F.col("ts_us") - lookback_us).alias("start_us"),
+        F.col("ts_us").alias("end_us"),
+    )
+    touches = events.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    matched = range_join(touches, wins, bucket_us=lookback_us).groupBy(
+        "purchase_id"
+    ).agg(
+        F.count("*").alias("n_attributed"),
+        _sum_value_exact().alias("attributed_value"),
+    )
+    return (
+        wins.select("purchase_id", "user_id", "purchase_ts_us")
+        .join(matched, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts_us",
+            F.coalesce(F.col("n_attributed"), F.lit(0)).cast("bigint").alias(
+                "n_attributed"
+            ),
+            F.coalesce(F.col("attributed_value"), F.lit(0.0)).alias(
+                "attributed_value"
+            ),
+        )
+    )

@@ -28,11 +28,11 @@ except ImportError:
     pass
 
 # Front of the line (the driver verifies the FIRST 50 entries), round 5:
-# (a) 6 queries with NO driver row ever: dedup_containment_canonical
+# (a) 7 queries with NO driver row ever: dedup_containment_canonical
 #     and curation_pipeline landed at registry positions 70/90 in round
 #     4 (outside its window — r4 verdict item 1); tpch_q5_skewed,
-#     bigram_novelty, domain_mixture and shard_assign are new this
-#     round;
+#     bigram_novelty, domain_mixture, shard_assign and
+#     events_attribution are new this round;
 # (b) 8 queries whose PLANS changed this round: semantic_dedup (√N-
 #     scaled centroid modulus, results change with it), distinct_kmv
 #     (phase-1 bottom-k is now a spillable window), and the six
@@ -42,14 +42,14 @@ except ImportError:
 #     dedup_incremental;
 # (c) the 11 reference-core queries whose last driver row is round 3
 #     (they ceded their round-4 slots to the then-new extension set);
-# (d) 25 extension queries whose last driver row is round 2/3 (registry
-#     positions 61-92 in round 4's ordering). Five r2/r3-green queries
+# (d) 24 extension queries whose last driver row is round 2/3 (registry
+#     positions 61-92 in round 4's ordering). Six r2/r3-green queries
 #     cede their slots to (a)/(b): rollup_orders, window_topn,
-#     events_distinct_users_streaming, events_quantiles, dup_overlap —
-#     never-verified queries outrank stale-green ones for driver slots.
-#     They and the 44 round-4-green queries follow past entry 50 in
-#     registry order, all covered by the uncapped local parity suite
-#     every round.
+#     events_distinct_users, events_distinct_users_streaming,
+#     events_quantiles, dup_overlap — never-verified queries outrank
+#     stale-green ones for driver slots. They and the 44 round-4-green
+#     queries follow past entry 50 in registry order, all covered by
+#     the uncapped local parity suite every round.
 _PRIORITY = [
     # (a) never driver-verified
     "dedup_containment_canonical",
@@ -58,6 +58,7 @@ _PRIORITY = [
     "bigram_novelty",
     "domain_mixture",
     "shard_assign",
+    "events_attribution",
     # (b) plan changed this round
     "semantic_dedup",
     "distinct_kmv",
@@ -104,7 +105,6 @@ _PRIORITY = [
     "tpch_q15_like",
     "tpch_q16_like",
     "tpch_q20_like",
-    "events_distinct_users",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {

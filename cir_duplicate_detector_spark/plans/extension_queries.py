@@ -3197,6 +3197,36 @@ FROM packed GROUP BY lang, pack_id
 """
 
 
+def q_events_attribution(spark, sf_dir):
+    return events.purchase_attribution(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_ATTRIBUTION = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+  FROM events
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us FROM ev
+  WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT p.purchase_id,
+         count(*)::BIGINT AS n_attributed,
+         sum(e.value::DECIMAL(18,2))::DOUBLE AS attributed_value
+  FROM p JOIN ev e
+    ON e.user_id = p.user_id AND e.event_type <> 'purchase'
+   AND e.ts_us >= p.purchase_ts_us - 3600000000
+   AND e.ts_us < p.purchase_ts_us
+  GROUP BY p.purchase_id
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts_us,
+       coalesce(m.n_attributed, 0)::BIGINT AS n_attributed,
+       coalesce(m.attributed_value, 0.0)::DOUBLE AS attributed_value
+FROM p LEFT JOIN m USING (purchase_id)
+"""
+
+
 # ------------------------------------------- LM scoring / mixing / sharding
 
 def q_bigram_novelty(spark, sf_dir):
@@ -3362,4 +3392,5 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "bigram_novelty": (q_bigram_novelty, SQL_BIGRAM_NOVELTY),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "shard_assign": (q_shard_assign, _sql_shard_assign()),
+    "events_attribution": (q_events_attribution, SQL_EVENTS_ATTRIBUTION),
 }

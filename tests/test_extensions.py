@@ -406,3 +406,60 @@ def test_substring_dup_hot_key_bounded(spark):
     )
     assert textops.substring_duplicates(docs, max_df=100).count() == 40 * 39 // 2
     assert textops.substring_duplicates(docs, max_df=10).count() == 0
+
+
+def test_range_join_bucketed_interval_semantics(spark):
+    # Window [100, 200) for user 1 with bucket 60: covers buckets 1-3.
+    # Events at 99 (out), 100 (in), 150 (in), 200 (out, half-open),
+    # and user 2 at 150 (wrong key).
+    ev = spark.createDataFrame(
+        [(1, 99), (2, 100), (3, 150), (4, 200), (5, 150)],
+        "event_id bigint, ts_us bigint",
+    ).withColumn("user_id", F.when(F.col("event_id") == 5, 2).otherwise(1))
+    wins = spark.createDataFrame(
+        [(1, 100, 200)], "user_id bigint, start_us bigint, end_us bigint"
+    )
+    got = sorted(
+        r["event_id"]
+        for r in events.range_join(ev, wins, bucket_us=60).collect()
+    )
+    assert got == [2, 3]
+
+
+def test_range_join_empty_interval_dropped(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, 100)], "event_id bigint, user_id bigint, ts_us bigint"
+    )
+    wins = spark.createDataFrame(
+        [(1, 100, 100), (1, 200, 100)],
+        "user_id bigint, start_us bigint, end_us bigint",
+    )
+    assert events.range_join(ev, wins, bucket_us=60).count() == 0
+
+
+def test_purchase_attribution_lookback(spark):
+    H = 3_600_000_000
+    rows = [
+        # user 1: view 30 min before purchase (attributed), click 2h
+        # before (not), view at the purchase instant (not, half-open)
+        (1, 1, 0, "click", 1.0),
+        (2, 1, H + H // 2, "view", 2.0),
+        (3, 1, 2 * H, "purchase", 50.0),
+        (4, 1, 2 * H, "view", 4.0),
+        # user 2: purchase with nothing before -> kept at zero
+        (5, 2, H, "purchase", 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, user_id bigint, ts_us bigint,"
+        " event_type string, value double",
+    )
+    got = {
+        r["purchase_id"]: r
+        for r in events.purchase_attribution(ev, lookback_us=H).collect()
+    }
+    assert set(got) == {3, 5}
+    assert got[3]["n_attributed"] == 1
+    assert got[3]["attributed_value"] == 2.0
+    assert got[5]["n_attributed"] == 0
+    assert got[5]["attributed_value"] == 0.0
