@@ -33,23 +33,25 @@ except ImportError:
 #     4 (outside its window — r4 verdict item 1); tpch_q5_skewed,
 #     bigram_novelty, domain_mixture, shard_assign and
 #     events_attribution are new this round;
-# (b) 8 queries whose PLANS changed this round: semantic_dedup (√N-
-#     scaled centroid modulus, results change with it), distinct_kmv
-#     (phase-1 bottom-k is now a spillable window), and the six
-#     df_capped consumers (the hot-key anti-join no longer forces a
-#     broadcast): dedup_containment, doc_topk_similar,
+# (b) 9 queries whose PLANS changed this round: detect_duplicates
+#     (cascaded short-circuit Hamming predicate in the naive scan),
+#     semantic_dedup (√N-scaled centroid modulus, results change with
+#     it), distinct_kmv (phase-1 bottom-k is now a spillable window),
+#     and the six df_capped consumers (the hot-key anti-join no longer
+#     forces a broadcast): dedup_containment, doc_topk_similar,
 #     dedup_ngram_jaccard, substring_dup, decontaminate,
 #     dedup_incremental;
 # (c) the 11 reference-core queries whose last driver row is round 3
 #     (they ceded their round-4 slots to the then-new extension set);
-# (d) 24 extension queries whose last driver row is round 2/3 (registry
-#     positions 61-92 in round 4's ordering). Six r2/r3-green queries
+# (d) 23 extension queries whose last driver row is round 2/3 (registry
+#     positions 61-92 in round 4's ordering). Seven r2/r3-green queries
 #     cede their slots to (a)/(b): rollup_orders, window_topn,
 #     events_distinct_users, events_distinct_users_streaming,
-#     events_quantiles, dup_overlap — never-verified queries outrank
-#     stale-green ones for driver slots. They and the 44 round-4-green
-#     queries follow past entry 50 in registry order, all covered by
-#     the uncapped local parity suite every round.
+#     events_quantiles, dup_overlap, tpch_q20_like — never-verified and
+#     plan-changed queries outrank stale-green ones for driver slots.
+#     They and the 44 round-4-green queries follow past entry 50 in
+#     registry order, all covered by the uncapped local parity suite
+#     every round.
 _PRIORITY = [
     # (a) never driver-verified
     "dedup_containment_canonical",
@@ -60,6 +62,7 @@ _PRIORITY = [
     "shard_assign",
     "events_attribution",
     # (b) plan changed this round
+    "detect_duplicates",
     "semantic_dedup",
     "distinct_kmv",
     "dedup_containment",
@@ -104,7 +107,6 @@ _PRIORITY = [
     "tpch_q11_like",
     "tpch_q15_like",
     "tpch_q16_like",
-    "tpch_q20_like",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {

@@ -446,3 +446,11 @@ def test_composed_dag_builds_with_zero_jobs(spark):
     assert list(job_ids) == [], f"plan build submitted jobs: {job_ids}"
     # The plan is real: it executes (outside the tagged group).
     assert composed.count() > 0
+
+
+def test_range_join_is_bucketed_equijoin(spark):
+    # The interval join must be the bucketed (key, bucket) equi-join —
+    # never a per-key nested loop over the BETWEEN predicate.
+    plan = _plan(spark, "events_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

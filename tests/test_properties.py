@@ -219,3 +219,43 @@ def test_chunk_documents_matches_model(spark, batch):
         n = len([t for t in __import__("re").split(r"\s+", text) if t])
         _, last_start, last_len = want[-1]
         assert last_start - 1 + last_len == max(n, 0) or n == 0
+
+
+# --- bucketed range join vs the naive BETWEEN model ----------------------
+
+ts_val = st.integers(min_value=0, max_value=500)
+interval = st.tuples(
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=0, max_value=500),
+)
+
+
+@SETTINGS
+@given(
+    events=st.lists(ts_val, min_size=0, max_size=12),
+    wins=st.lists(interval, min_size=0, max_size=6),
+    bucket=st.sampled_from([1, 7, 60, 1000]),
+)
+def test_range_join_matches_between_model(spark, events, wins, bucket):
+    # Model: plain nested-loop over the half-open BETWEEN predicate.
+    expect = sorted(
+        (ei, wi)
+        for ei, ts in enumerate(events)
+        for wi, (s, e) in enumerate(wins)
+        if s <= ts < e
+    )
+    from cir_duplicate_detector_spark.operators.events import range_join
+
+    ev = spark.createDataFrame(
+        [(i, 1, ts) for i, ts in enumerate(events)],
+        "event_id bigint, user_id bigint, ts_us bigint",
+    )
+    wn = spark.createDataFrame(
+        [(i, 1, s, e) for i, (s, e) in enumerate(wins)],
+        "win_id bigint, user_id bigint, start_us bigint, end_us bigint",
+    )
+    got = sorted(
+        (r["event_id"], r["win_id"])
+        for r in range_join(ev, wn, bucket_us=bucket).collect()
+    )
+    assert got == expect
