@@ -3201,6 +3201,12 @@ def q_events_attribution(spark, sf_dir):
     return events.purchase_attribution(load_table(spark, sf_dir, "events"))
 
 
+def q_events_attribution_streaming(spark, sf_dir):
+    from ..streaming.windows import streaming_purchase_attribution
+
+    return streaming_purchase_attribution(spark, sf_dir)
+
+
 SQL_EVENTS_ATTRIBUTION = """
 WITH ev AS (
   SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
@@ -3393,4 +3399,8 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "shard_assign": (q_shard_assign, _sql_shard_assign()),
     "events_attribution": (q_events_attribution, SQL_EVENTS_ATTRIBUTION),
+    "events_attribution_streaming": (
+        q_events_attribution_streaming,
+        SQL_EVENTS_ATTRIBUTION,
+    ),
 }

@@ -279,3 +279,96 @@ def streaming_dedup_to_parquet(
         .start()
     )
     query.awaitTermination()
+
+
+def streaming_purchase_attribution(
+    spark: SparkSession, sf_dir: str, lookback_us: int = HOUR_US
+) -> DataFrame:
+    """Last-touch attribution AS A STREAM: the stream-static form of
+    ``operators.events.purchase_attribution``. Non-purchase TOUCH
+    events arrive on a file stream and join the STATIC purchase-window
+    table through the same bucketed ``(user_id, bucket)`` equi-key +
+    inline interval predicate as the batch ``range_join`` — a
+    stream-static inner join, the supported continuous-ingest shape
+    (each micro-batch pays one hash join against the window table; on
+    a live pipeline the windows relation would be a compacted Delta
+    table). Per-purchase counts/value accumulate in complete-mode
+    aggregation state keyed by purchase_id — bounded by the number of
+    purchases with in-window traffic, not by the stream. The
+    zero-preserving purchase left join runs batch-side on the drained
+    result, so the query shares the batch twin's DuckDB oracle by
+    construction.
+    """
+    import os
+    import tempfile
+
+    from ..operators.events import _sum_value_exact
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="events_attr_stream_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    touches = (
+        with_event_time(spark.readStream.schema(schema).parquet(stage))
+        .where(F.col("event_type") != "purchase")
+        .select("user_id", "ts_us", "value")
+        .withColumn("bucket", F.expr(f"ts_us div {int(lookback_us)}"))
+    )
+    wins = (
+        with_event_time(spark.read.parquet(path))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            (F.col("ts_us") - lookback_us).alias("start_us"),
+            F.col("ts_us").alias("end_us"),
+        )
+    )
+    spans = wins.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {int(lookback_us)}"),
+                F.expr(f"(end_us - 1) div {int(lookback_us)}"),
+            )
+        ),
+    ).select("purchase_id", "user_id", "bucket", "start_us", "end_us")
+    agg = (
+        touches.join(spans, ["user_id", "bucket"])
+        .where(
+            (F.col("ts_us") >= F.col("start_us"))
+            & (F.col("ts_us") < F.col("end_us"))
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_attributed"),
+            _sum_value_exact().alias("attributed_value"),
+        )
+    )
+    name = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    matched = spark.table(name)
+    return (
+        wins.select("purchase_id", "user_id", "purchase_ts_us")
+        .join(matched, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts_us",
+            F.coalesce(F.col("n_attributed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_attributed"),
+            F.coalesce(F.col("attributed_value"), F.lit(0.0)).alias(
+                "attributed_value"
+            ),
+        )
+    )
