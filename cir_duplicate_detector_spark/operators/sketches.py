@@ -121,3 +121,105 @@ def kmv_distinct_tokens(
     """
     toks = docs.select(group, F.explode(tokens("text")).alias("tok"))
     return kmv_distinct(toks, group, "tok", k)
+
+
+# ------------------------------------------------- Count-Min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def cms_sketch(
+    items: DataFrame, value: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan) of the ``value``
+    occurrence stream: ``depth × width`` counters, cell ``(r, c)``
+    counting items whose r-seeded hash lands on column c. Returns the
+    counter table ``(row, col, cnt)`` — at most ``depth·width`` rows
+    REGARDLESS of stream size, the bounded-memory frequency summary
+    that merges across partitions/shards/days by cell-wise addition
+    (same mergeability argument as the KMV sketch above, and the same
+    reason this is reproducible cross-engine where any engine-private
+    sketch register layout is not).
+
+    One explode(depth) + map-side-combined groupBy: duplicate cells
+    collapse to ``depth·width`` partial counters per task before the
+    shuffle, so the shuffle moves O(depth·width·tasks) rows, not the
+    stream.
+    """
+    seed = F.concat(F.lit("cms"), F.col("row").cast("string"))
+    return (
+        items.select(F.col(value).alias("v"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+            "v",
+        )
+        .select("row", (hash60(F.col("v"), seed=seed) % width).alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each candidate: the estimate is the
+    MIN over the candidate's ``depth`` counter cells (each cell
+    overcounts by colliding items, never undercounts — the one-sided
+    CMS guarantee). The sketch side is broadcast — ≤ depth·width rows
+    by construction, safe at any corpus size.
+    """
+    seed = F.concat(F.lit("cms"), F.col("row").cast("string"))
+    probes = candidates.select(F.col(value).alias("cand_v")).select(
+        "cand_v",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).select(
+        "cand_v",
+        "row",
+        (hash60(F.col("cand_v"), seed=seed) % width).alias("col"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("cand_v")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(F.col("cand_v").alias(value), "est_cnt")
+    )
+
+
+def cms_topk_diagnostic(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Self-measuring CMS quality check (the heavy-hitters analogue of
+    ``ann_recall_lsh``): the exact top-k tokens by corpus frequency,
+    each with its Count-Min estimate alongside the truth. ``est_cnt >=
+    true_cnt`` always (one-sided error); the gap measures collision
+    noise at the configured depth×width. Ties at rank k break
+    deterministically on the token string.
+    """
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    true_counts = toks.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("true_cnt")
+    )
+    # Two-phase top-k (same argument as the KMV bottom-k above): a
+    # bare global rank window would sort the WHOLE distinct vocabulary
+    # on one task. Salted local top-k first bounds the global window's
+    # input to ≤ S·k rows; lossless because a global top-k row is top-k
+    # within its own bucket a fortiori.
+    w_local = Window.partitionBy(F.col("tok_salt")).orderBy(
+        F.col("true_cnt").desc(), F.col("tok")
+    )
+    survivors = (
+        true_counts.withColumn("tok_salt", hash60("tok", seed="cmstop") % 64)
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .where(F.col("_lrn") <= k)
+        .select("tok", "true_cnt")
+    )
+    w = Window.orderBy(F.col("true_cnt").desc(), F.col("tok"))
+    top = (
+        survivors.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+    est = cms_estimate(cms_sketch(toks, "tok"), top, "tok")
+    return top.join(est, "tok").select("tok", "rank", "true_cnt", "est_cnt")

@@ -3233,6 +3233,38 @@ FROM p LEFT JOIN m USING (purchase_id)
 """
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    return sketches.cms_topk_diagnostic(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (SELECT unnest({_DUCK_WORDS}) AS tok FROM documents),
+tc AS (SELECT tok, count(*)::BIGINT AS true_cnt FROM toks GROUP BY tok),
+top AS (
+  SELECT tok, true_cnt,
+         row_number() OVER (ORDER BY true_cnt DESC, tok)::BIGINT AS rank
+  FROM tc QUALIFY rank <= 20
+),
+rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+sketch AS (
+  SELECT row,
+         ('0x' || substr(md5('cms' || row || ':' || tok), 1, 15))::BIGINT
+           % 512 AS col,
+         count(*)::BIGINT AS cnt
+  FROM toks, rows_ GROUP BY row, col
+),
+probe_cells AS (
+  SELECT top.tok, top.rank, top.true_cnt, r.row,
+         ('0x' || substr(md5('cms' || r.row || ':' || top.tok), 1, 15))::BIGINT
+           % 512 AS col
+  FROM top CROSS JOIN rows_ r
+)
+SELECT p.tok, p.rank, p.true_cnt, min(s.cnt)::BIGINT AS est_cnt
+FROM probe_cells p JOIN sketch s USING (row, col)
+GROUP BY p.tok, p.rank, p.true_cnt
+"""
+
+
 # ------------------------------------------- LM scoring / mixing / sharding
 
 def q_bigram_novelty(spark, sf_dir):
@@ -3403,4 +3435,5 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         q_events_attribution_streaming,
         SQL_EVENTS_ATTRIBUTION,
     ),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
 }

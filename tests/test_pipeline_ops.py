@@ -355,3 +355,30 @@ def test_assign_shards_deterministic_and_dense(spark):
     # positions are dense 1..len within every shard
     for ps in by_shard.values():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+# ------------------------------------------------- Count-Min sketch
+
+def test_cms_estimate_one_sided_and_exact_heavy(spark):
+    # "hot" appears 30x, others once: with 4x512 cells vs ~4 distinct
+    # tokens, collisions are essentially impossible, so estimates are
+    # exact; the CMS guarantee we pin structurally is est >= truth.
+    text = " ".join(["hot"] * 30 + ["a", "b", "c"])
+    out = {
+        r.tok: r
+        for r in sketches.cms_topk_diagnostic(
+            _docs(spark, [(1, text)]), k=4
+        ).collect()
+    }
+    assert out["hot"].rank == 1 and out["hot"].true_cnt == 30
+    for r in out.values():
+        assert r.est_cnt >= r.true_cnt
+    assert out["hot"].est_cnt == 30
+
+
+def test_cms_sketch_bounded_cells(spark):
+    toks = _docs(spark, [(1, " ".join(f"t{i}" for i in range(2000)))]).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    sk = sketches.cms_sketch(toks, "tok", depth=2, width=16)
+    assert sk.count() <= 2 * 16  # counter table bounded, not stream-sized
