@@ -396,14 +396,16 @@ SELECT a, b, rank, jaccard FROM (
 """
 
 
-def q_dedup_containment(spark, sf_dir):
-    """Asymmetric set containment |A∩B|/|A| — catches documents fully
-    embedded in larger ones, which symmetric Jaccard under-scores (the
-    truncation mutants in the derived corpus are exactly this shape:
-    containment(mutant ⊂ original) = 1.0). The shingle index is
-    df-capped before the join (see q_dedup_ngram_jaccard)."""
-    docs = _docs_nd(spark, sf_dir)
-    shingles = dedup.df_capped(dedup.shingle_sets(docs), "sh_hash")
+def _containment_screen(shingles):
+    """Shared containment tail over a df-capped shingle index. The
+    index feeds THREE subplans (probe side, probe sizes, corpus side);
+    Spark recomputes uncached subtrees per reference (exchange reuse
+    does not fire across the differing projections), so the index is
+    materialized ONCE — measured 6.4 → 5.0 s (canonical) and 4.7 →
+    3.4 s (plain) at sf0.1."""
+    from ..cache import materialize
+
+    shingles = materialize(shingles)
     probes = shingles.where(
         (F.col("doc_id") % 50 == 0) | (F.col("doc_id") >= 1_000_000)
     ).withColumnRenamed("doc_id", "a")
@@ -421,6 +423,18 @@ def q_dedup_containment(spark, sf_dir):
         .withColumn("containment", F.col("i") / F.col("na"))
         .where(F.col("containment") >= 0.8)
         .select("a", "b", "containment")
+    )
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric set containment |A∩B|/|A| — catches documents fully
+    embedded in larger ones, which symmetric Jaccard under-scores (the
+    truncation mutants in the derived corpus are exactly this shape:
+    containment(mutant ⊂ original) = 1.0). The shingle index is
+    df-capped before the join (see q_dedup_ngram_jaccard)."""
+    docs = _docs_nd(spark, sf_dir)
+    return _containment_screen(
+        dedup.df_capped(dedup.shingle_sets(docs), "sh_hash")
     )
 
 
@@ -453,24 +467,8 @@ def q_dedup_containment_canonical(spark, sf_dir):
     multiply the inverted-index join output quadratically. Measured on
     the 10x replica: 213 s raw -> 12.7 s composed (~17x)."""
     docs = dedup.canonicalize_exact(_docs_nd(spark, sf_dir))
-    shingles = dedup.df_capped(dedup.shingle_sets(docs), "sh_hash")
-    probes = shingles.where(
-        (F.col("doc_id") % 50 == 0) | (F.col("doc_id") >= 1_000_000)
-    ).withColumnRenamed("doc_id", "a")
-    sizes_a = probes.groupBy("a").agg(F.count("*").alias("na"))
-    inter = (
-        probes.join(
-            shingles.withColumnRenamed("doc_id", "b"), "sh_hash"
-        )
-        .where(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("i"))
-    )
-    return (
-        inter.join(F.broadcast(sizes_a), "a")
-        .withColumn("containment", F.col("i") / F.col("na"))
-        .where(F.col("containment") >= 0.8)
-        .select("a", "b", "containment")
+    return _containment_screen(
+        dedup.df_capped(dedup.shingle_sets(docs), "sh_hash")
     )
 
 
