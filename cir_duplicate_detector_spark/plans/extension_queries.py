@@ -267,12 +267,14 @@ FROM r WHERE rn = 1
 """
 
 
-def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Probe-vs-corpus exact Jaccard via the shingle inverted index.
-    The index is df-capped (``dedup.df_capped``) before the equi-join:
-    a shingle shared by d docs emits O(d·probes) join rows, so hot
-    boilerplate shingles are dropped like stop-words on both engines
-    (similarity is computed over the capped shingle universe)."""
+def _jaccard_scored(spark, sf_dir):
+    """Shared probe-vs-corpus exact-Jaccard scoring over the df-capped
+    shingle inverted index (consumed by the threshold filter and the
+    top-k retrieval). Unlike `_containment_screen`, the index is NOT
+    materialized here: an interleaved warm-JIT A/B measured no gain
+    (3.30 s either way at sf0.1 — exchange reuse already covers the
+    repeated references on this narrower two-column index), so the
+    plan stays fully lazy."""
     docs = _docs_nd(spark, sf_dir)
     shingles = dedup.df_capped(
         dedup.shingle_sets(docs).select("doc_id", "sh_hash"), "sh_hash"
@@ -294,6 +296,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         )
         .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
         .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Probe-vs-corpus exact Jaccard via the shingle inverted index.
+    The index is df-capped (``dedup.df_capped``) before the equi-join:
+    a shingle shared by d docs emits O(d·probes) join rows, so hot
+    boilerplate shingles are dropped like stop-words on both engines
+    (similarity is computed over the capped shingle universe)."""
+    return (
+        _jaccard_scored(spark, sf_dir)
         .where(F.col("jaccard") >= 0.3)
         .select("a", "b", "jaccard")
     )
@@ -331,34 +344,7 @@ def q_doc_topk_similar(spark, sf_dir):
     per-probe window takes the top-k, ties to the smaller doc_id."""
     from pyspark.sql import Window
 
-    docs = _docs_nd(spark, sf_dir)
-    shingles = dedup.df_capped(
-        dedup.shingle_sets(docs).select("doc_id", "sh_hash"), "sh_hash"
-    )
-    probes = shingles.where(
-        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
-    )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        probes.select(F.col("doc_id").alias("a"), "sh_hash")
-        .join(shingles.select(F.col("doc_id").alias("b"), "sh_hash"), "sh_hash")
-        .where(F.col("a") != F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("i"))
-    )
-    scored = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")),
-            "a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
-            "b",
-        )
-        .withColumn(
-            "jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-        )
-    )
+    scored = _jaccard_scored(spark, sf_dir)
     w = Window.partitionBy("a").orderBy(
         F.col("jaccard").desc(), F.col("b").asc()
     )
@@ -401,8 +387,9 @@ def _containment_screen(shingles):
     index feeds THREE subplans (probe side, probe sizes, corpus side);
     Spark recomputes uncached subtrees per reference (exchange reuse
     does not fire across the differing projections), so the index is
-    materialized ONCE — measured 6.4 → 5.0 s (canonical) and 4.7 →
-    3.4 s (plain) at sf0.1."""
+    materialized ONCE — interleaved warm-JIT A/B at sf0.1 measured
+    5.95 → 4.72 s on the canonical variant (min-of-3 per arm, A/B/A/B
+    order so JIT warm-up cannot masquerade as the gain)."""
     from ..cache import materialize
 
     shingles = materialize(shingles)
