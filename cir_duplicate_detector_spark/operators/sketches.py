@@ -223,3 +223,80 @@ def cms_topk_diagnostic(docs: DataFrame, k: int = 20) -> DataFrame:
     )
     est = cms_estimate(cms_sketch(toks, "tok"), top, "tok")
     return top.join(est, "tok").select("tok", "rank", "true_cnt", "est_cnt")
+
+
+HIST_BINS = 64
+
+
+def histogram_quantiles(
+    events: DataFrame,
+    group: str = "event_type",
+    value: str = "value",
+    nbins: int = HIST_BINS,
+    percents: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Fixed-grid histogram quantile sketch: the mergeable, bounded-
+    state estimator that replaces an exact per-group sort at scale.
+
+    Exact percentiles (`events_quantiles`) need every value of a group
+    in one sorted run; at 100 TB that is the one shape that cannot
+    partial-aggregate. The histogram sketch keeps ``nbins`` counters
+    per group — counters are cell-wise mergeable across partitions,
+    days, and clusters (like the KMV / Count-Min sketches above), the
+    per-group state is O(nbins) regardless of row count, and the whole
+    aggregation partial-combines map-side. The estimate returned for
+    percentile p is the UPPER EDGE of the first bucket whose cumulative
+    count reaches ceil(n·p/100) — a one-sided (≥ the exact percentile)
+    estimate with error bounded by one bucket width, i.e. (max-min)/nbins.
+
+    Engine-reproducible by construction: bucket index is one subtract +
+    one IEEE division + floor (bit-identical on Spark and DuckDB), rank
+    thresholds are exact integer ceil-division, and the bucket edge is
+    one fused multiply-free expression ``v_min + (b+1)·width`` evaluated
+    in the same order on both engines. Degenerate groups (min == max)
+    short-circuit to the exact value.
+
+    This build derives the grid from a first min/max pass (two jobs over
+    the scan); a production pipeline fixes the grid a priori (known
+    metric ranges) and runs ONE pass — the sketch itself is the second
+    half, unchanged.
+    """
+    ev = events.select(group, value).where(F.col(value).isNotNull())
+    stats = ev.groupBy(group).agg(
+        F.min(value).alias("v_min"),
+        F.max(value).alias("v_max"),
+        F.count("*").alias("n"),
+    )
+    width = (F.col("v_max") - F.col("v_min")) / F.lit(float(nbins))
+    degenerate = F.col("v_max") == F.col("v_min")
+    bucket = F.when(degenerate, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(value) - F.col("v_min")) / width).cast("long"),
+            F.lit(nbins - 1),
+        )
+    )
+    counts = (
+        ev.join(F.broadcast(stats), group)
+        .withColumn("bucket", bucket)
+        .groupBy(group, "v_min", "v_max", "n", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy(group)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(wcum))
+    est_cols = []
+    for p in percents:
+        thr = F.expr(f"(n * {p} + 99) div 100")
+        hit_bucket = F.min(F.when(F.col("cum") >= thr, F.col("bucket")))
+        est = F.when(
+            F.min("v_max") == F.min("v_min"), F.min("v_min")
+        ).otherwise(
+            F.min("v_min")
+            + (hit_bucket + 1).cast("double")
+            * ((F.min("v_max") - F.min("v_min")) / F.lit(float(nbins)))
+        )
+        est_cols.append(est.alias(f"est_p{p}"))
+    return cum.groupBy(group).agg(F.min("n").alias("n"), *est_cols)

@@ -676,3 +676,54 @@ def assign_shards(docs: DataFrame, n_shards: int = 20) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "pos")
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k salient terms by TF-IDF — the keyword /
+    topic-signal extraction step of a corpus-analysis pipeline (and the
+    classic sparse-retrieval doc representation).
+
+    Weighting: ``tf × (n_docs / df)`` — LINEAR inverse document
+    frequency rather than the textbook ``log(n_docs/df)``. Rationale:
+    ``tf * n_docs`` is exact integer arithmetic and the single IEEE-754
+    division by ``df`` is correctly rounded identically on every
+    engine, whereas ``ln`` is only ~1-ulp accurate and java.lang.Math
+    vs libm may disagree in the last bit — a value-hash-exact oracle
+    cannot be built on it. For a fixed tf both weightings are strictly
+    decreasing in df; across terms the linear form weights rarity more
+    aggressively (a deliberate variant, not an approximation).
+
+    Shape at scale (100 TB): tokenize+explode is map-side; (doc, term)
+    tf is one hash aggregation; term-level df REUSES the tf relation
+    (one row per (doc, term), so ``count(*)`` per term IS the document
+    frequency) — partial aggregation absorbs stopword skew map-side
+    before the term shuffle. The corpus size joins in as a broadcast
+    1-row relation, df joins back on the term equi-key (AQE handles
+    stopword-key skew), and the final top-k is a per-document
+    row_number window partitioned on doc_id — the parallel unit is the
+    document, no global sort.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )

@@ -3311,6 +3311,111 @@ FROM h
 """
 
 
+def q_tfidf_topterms(spark, sf_dir):
+    return textops.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TFIDF_TOPTERMS = f"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rnk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC,
+                    tf.term
+         )::BIGINT AS rnk
+  FROM tf, dfreq, n WHERE tf.term = dfreq.term
+) WHERE rnk <= 3
+"""
+
+
+def q_events_quantiles_hist(spark, sf_dir):
+    from ..operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_QUANTILES_HIST = """
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type, min(value) AS v_min, max(value) AS v_max,
+         count(*)::BIGINT AS n
+  FROM ev GROUP BY event_type
+),
+bucketed AS (
+  SELECT ev.event_type, stats.v_min, stats.v_max, stats.n,
+         CASE WHEN stats.v_max = stats.v_min THEN 0
+              ELSE least(
+                floor((ev.value - stats.v_min)
+                      / ((stats.v_max - stats.v_min) / 64.0))::BIGINT,
+                63)
+         END AS bucket
+  FROM ev, stats WHERE ev.event_type = stats.event_type
+),
+counts AS (
+  SELECT event_type, v_min, v_max, n, bucket, count(*)::BIGINT AS cnt
+  FROM bucketed GROUP BY 1, 2, 3, 4, 5
+),
+cum AS (
+  SELECT *, sum(cnt) OVER (
+    PARTITION BY event_type ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS cum
+  FROM counts
+)
+SELECT event_type, min(n) AS n,
+       CASE WHEN min(v_max) = min(v_min) THEN min(v_min)
+            ELSE min(v_min)
+                 + CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100
+                                 THEN bucket END) + 1 AS DOUBLE)
+                   * ((min(v_max) - min(v_min)) / 64.0)
+       END AS est_p50,
+       CASE WHEN min(v_max) = min(v_min) THEN min(v_min)
+            ELSE min(v_min)
+                 + CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100
+                                 THEN bucket END) + 1 AS DOUBLE)
+                   * ((min(v_max) - min(v_min)) / 64.0)
+       END AS est_p90,
+       CASE WHEN min(v_max) = min(v_min) THEN min(v_min)
+            ELSE min(v_min)
+                 + CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100
+                                 THEN bucket END) + 1 AS DOUBLE)
+                   * ((min(v_max) - min(v_min)) / 64.0)
+       END AS est_p99
+FROM cum GROUP BY event_type
+"""
+
+
+def q_events_dedup_watermarked(spark, sf_dir):
+    from ..streaming.windows import streaming_dedup_watermarked
+
+    return streaming_dedup_watermarked(spark, sf_dir)
+
+
+SQL_EVENTS_DEDUP_WATERMARKED = """
+WITH deliveries AS (
+  SELECT event_id, event_type FROM events
+  UNION ALL
+  SELECT event_id, event_type FROM events WHERE event_id % 7 = 0
+)
+SELECT event_type, count(DISTINCT event_id) AS n_events
+FROM deliveries GROUP BY event_type
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (
@@ -3421,4 +3526,13 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         SQL_EVENTS_ATTRIBUTION,
     ),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
+    "events_quantiles_hist": (
+        q_events_quantiles_hist,
+        SQL_EVENTS_QUANTILES_HIST,
+    ),
+    "events_dedup_watermarked": (
+        q_events_dedup_watermarked,
+        SQL_EVENTS_DEDUP_WATERMARKED,
+    ),
 }

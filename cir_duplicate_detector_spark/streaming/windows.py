@@ -372,3 +372,60 @@ def streaming_purchase_attribution(
             ),
         )
     )
+
+
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest from an at-least-once source — the
+    watermark-BOUNDED form of per-key dedup state.
+
+    ``streaming_distinct_users`` / ``streaming_dedup_to_parquet`` hold
+    one state entry per distinct key for the lifetime of the query:
+    fine for a drain job, unbounded on a continuous 100 TB ingest. This
+    is the shape a live pipeline runs instead: events arrive on a file
+    stream with planted retransmissions (every 7th event is delivered
+    twice — the at-least-once contract of any replayable bus), the
+    stream carries an event-time watermark, and
+    ``dropDuplicatesWithinWatermark`` on the delivery key keeps the
+    FIRST copy while holding per-key state only until the watermark
+    passes that key's event time plus the delay — state is bounded by
+    event-rate × delay window, independent of corpus cardinality. The
+    guarantee is correspondingly scoped: duplicates separated by more
+    than the delay can both pass (the documented at-most-one-per-window
+    semantics); retransmissions in real buses arrive seconds apart, so
+    a 1 h delay covers them with margin.
+
+    Retained deliveries are emitted append-mode; the batch-side rollup
+    counts them per type. Oracle: distinct event_id per type over the
+    duplicated delivery relation — each event counted once despite
+    double delivery.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="events_wm_dedup_")
+    os.symlink(path, os.path.join(stage, "events.parquet"))
+    raw = spark.readStream.schema(schema).parquet(stage)
+    deliveries = raw.unionAll(raw.where("event_id % 7 = 0"))
+    retained = (
+        with_event_time(deliveries)
+        .withWatermark("ts_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    name = f"stream_wm_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        retained.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
