@@ -39,7 +39,11 @@ def build_replica(spark, n: int) -> str:
     from pyspark.sql import functions as F
 
     out = f"{REPLICA_DIR}_{n}x"
-    for table, key in [("documents", "doc_id"), ("embeddings", "vec_id")]:
+    for table, key in [
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("events", "event_id"),
+    ]:
         src = spark.read.parquet(f"{SRC}/{table}.parquet")
         parts = [
             src.withColumn(key, F.col(key) + F.lit(i * 10_000_000))

@@ -382,3 +382,74 @@ def test_cms_sketch_bounded_cells(spark):
     )
     sk = sketches.cms_sketch(toks, "tok", depth=2, width=16)
     assert sk.count() <= 2 * 16  # counter table bounded, not stream-sized
+
+
+# ------------------------------------------------- TF-IDF top terms
+
+def test_tfidf_linear_idf_ranking(spark):
+    # apple: tf=2 df=1 -> 2*3/1 = 6; banana: tf=1 df=2 -> 1.5.
+    df = _docs(
+        spark,
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry")],
+    )
+    out = textops.tfidf_top_terms(df, k=1).collect()
+    best = {r.doc_id: r for r in out}
+    assert best[1].term == "apple" and best[1].score == 6.0
+    assert best[3].term == "cherry" and best[3].score == 3 * 3 / 2
+    # doc 2: banana and cherry tie at 1*3/2; term asc tie-break -> banana
+    assert best[2].term == "banana"
+
+
+def test_tfidf_k_limits_per_doc(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b")])
+    out = textops.tfidf_top_terms(df, k=3)
+    per_doc = out.groupBy("doc_id").count().collect()
+    assert {r.doc_id: r["count"] for r in per_doc} == {1: 3, 2: 2}
+
+
+# ------------------------------------- histogram quantile sketch
+
+def test_histogram_quantiles_one_sided_bounded_error(spark):
+    vals = [(float(i), "t") for i in range(1, 101)]
+    ev = spark.createDataFrame(vals, "value double, event_type string")
+    row = sketches.histogram_quantiles(ev).collect()[0]
+    width = (100.0 - 1.0) / 64
+    # thr(p) = ceil(100*p/100); exact thr-th smallest value is thr itself.
+    for p in (50, 90, 99):
+        exact = float(p)
+        est = row[f"est_p{p}"]
+        assert exact <= est <= exact + width + 1e-9, (p, est)
+
+
+def test_histogram_quantiles_degenerate_group_exact(spark):
+    ev = spark.createDataFrame(
+        [(7.5, "t")] * 5, "value double, event_type string"
+    )
+    row = sketches.histogram_quantiles(ev).collect()[0]
+    assert row.est_p50 == row.est_p90 == row.est_p99 == 7.5
+
+
+# ------------------------------ watermark-bounded streaming dedup
+
+def test_streaming_dedup_watermarked_one_per_delivery_key(spark):
+    from cir_duplicate_detector_spark.sources.tables import load_table
+    from cir_duplicate_detector_spark.streaming.windows import (
+        streaming_dedup_watermarked,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: r.n_events
+        for r in streaming_dedup_watermarked(spark, sf).collect()
+    }
+    # event_ids are unique in the raw table, so despite every 7th event
+    # being delivered twice the retained count per type must equal the
+    # plain per-type row count.
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
