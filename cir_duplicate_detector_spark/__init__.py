@@ -37,6 +37,7 @@ from .operators import (  # noqa: F401 — public extension namespaces
     multimodal,
     pq,
     similarity,
+    sketches,
     skew,
     textops,
 )
@@ -71,6 +72,7 @@ __all__ = [
     "dedup",
     "similarity",
     "pq",
+    "sketches",
     "textops",
     "events",
     "multimodal",
