@@ -3311,6 +3311,66 @@ FROM h
 """
 
 
+def q_dataset_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split unit is the
+    near-duplicate CLUSTER, not the document. Splitting documents
+    independently leaks near-copies of training docs into eval (the
+    standard contamination failure); hashing the cluster label instead
+    sends every member of a duplicate family to the same side.
+
+    Pipeline: MinHash+LSH pairs → connected components (both the
+    already-audited machinery) → singletons fall back to their own
+    doc_id as group → deterministic 60-bit seeded hash of the group id
+    buckets 90/5/5. Everything after the components is map-side (one
+    left join on doc_id + a hash expression) — the split adds no new
+    shuffle beyond the cluster closure, and the assignment is stable
+    across runs, engines, and partitionings (unlike randomSplit).
+    """
+    from ..functions.text import hash60
+
+    docs = _docs_nd(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
+        "a", "b"
+    )
+    cc = dedup.connected_components(pairs)
+    members = cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("gid")
+    )
+    joined = docs.select("doc_id").join(members, "doc_id", "left")
+    gid = F.coalesce(F.col("gid"), F.col("doc_id"))
+    bucket = F.pmod(hash60(gid.cast("string"), seed="split"), F.lit(100))
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return joined.select(
+        "doc_id",
+        gid.alias("group_id"),
+        bucket.cast("int").alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def _sql_dataset_split() -> str:
+    h = hash60_sql("group_id::VARCHAR", "'split'")
+    return f"""
+WITH RECURSIVE {_DUCK_CC_CTES},
+g AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS group_id
+  FROM docs_nd d LEFT JOIN cc ON cc.doc_id = d.doc_id
+),
+b AS (
+  SELECT doc_id, group_id, ({h} % 100)::INT AS bucket FROM g
+)
+SELECT doc_id, group_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_tfidf_topterms(spark, sf_dir):
     return textops.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -3535,4 +3595,5 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         q_events_dedup_watermarked,
         SQL_EVENTS_DEDUP_WATERMARKED,
     ),
+    "dataset_split": (q_dataset_split, _sql_dataset_split()),
 }

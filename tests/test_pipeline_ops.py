@@ -453,3 +453,25 @@ def test_streaming_dedup_watermarked_one_per_delivery_key(spark):
         .collect()
     }
     assert got == want
+
+
+# --------------------------------- leakage-safe dataset split
+
+def test_dataset_split_cluster_members_share_split(spark):
+    from cir_duplicate_detector_spark.plans.extension_queries import (
+        q_dataset_split,
+    )
+
+    out = q_dataset_split(spark, "/root/testdata/sf0.001").collect()
+    # every document assigned exactly once
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids)) and len(ids) > 0
+    # leakage guarantee: all members of a duplicate group land on the
+    # same side
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())
+    # at least one multi-member group exists in the derived corpus and
+    # all three splits are populated at 90/5/5 over ~1000 groups
+    assert {r.split for r in out} == {"train", "val", "test"}
