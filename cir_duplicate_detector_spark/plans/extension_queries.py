@@ -618,6 +618,29 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def q_docs_csv_roundtrip(spark, sf_dir):
+    """Third source format end-to-end: stage the documents table as
+    headerless CSV, read it back through the schema-declared quarantine
+    reader (`sources.csv`), return the clean rows. Oracle = the
+    documents table; equality IS the round-trip guarantee (quoting,
+    commas, unicode survive the CSV escape — embedded newlines are the
+    documented non-goal, see the module docstring)."""
+    import hashlib
+
+    from ..sources.csv import read_documents_csv, write_documents_csv
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    stage = "/tmp/docs_csv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    write_documents_csv(docs, stage)
+    clean, _quarantined = read_documents_csv(spark, stage, DOCS_JSONL_SCHEMA)
+    return clean
+
+
+SQL_DOCS_CSV_ROUNDTRIP = SQL_DOCS_JSONL_ROUNDTRIP
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping token-window chunking over raw documents — the
     pre-training tokenize/chunk scan (`textops.chunk_documents`).
@@ -3596,4 +3619,5 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         SQL_EVENTS_DEDUP_WATERMARKED,
     ),
     "dataset_split": (q_dataset_split, _sql_dataset_split()),
+    "docs_csv_roundtrip": (q_docs_csv_roundtrip, SQL_DOCS_CSV_ROUNDTRIP),
 }

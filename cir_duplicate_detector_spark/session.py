@@ -71,11 +71,15 @@ def get_spark(
         # which the JIT flushes/refuses compilation and CPU-dense stages
         # run INTERPRETED — measured 5-10x slowdowns that look like
         # engine regressions (round-2 bench contamination; re-confirmed
-        # round 3: dedup_ngram_jaccard 38s -> 3.5s with a 1g cache). On
-        # a real cluster set the same flag in executor JVM options.
+        # round 3: dedup_ngram_jaccard 38s -> 3.5s with a 1g cache;
+        # re-confirmed round 5 at 107 queries: the tail ref30k_banded
+        # read 7.9s in-session vs 3.5s warm in a fresh JVM, so 1g now
+        # overflows too — 2g default, env-overridable). On a real
+        # cluster set the same flag in executor JVM options.
         builder = builder.config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g",
+            "-XX:ReservedCodeCacheSize="
+            + os.environ.get("SPARK_GRAFT_CODE_CACHE", "2g"),
         )
         # The live UI's retained state (SQL executions keep full plan
         # strings — the similarity plans carry multi-MB literal tables)
