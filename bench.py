@@ -121,9 +121,9 @@ def main() -> None:
     N_RUNS = 2
     timings: dict[str, float] = {}
 
-    def timed(name: str, build) -> float:
+    def timed(name: str, build, runs: int = N_RUNS) -> float:
         best = None
-        for _ in range(N_RUNS):
+        for _ in range(runs):
             start = time.perf_counter()
             build().write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
@@ -173,7 +173,7 @@ def main() -> None:
     probe30 = lambda: spark.range(0, REF_DOCS, 913).select(  # noqa: E731
         F.format_string("UW%08d", F.col("id")).alias("index")
     )  # 31 probes — the reference figure's bottom point
-    timed(
+    timed(  # min-of-3: ride out single-run host-CPU-steal stalls
         "ref30k_naive",
         lambda: _flat_pdq(
             find_pdq_hash_duplicates(
@@ -183,8 +183,9 @@ def main() -> None:
                 max_hex_len=64,
             )
         ),
+        runs=3,
     )
-    timed(
+    timed(  # min-of-3: ride out single-run host-CPU-steal stalls
         "ref30k_banded",
         lambda: _flat_pdq(
             find_pdq_hash_duplicates(
@@ -194,8 +195,9 @@ def main() -> None:
                 max_hex_len=64,
             )
         ),
+        runs=3,
     )
-    timed(
+    timed(  # min-of-3: ride out single-run host-CPU-steal stalls
         "ref30k_t08_probe30",
         lambda: _flat_pdq(
             find_pdq_hash_duplicates(
@@ -206,6 +208,7 @@ def main() -> None:
                 max_hex_len=64,
             )
         ),
+        runs=3,
     )
     # The reference's RECOMMENDED operating point (README.md:90): full
     # corpus, t=0.8, naive — its heaviest published number (~110 s on
@@ -213,7 +216,7 @@ def main() -> None:
     # item 3; the t=0.9 ref30k_naive point stays for the scan-cost
     # comparison — naive scan cost is threshold-flat, but t=0.8 emits
     # a heavier symmetrize output, which this point now measures).
-    timed(
+    timed(  # min-of-3: ride out single-run host-CPU-steal stalls
         "ref30k_t08_naive",
         lambda: _flat_pdq(
             find_pdq_hash_duplicates(
@@ -223,6 +226,7 @@ def main() -> None:
                 max_hex_len=64,
             )
         ),
+        runs=3,
     )
 
     # COMPLETE per-query results (full precision, every timed query) go

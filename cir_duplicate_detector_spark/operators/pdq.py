@@ -144,13 +144,33 @@ def _grid_joined(p: DataFrame, c: DataFrame, grid: int) -> DataFrame:
     cg = c.withColumn(
         "g_j", F.pmod(F.crc32(F.col("c_index")), F.lit(grid)).cast("int")
     ).withColumn("g_i", span)
-    return pg.join(cg, ["g_i", "g_j"]).drop("g_i", "g_j")
+    # Pin a SHUFFLED hash join building the corpus cell (the hint wins
+    # over AQE's size estimate). Letting AQE broadcast the ×grid-
+    # replicated corpus is wrong twice over: at scale the replicated
+    # side is grid× the corpus (guaranteed executor OOM), and even when
+    # it fits, all of a cell's rows share one join key, so the
+    # broadcast hash relation degenerates to grid² mega-chains probed
+    # through one shared cache-hostile map (measured on the 30k-hash
+    # scan: 10-27 s/run with 3x run-to-run swings vs 6-8 s stable with
+    # the per-partition build below). The shuffled build side is ONE
+    # cell (~N/grid rows) per task — bounded, local, and exactly the
+    # memory the BNL math says a task needs.
+    return pg.join(cg.hint("shuffle_hash"), ["g_i", "g_j"]).drop(
+        "g_i", "g_j"
+    )
 
 
 def _grid_size(spark) -> int:
+    """Grid axis length: ≥4 cells per core (grid² cells over 2·cores
+    shuffle partitions) so cell-count granularity — not the balls-into-
+    bins luck of ~1 cell/partition — sets task balance. Replication
+    cost per side is grid×; cell build memory shrinks as 1/grid, so at
+    a fixed corpus a finer grid trades shuffle bytes for balance +
+    bounded build side. At 100 TB callers raise parallelism, and the
+    grid follows as √(8·cores)."""
     import math
 
-    return max(2, math.isqrt(spark.sparkContext.defaultParallelism * 2))
+    return max(2, math.isqrt(spark.sparkContext.defaultParallelism * 8))
 
 
 def _naive_pairs(

@@ -3394,6 +3394,81 @@ FROM b
 """
 
 
+def q_kmeans_embeddings(spark, sf_dir):
+    """Lloyd k-means over the embeddings table (3 unrolled rounds,
+    deterministic hash-sampled seeds, two-phase sorted-fold centroid
+    means — `operators.kmeans` docstring has the reproducibility
+    argument). Output: final (vec_id, cluster, d)."""
+    from ..operators import kmeans
+
+    return kmeans.kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+def _sql_kmeans() -> str:
+    from ..operators import kmeans
+
+    k, iters, salts = kmeans.KM_K, kmeans.KM_ITERS, kmeans.KM_SALTS
+    h = hash60_sql("vec_id::VARCHAR", "'km'")
+    dist = (
+        "list_sum(list_transform(range(1, 65),"
+        " j -> (e[j] - c[j]) * (e[j] - c[j])))"
+    )
+    parts = [
+        f"""
+n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent0 AS (
+  SELECT (rn - 1)::BIGINT AS cluster, e AS c FROM (
+    SELECT e, row_number() OVER (ORDER BY {h}, vec_id) AS rn FROM n
+  ) WHERE rn <= {k}
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+score{i} AS (
+  SELECT vec_id, cluster, {dist} AS d FROM n, cent{i}
+),
+best{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM score{i}
+  ) WHERE rn = 1
+),
+pe{i} AS (
+  SELECT n.vec_id, b.cluster, j.j AS pos, n.e[j.j] AS val
+  FROM n JOIN best{i} b USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+),
+p1_{i} AS (
+  SELECT cluster, pos, vec_id % {salts} AS salt,
+         list_sum(list(val ORDER BY vec_id)) AS psum,
+         count(*)::BIGINT AS pn
+  FROM pe{i} GROUP BY 1, 2, 3
+),
+p2_{i} AS (
+  SELECT cluster, pos,
+         list_sum(list(psum ORDER BY salt)) AS s,
+         sum(pn)::BIGINT AS cnt
+  FROM p1_{i} GROUP BY 1, 2
+),
+cent{i + 1} AS (
+  SELECT cluster, list(s / cnt ORDER BY pos) AS c
+  FROM p2_{i} GROUP BY cluster
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vec_id, cluster, d FROM (
+  SELECT vec_id, cluster, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM (SELECT vec_id, cluster, {dist} AS d FROM n, cent{iters})
+) WHERE rn = 1
+"""
+    )
+    return "WITH " + "".join(parts)
+
+
 def q_tfidf_topterms(spark, sf_dir):
     return textops.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
@@ -3620,4 +3695,5 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     ),
     "dataset_split": (q_dataset_split, _sql_dataset_split()),
     "docs_csv_roundtrip": (q_docs_csv_roundtrip, SQL_DOCS_CSV_ROUNDTRIP),
+    "kmeans_embeddings": (q_kmeans_embeddings, _sql_kmeans()),
 }

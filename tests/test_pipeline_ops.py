@@ -475,3 +475,27 @@ def test_dataset_split_cluster_members_share_split(spark):
     # at least one multi-member group exists in the derived corpus and
     # all three splits are populated at 90/5/5 over ~1000 groups
     assert {r.split for r in out} == {"train", "val", "test"}
+
+
+# ----------------------------------------------- Lloyd k-means
+
+def test_kmeans_separates_planted_clusters(spark):
+    from cir_duplicate_detector_spark.operators import kmeans
+
+    # two tight blobs far apart in 64-dim: k=2 must split them exactly
+    rows = []
+    for i in range(8):
+        rows.append((i, [10.0 + 0.01 * i] * 64))
+        rows.append((100 + i, [-10.0 - 0.01 * i] * 64))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = kmeans.kmeans_assign(embs, k=2, iters=2).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r.vec_id < 100, set()).add(r.cluster)
+    assert len(out) == 16
+    assert by_blob[True].isdisjoint(by_blob[False])
+    assert len(by_blob[True]) == 1 and len(by_blob[False]) == 1
+    # converged assignment: every member sits near its own blob center
+    assert all(r.d < 64 * 0.1 for r in out)
