@@ -34,6 +34,15 @@ Empty clusters (a centroid losing every member) simply drop out of the
 next round's centroid table on both engines — deterministic, and with
 hash-sampled seeds over real data essentially only reachable with
 adversarial inputs.
+
+Scale boundary: assignment is a broadcast cross join, so the centroid
+table must fit executor memory — fine up to k ~ 10^5 (64-dim doubles ≈
+50 MB). Past that (k ≈ √N at trillion-row corpora) the assignment pass
+itself needs candidate pruning: run THIS operator on a hash-sampled
+subset to learn coarse centroids, then assign the full corpus through
+the IVF path (`similarity.ivf_*`) whose bucketed join never broadcasts
+the fine centroids. The fold/mean machinery here is unchanged by that
+composition.
 """
 
 from __future__ import annotations
@@ -77,11 +86,17 @@ def kmeans_assign(
         "vec_id", F.col(vec_col).cast("array<double>").alias("e")
     )
     h = hash60(F.col("vec_id").cast("string"), seed="km")
+    # Distributed top-k for the seeds (TakeOrderedAndProject — each
+    # partition contributes its local k, the driver merges k·parts
+    # rows), NOT a global row_number window, which would funnel the
+    # whole table through one task. The row_number that assigns
+    # cluster ids then runs over the k-row seed set only.
     w_seed = Window.orderBy("h", "vec_id")
     cents = F.broadcast(
         e.withColumn("h", h)
+        .orderBy("h", "vec_id")
+        .limit(k)
         .withColumn("rn", F.row_number().over(w_seed))
-        .where(F.col("rn") <= k)
         .select(
             (F.col("rn") - 1).cast("bigint").alias("cluster"),
             F.col("e").alias("c"),
