@@ -705,10 +705,18 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from ..cache import materialize
+
     terms = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # The tf relation feeds BOTH the score join and the df rollup;
+    # Spark does not share uncached subplans, so without materializing
+    # it the tokenize+explode+aggregate runs twice. Measured on the 10x
+    # replica (warm, interleaved A/B): 4.5 s -> 1.9 s materialized.
+    tf = materialize(
+        terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (

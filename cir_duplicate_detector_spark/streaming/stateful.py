@@ -140,11 +140,17 @@ def _stage_with_sentinels(sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    stage = tempfile.mkdtemp(prefix="events_stateful_")
-    os.symlink(
-        f"{sf_dir}/events.parquet", os.path.join(stage, "a_events.parquet")
+    from .windows import stage_source
+
+    stage = stage_source(
+        f"{sf_dir}/events.parquet", "events_stateful_", name="a_events"
     )
-    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    # Probe the ts physical type from a staged data file (the source
+    # may be a single file or a directory of part files).
+    probe = sorted(
+        f for f in os.listdir(stage) if f.startswith("a_events")
+    )[0]
+    ts_type = pq.read_schema(os.path.join(stage, probe)).field("ts").type
     now = time.time()
     for i in (1, 2):
         path = os.path.join(stage, f"z_sentinel{i}.parquet")
@@ -186,14 +192,19 @@ def streaming_sessionize(
     # job (a live deployment sizes it to key cardinality instead).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # Two micro-batches total: batch 1 = ALL event data files +
+    # sentinel 1 (the post-batch watermark jumps past every real
+    # session timeout), batch 2 = sentinel 2 (the timeouts fire and
+    # drain state). The data files MUST share one batch: the corpus is
+    # not time-ordered across part files, so splitting it over batches
+    # lets an early batch's watermark overtake a later file's events
+    # and the handler's timeout-set then throws
+    # INVALID_TIMEOUT_TIMESTAMP (hit when the replica corpus staged 32
+    # part files through the old fixed maxFilesPerTrigger=2).
+    n_data = sum(1 for f in os.listdir(stage) if f.startswith("a_events"))
     stream = (
         spark.readStream.schema(schema)
-        # Two micro-batches total: batch 1 = events + sentinel 1 (the
-        # post-batch watermark jumps past every real session timeout),
-        # batch 2 = sentinel 2 (the timeouts fire and drain state). One
-        # file per trigger would add a third batch's fixed scheduling +
-        # state-store cost for nothing.
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", n_data + 1)
         .parquet(stage)
     )
     stream = with_event_time(stream).select(

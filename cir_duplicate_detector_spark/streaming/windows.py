@@ -21,6 +21,35 @@ from ..operators.events import HOUR_US
 from ..sources.tables import with_event_time
 
 
+
+def stage_source(path: str, prefix: str, name: str | None = None) -> str:
+    """Stage a parquet source for the file-stream source (which needs a
+    DIRECTORY of data files): symlink the single file, or — when the
+    source is itself a directory of part files (replica corpora, real
+    table directories) — symlink each data file. Zero-copy either way.
+    ``name`` sets the staged file-name stem (the stateful harness needs
+    data files to list lexically before its sentinel files)."""
+    import os
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix=prefix)
+    stem = name or os.path.splitext(os.path.basename(path))[0]
+    if os.path.isdir(path):
+        n = 0
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(path, f),
+                    os.path.join(stage, f"{stem}_{n:05d}.parquet"),
+                )
+                n += 1
+        if n == 0:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+    else:
+        os.symlink(path, os.path.join(stage, f"{stem}.parquet"))
+    return stage
+
+
 def streaming_tumbling_window(
     spark: SparkSession, sf_dir: str, width_us: int = HOUR_US
 ) -> DataFrame:
@@ -35,8 +64,7 @@ def streaming_tumbling_window(
     import os
     import tempfile
 
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(path, os.path.join(stage, "events.parquet"))
+    stage = stage_source(path, "events_stream_")
     stream = (
         spark.readStream.schema(schema)
         .parquet(stage)
@@ -88,8 +116,7 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    stage = tempfile.mkdtemp(prefix="events_distinct_")
-    os.symlink(path, os.path.join(stage, "events.parquet"))
+    stage = stage_source(path, "events_distinct_")
     counts = (
         spark.readStream.schema(schema)
         .parquet(stage)
@@ -126,8 +153,7 @@ def _stream_near_dup_corpus(
 
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix=prefix)
-    os.symlink(path, os.path.join(stage, "documents.parquet"))
+    stage = stage_source(path, prefix)
     docs = spark.readStream.schema(schema).parquet(stage)
     words = "split(text, '\\\\s+')"
     orig = docs.select("doc_id", "text")
@@ -258,8 +284,7 @@ def streaming_dedup_to_parquet(
     import os
     import tempfile
 
-    stage = tempfile.mkdtemp(prefix="events_sink_")
-    os.symlink(path, os.path.join(stage, "events.parquet"))
+    stage = stage_source(path, "events_sink_")
     stream = (
         spark.readStream.schema(schema)
         .parquet(stage)
@@ -307,8 +332,7 @@ def streaming_purchase_attribution(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix="events_attr_stream_")
-    os.symlink(path, os.path.join(stage, "events.parquet"))
+    stage = stage_source(path, "events_attr_stream_")
     touches = (
         with_event_time(spark.readStream.schema(schema).parquet(stage))
         .where(F.col("event_type") != "purchase")
@@ -405,8 +429,7 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix="events_wm_dedup_")
-    os.symlink(path, os.path.join(stage, "events.parquet"))
+    stage = stage_source(path, "events_wm_dedup_")
     raw = spark.readStream.schema(schema).parquet(stage)
     deliveries = raw.unionAll(raw.where("event_id % 7 = 0"))
     retained = (
