@@ -735,3 +735,52 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+def corpus_drift(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Token-distribution drift between two corpus cohorts — the
+    distribution-shift diagnostic run between crawl snapshots, data
+    sources, or pipeline versions before blessing a new training mix.
+
+    Cohorts here are the deterministic halves ``doc_id % 2`` (stand-in
+    for snapshot A/B); the divergence score per token is the exact
+    integer cross product ``|cnt_a·nb − cnt_b·na|`` — zero iff the
+    token's relative frequency is identical in both cohorts, and
+    scale-invariant in the same way as comparing the two ratios
+    ``cnt/n`` without ever leaving integer arithmetic (so the oracle is
+    value-hash exact; a float ratio diff would not be). Top-k most
+    divergent tokens, ties to the lexically smaller token.
+
+    Shape at scale: one exploded token aggregation (partial combine
+    absorbs stopword skew map-side), a broadcast 1-row totals join, and
+    a distributed TakeOrderedAndProject top-k — no global sort. The
+    BIGINT cross product bounds exact use at ~3·10⁹ tokens per cohort
+    (past that, run per shard/day slice — which is also the analysis
+    you want — or accept one float rounding per side).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("cnt_b"),
+    )
+    tot = counts.agg(
+        F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb")
+    )
+    scored = counts.join(F.broadcast(tot)).withColumn(
+        "score",
+        F.abs(
+            F.col("cnt_a") * F.col("nb") - F.col("cnt_b") * F.col("na")
+        ),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.orderBy(F.col("score").desc(), "term")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("term", "cnt_a", "cnt_b", "score", "rank")
+    )

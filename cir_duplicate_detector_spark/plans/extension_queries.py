@@ -3394,6 +3394,37 @@ FROM b
 """
 
 
+def q_corpus_drift(spark, sf_dir):
+    """Token-distribution drift between the doc_id-parity cohorts —
+    integer-exact cross-product divergence, top-20 tokens."""
+    return textops.corpus_drift(load_table(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_DRIFT = f"""
+WITH toks AS (
+  SELECT doc_id % 2 = 0 AS in_a,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term,
+         sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS cnt_a,
+         sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)::BIGINT AS cnt_b
+  FROM toks GROUP BY term
+),
+tot AS (SELECT sum(cnt_a)::BIGINT AS na, sum(cnt_b)::BIGINT AS nb FROM counts),
+scored AS (
+  SELECT term, cnt_a, cnt_b,
+         abs(cnt_a * nb - cnt_b * na)::BIGINT AS score
+  FROM counts, tot
+)
+SELECT term, cnt_a, cnt_b, score,
+       row_number() OVER (ORDER BY score DESC, term)::BIGINT AS rank
+FROM scored ORDER BY score DESC, term LIMIT 20
+"""
+
+
 def q_kmeans_embeddings(spark, sf_dir):
     """Lloyd k-means over the embeddings table (3 unrolled rounds,
     deterministic hash-sampled seeds, two-phase sorted-fold centroid
@@ -3696,4 +3727,5 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dataset_split": (q_dataset_split, _sql_dataset_split()),
     "docs_csv_roundtrip": (q_docs_csv_roundtrip, SQL_DOCS_CSV_ROUNDTRIP),
     "kmeans_embeddings": (q_kmeans_embeddings, _sql_kmeans()),
+    "corpus_drift": (q_corpus_drift, SQL_CORPUS_DRIFT),
 }

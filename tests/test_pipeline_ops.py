@@ -499,3 +499,20 @@ def test_kmeans_separates_planted_clusters(spark):
     assert len(by_blob[True]) == 1 and len(by_blob[False]) == 1
     # converged assignment: every member sits near its own blob center
     assert all(r.d < 64 * 0.1 for r in out)
+
+
+# --------------------------------------------- corpus drift
+
+def test_corpus_drift_planted_shift(spark):
+    # cohort A (even ids) says "alpha", cohort B says "beta"; "common"
+    # is balanced and must score 0.
+    rows = [
+        (0, "alpha common"), (2, "alpha common"),
+        (1, "beta common"), (3, "beta common"),
+    ]
+    out = {r.term: r for r in textops.corpus_drift(_docs(spark, rows)).collect()}
+    assert out["common"].score == 0
+    assert out["alpha"].score == out["beta"].score > 0
+    assert out["alpha"].cnt_a == 2 and out["alpha"].cnt_b == 0
+    # ranks: the two shifted terms outrank the balanced one
+    assert {out["alpha"].rank, out["beta"].rank} == {1, 2}
