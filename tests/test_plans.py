@@ -454,3 +454,31 @@ def test_range_join_is_bucketed_equijoin(spark):
     plan = _plan(spark, "events_attribution")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pdq_naive_grid_pins_shuffled_hash_build(spark):
+    # Even with auto-broadcast ON (the default), the grid BNL must not
+    # let AQE broadcast the ×grid-replicated corpus side: the hint pins
+    # a shuffled hash build of one corpus cell per task (round-5 fix —
+    # the broadcast degenerated to grid² mega-chains and is grid× the
+    # corpus at scale).
+    plan = _plan(spark, "pdq_duplicates_naive")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin [g_i" not in plan
+
+
+def test_kmeans_seed_pick_is_distributed_topk(spark):
+    # Seed selection must be TakeOrderedAndProject (local top-k per
+    # partition), never a single-partition global window over the
+    # corpus; assignment broadcasts the k-row centroid table.
+    plan = _plan(spark, "kmeans_embeddings")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_histogram_quantiles_is_two_agg_sketch(spark):
+    # The sketch must stay a bounded aggregation: stats pass + bucket
+    # counts + per-group cumsum window — no sort of the raw values.
+    plan = _plan(spark, "events_quantiles_hist")
+    assert "WindowGroupLimit" not in plan  # no top-k machinery
+    assert plan.count("HashAggregate") >= 4  # partial+final × two aggs
