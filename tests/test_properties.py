@@ -259,3 +259,35 @@ def test_range_join_matches_between_model(spark, events, wins, bucket):
         for r in range_join(ev, wn, bucket_us=bucket).collect()
     )
     assert got == expect
+
+
+# --- histogram quantile sketch vs exact-percentile model ----------------
+
+@SETTINGS
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=60,
+    )
+)
+def test_histogram_quantiles_bracket_exact(spark, vals):
+    """One-sided bound with one-bucket-width error: for each p, the
+    estimate is >= the value at rank ceil(n*p/100) (1-indexed ascending)
+    and <= it + (max-min)/nbins."""
+    from cir_duplicate_detector_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    ev = spark.createDataFrame(
+        [(float(v), "g") for v in vals], "value double, event_type string"
+    )
+    row = histogram_quantiles(ev).collect()[0]
+    s = sorted(vals)
+    width = (s[-1] - s[0]) / 64
+    for p in (50, 90, 99):
+        exact = s[(len(s) * p + 99) // 100 - 1]
+        est = row[f"est_p{p}"]
+        assert exact - 1e-9 <= est <= exact + width + 1e-6, (p, est, exact)
