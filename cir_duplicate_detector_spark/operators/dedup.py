@@ -643,3 +643,38 @@ def simhash_near_duplicates(docs: DataFrame, max_bits: int = 3) -> DataFrame:
         .where(F.col("dist") <= max_bits)
         .select("a", "b", "dist")
     )
+
+
+def corpus_upsert(
+    base: DataFrame, updates: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """Snapshot maintenance: merge an update batch into the corpus with
+    latest-version-wins semantics — the upsert a recurring crawl runs
+    before each re-curation. Returns one row per key: the surviving
+    ``(key, version, text_hash)``.
+
+    Shape: union (narrow) + one window shuffle on the key — the
+    standard merge-on-read resolve. Deterministic tie-break: equal
+    versions resolve to the lexically larger text hash (stable across
+    engines; a production pipeline carries an ingest sequence number
+    instead). At 100 TB the union's scan dominates and the window
+    partitions on the corpus key — no skew beyond key duplication
+    count, which upserts bound by design (a handful of versions per
+    key, not a hot key).
+    """
+    from pyspark.sql import Window
+
+    both = base.unionByName(updates)
+    hashed = both.select(
+        key,
+        "version",
+        F.md5("text").alias("text_hash"),
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("version").desc(), F.col("text_hash").desc()
+    )
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(key, "version", "text_hash")
+    )

@@ -164,3 +164,35 @@ def purchase_attribution(
             ),
         )
     )
+
+
+def rolling_window(
+    events: DataFrame, width_us: int = HOUR_US
+) -> DataFrame:
+    """Per-event trailing-window aggregates: for every event, the count
+    and exact value sum of the same user's events in the preceding
+    ``width_us`` (inclusive) — the feature-engineering shape behind
+    rate limits, burst detection, and rolling user activity features.
+
+    A RANGE frame over event time, partitioned on user_id: the shuffle
+    key is the user, each partition sorts its own user's events, and
+    the frame slides without re-aggregating (Spark maintains the
+    running frame incrementally). The value sum accumulates in integer
+    cents so the double emitted at the end is order-exact on both
+    engines regardless of frame evaluation internals.
+    """
+    from pyspark.sql import Window
+
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-width_us, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_events_1h"),
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("sum_value_1h"),
+    )

@@ -3394,6 +3394,61 @@ FROM b
 """
 
 
+def q_events_rolling(spark, sf_dir):
+    """Trailing 1h per-user rolling count/sum (RANGE frame)."""
+    return events.rolling_window(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_ROLLING = f"""
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_events_1h,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS sum_value_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN {events.HOUR_US} PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def q_corpus_upsert(spark, sf_dir):
+    """Latest-wins snapshot merge: the base corpus (version 1) merged
+    with an update batch (every 5th doc re-crawled as version 2 with
+    edited text) — one surviving row per doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", F.lit(1).cast("bigint").alias("version")
+    )
+    updates = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [recrawled]")).alias("text"),
+        F.lit(2).cast("bigint").alias("version"),
+    )
+    return dedup.corpus_upsert(base, updates)
+
+
+SQL_CORPUS_UPSERT = """
+WITH base AS (
+  SELECT doc_id, text, 1::BIGINT AS version FROM documents
+),
+updates AS (
+  SELECT doc_id, text || ' [recrawled]' AS text, 2::BIGINT AS version
+  FROM documents WHERE doc_id % 5 = 0
+),
+merged AS (
+  SELECT doc_id, version, md5(text) AS text_hash FROM base
+  UNION ALL
+  SELECT doc_id, version, md5(text) AS text_hash FROM updates
+)
+SELECT doc_id, version, text_hash FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY version DESC, text_hash DESC
+  ) AS rn
+  FROM merged
+) WHERE rn = 1
+"""
+
+
 def q_corpus_drift(spark, sf_dir):
     """Token-distribution drift between the doc_id-parity cohorts —
     integer-exact cross-product divergence, top-20 tokens."""
@@ -3728,4 +3783,6 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "docs_csv_roundtrip": (q_docs_csv_roundtrip, SQL_DOCS_CSV_ROUNDTRIP),
     "kmeans_embeddings": (q_kmeans_embeddings, _sql_kmeans()),
     "corpus_drift": (q_corpus_drift, SQL_CORPUS_DRIFT),
+    "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
+    "corpus_upsert": (q_corpus_upsert, SQL_CORPUS_UPSERT),
 }

@@ -516,3 +516,19 @@ def test_corpus_drift_planted_shift(spark):
     assert out["alpha"].cnt_a == 2 and out["alpha"].cnt_b == 0
     # ranks: the two shifted terms outrank the balanced one
     assert {out["alpha"].rank, out["beta"].rank} == {1, 2}
+
+
+# ------------------------------------------------ corpus upsert
+
+def test_corpus_upsert_latest_wins(spark):
+    base = spark.createDataFrame(
+        [(1, "old one", 1), (2, "two", 1)],
+        "doc_id long, text string, version long",
+    )
+    updates = spark.createDataFrame(
+        [(1, "new one", 2)], "doc_id long, text string, version long"
+    )
+    out = {r.doc_id: r for r in dedup.corpus_upsert(base, updates).collect()}
+    assert len(out) == 2
+    assert out[1].version == 2  # update wins
+    assert out[2].version == 1  # untouched rows survive
