@@ -147,3 +147,51 @@ def frame_sample(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, window_no bigint, n_samples bigint, energy_sq bigint"
+)
+
+AUDIO_WINDOW = 64
+AUDIO_HOP = 32
+
+
+def audio_energy_windows(
+    media: DataFrame, window: int = AUDIO_WINDOW, hop: int = AUDIO_HOP
+) -> DataFrame:
+    """Audio-shaped pipeline: treat the payload as a PCM sample stream
+    (stub: one byte = one unsigned 8-bit sample) and emit overlapping
+    fixed-width analysis windows with their energy (sum of squared
+    samples) — the framing step every audio featurizer (VAD, MFCC,
+    loudness normalization) starts from.
+
+    One Arrow-batched ``mapInPandas`` pass; samples are decoded with
+    ``np.frombuffer`` (zero-copy) and window energies computed
+    vectorized per batch — the only JVM exit is the one Arrow boundary.
+    Energy is an exact integer (bounded by 255²·window per row), so the
+    oracle reproduces it bit-for-bit. A production deployment replaces
+    the byte interpretation with a real PCM/ffmpeg decode; window math,
+    schema, and batch shape are codec-agnostic.
+    """
+    import numpy as np
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "window_no": [], "n_samples": [], "energy_sq": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                sq = samples.astype(np.int64) ** 2
+                n = len(samples)
+                n_windows = max(1, (n + hop - 1) // hop) if n else 0
+                for k in range(n_windows):
+                    seg = sq[k * hop : k * hop + window]
+                    out["doc_id"].append(doc_id)
+                    out["window_no"].append(k)
+                    out["n_samples"].append(len(seg))
+                    out["energy_sq"].append(int(seg.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(energies, AUDIO_SCHEMA)

@@ -1385,6 +1385,36 @@ FROM documents
 """
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """Audio-framing plumbing: overlapping PCM analysis windows with
+    integer-exact energies over the payload column (stub decode —
+    bytes as u8 samples; window math/schema/batch shape are real)."""
+    media = multimodal.to_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_energy_windows(media)
+
+
+# The corpus is printable ASCII (verified vs the testdata), so DuckDB's
+# char-indexed ascii(substr(...)) equals the Python byte view. W=64
+# samples, hop 32; windows = ceil(n/hop); energy = sum of squares.
+SQL_MULTIMODAL_AUDIO = """
+WITH b AS (
+  SELECT doc_id, len(text) AS n,
+         list_transform(range(1, len(text) + 1),
+                        i -> ascii(substr(text, i, 1))::BIGINT) AS samples
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n, samples, unnest(range(0, greatest((n + 31) // 32, 1))) AS k
+  FROM b
+)
+SELECT doc_id, k AS window_no,
+       least(64, n - k * 32)::BIGINT AS n_samples,
+       list_sum(list_transform(list_slice(samples, k * 32 + 1, k * 32 + 64),
+                               s -> s * s))::BIGINT AS energy_sq
+FROM w
+"""
+
+
 # ----------------------------------------------------------------- events
 
 def q_events_window(spark, sf_dir):
@@ -3707,6 +3737,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_window_streaming": (q_events_window_streaming, SQL_EVENTS_WINDOW),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),

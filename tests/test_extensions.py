@@ -463,3 +463,24 @@ def test_purchase_attribution_lookback(spark):
     assert got[3]["attributed_value"] == 2.0
     assert got[5]["n_attributed"] == 0
     assert got[5]["attributed_value"] == 0.0
+
+
+def test_multimodal_audio_window_math(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcd" * 20)], "doc_id long, text string"  # 80 samples
+    )
+    rows = sorted(
+        multimodal.audio_energy_windows(
+            multimodal.to_media(docs)
+        ).collect(),
+        key=lambda r: r.window_no,
+    )
+    # 80 samples, hop 32 -> windows at 0 (64), 32 (48), 64 (16)
+    assert [(r.window_no, r.n_samples) for r in rows] == [
+        (0, 64), (1, 48), (2, 16)
+    ]
+    # exact integer energy: sum of squared sample bytes
+    payload = b"abcd" * 20
+    for r in rows:
+        seg = payload[r.window_no * 32 : r.window_no * 32 + 64]
+        assert r.energy_sq == sum(b * b for b in seg)
