@@ -3424,6 +3424,115 @@ FROM b
 """
 
 
+def q_minhash_recall(spark, sf_dir):
+    """Self-measuring dedup-index quality, the text twin of
+    `ann_recall_lsh`: per probe document, what fraction of its TRUE
+    near-duplicates (exact Jaccard ≥ 0.5 over the same uncapped
+    shingle universe the MinHash path uses) does the banded LSH
+    pipeline recover? The found side is `dedup.minhash_near_duplicates`
+    itself (band-collision candidates + exact verify), so any miss is a
+    banding miss — exactly the knob (bands × rows) this measures.
+    Truth is probe-restricted (every 50th doc) so the exact side stays
+    a bounded fraction of the corpus; production samples the same way.
+    """
+    docs = _docs_nd(spark, sf_dir)
+    sh = dedup.shingle_sets(docs).select("doc_id", "sh_hash")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    probes = sh.where(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+    )
+    pinter = (
+        probes.select(F.col("doc_id").alias("p"), "sh_hash")
+        .join(sh.select(F.col("doc_id").alias("o"), "sh_hash"), "sh_hash")
+        .where(F.col("p") != F.col("o"))
+        .groupBy("p", "o")
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        pinter.join(
+            sizes.select(F.col("doc_id").alias("p"), F.col("n").alias("np_")),
+            "p",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("o"), F.col("n").alias("no_")),
+            "o",
+        )
+        .where(
+            F.col("i") / (F.col("np_") + F.col("no_") - F.col("i")) >= 0.5
+        )
+        .select("p", "o")
+    )
+    found = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
+        "a", "b", F.lit(1).alias("hit")
+    )
+    keyed = truth.select(
+        "p", F.least("p", "o").alias("a"), F.greatest("p", "o").alias("b")
+    )
+    return (
+        keyed.join(found, ["a", "b"], "left")
+        .groupBy("p")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"),
+        )
+        .select(
+            F.col("p").alias("probe_id"),
+            "n_true",
+            "n_found",
+            (F.col("n_found") / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
+SQL_MINHASH_RECALL = f"""
+WITH {_DUCK_SHINGLE_SET},
+sigs AS (
+  SELECT doc_id, {_LANES}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r USING (band_id, band_key)
+  WHERE l.doc_id < r.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
+  GROUP BY c.a, c.b
+),
+mh AS (
+  SELECT i2.a, i2.b FROM inter i2
+  JOIN sizes sa ON sa.doc_id = i2.a
+  JOIN sizes sb ON sb.doc_id = i2.b
+  WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
+),
+pinter AS (
+  SELECT x.doc_id AS p, y.doc_id AS o, count(*) AS i
+  FROM shh x JOIN shh y ON y.sh_hash = x.sh_hash AND x.doc_id <> y.doc_id
+  WHERE x.doc_id % 50 = 0 AND x.doc_id < 1000000
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT pi.p, pi.o FROM pinter pi
+  JOIN sizes sp ON sp.doc_id = pi.p
+  JOIN sizes so ON so.doc_id = pi.o
+  WHERE pi.i / (sp.n + so.n - pi.i) >= 0.5
+)
+SELECT t.p AS probe_id, count(*) AS n_true,
+       sum(CASE WHEN m.a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found,
+       sum(CASE WHEN m.a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT / count(*)
+         AS recall
+FROM truth t LEFT JOIN mh m
+  ON m.a = least(t.p, t.o) AND m.b = greatest(t.p, t.o)
+GROUP BY t.p
+"""
+
+
 def q_events_rolling(spark, sf_dir):
     """Trailing 1h per-user rolling count/sum (RANGE frame)."""
     return events.rolling_window(load_table(spark, sf_dir, "events"))
@@ -3816,4 +3925,5 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "corpus_drift": (q_corpus_drift, SQL_CORPUS_DRIFT),
     "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
     "corpus_upsert": (q_corpus_upsert, SQL_CORPUS_UPSERT),
+    "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
 }

@@ -532,3 +532,21 @@ def test_corpus_upsert_latest_wins(spark):
     assert len(out) == 2
     assert out[1].version == 2  # update wins
     assert out[2].version == 1  # untouched rows survive
+
+
+# --------------------------------------------- minhash recall
+
+def test_minhash_recall_floor_on_planted_corpus(spark):
+    from cir_duplicate_detector_spark.plans.extension_queries import (
+        q_minhash_recall,
+    )
+
+    rows = q_minhash_recall(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "planted corpus must yield probe near-dup pairs"
+    n_true = sum(r.n_true for r in rows)
+    n_found = sum(r.n_found for r in rows)
+    # The derived corpus plants high-Jaccard mutants; 16 bands x 8 rows
+    # at J>=0.5 keeps collision probability near 1, so micro-recall must
+    # stay >= 0.9 (found is a subset of truth by construction).
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+    assert n_found / n_true >= 0.9
