@@ -3424,6 +3424,44 @@ FROM b
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Wide-format user activity matrix: one row per user, one count
+    column per event type — the pivot operator. The value list is
+    EXPLICIT (``pivot(col, values)``): without it Spark runs an eager
+    distinct scan to discover the columns and the output schema becomes
+    data-dependent — both wrong at 100 TB, where the type vocabulary is
+    a declared contract. Physical shape: the pivot compiles to one hash
+    aggregation with per-type conditional counts (same plan as the
+    manual CASE form the oracle spells out) — map-side partial, one
+    shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+SQL_EVENTS_PIVOT = f"""
+SELECT user_id,
+       {", ".join(
+           f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT"
+           f" AS n_{t}" for t in EVENT_TYPES
+       )}
+FROM events GROUP BY user_id
+"""
+
+
 def q_minhash_recall(spark, sf_dir):
     """Self-measuring dedup-index quality, the text twin of
     `ann_recall_lsh`: per probe document, what fraction of its TRUE
@@ -3926,4 +3964,5 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
     "corpus_upsert": (q_corpus_upsert, SQL_CORPUS_UPSERT),
     "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
 }
