@@ -185,7 +185,9 @@ def audio_energy_windows(
                 samples = np.frombuffer(bytes(payload), dtype=np.uint8)
                 sq = samples.astype(np.int64) ** 2
                 n = len(samples)
-                n_windows = max(1, (n + hop - 1) // hop) if n else 0
+                # ceil(n/hop) windows; empty payload -> zero rows
+                # (mirrored by the oracle's empty range()).
+                n_windows = (n + hop - 1) // hop
                 for k in range(n_windows):
                     seg = sq[k * hop : k * hop + window]
                     out["doc_id"].append(doc_id)

@@ -130,7 +130,11 @@ CMS_WIDTH = 512
 
 
 def cms_sketch(
-    items: DataFrame, value: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+    items: DataFrame,
+    value: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    weight: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan) of the ``value``
     occurrence stream: ``depth × width`` counters, cell ``(r, c)``
@@ -148,15 +152,23 @@ def cms_sketch(
     stream.
     """
     seed = F.concat(F.lit("cms"), F.col("row").cast("string"))
+    cols = [F.col(value).alias("v")] + (
+        [F.col(weight).alias("w")] if weight else []
+    )
+    agg = F.sum("w") if weight else F.count("*")
     return (
-        items.select(F.col(value).alias("v"))
+        items.select(*cols)
         .select(
             F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
-            "v",
+            *[c for c in ("v", "w") if weight or c == "v"],
         )
-        .select("row", (hash60(F.col("v"), seed=seed) % width).alias("col"))
+        .select(
+            "row",
+            (hash60(F.col("v"), seed=seed) % width).alias("col"),
+            *(["w"] if weight else []),
+        )
         .groupBy("row", "col")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .agg(agg.cast("bigint").alias("cnt"))
     )
 
 
@@ -172,6 +184,12 @@ def cms_estimate(
     overcounts by colliding items, never undercounts — the one-sided
     CMS guarantee). The sketch side is broadcast — ≤ depth·width rows
     by construction, safe at any corpus size.
+
+    The sketch stores only TOUCHED cells, so the probe joins LEFT and
+    an absent cell reads as 0 — a candidate the stream never saw (and
+    whose cells nothing collided into) correctly estimates 0 instead
+    of vanishing from the output, and one empty cell among a
+    candidate's ``depth`` cells correctly pins the min at 0.
     """
     seed = F.concat(F.lit("cms"), F.col("row").cast("string"))
     probes = candidates.select(F.col(value).alias("cand_v")).select(
@@ -183,9 +201,9 @@ def cms_estimate(
         (hash60(F.col("cand_v"), seed=seed) % width).alias("col"),
     )
     return (
-        probes.join(F.broadcast(sketch), ["row", "col"])
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy("cand_v")
-        .agg(F.min("cnt").alias("est_cnt"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
         .select(F.col("cand_v").alias(value), "est_cnt")
     )
 
@@ -198,9 +216,19 @@ def cms_topk_diagnostic(docs: DataFrame, k: int = 20) -> DataFrame:
     noise at the configured depth×width. Ties at rank k break
     deterministically on the token string.
     """
+    from ..cache import materialize
+
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
-    true_counts = toks.groupBy("tok").agg(
-        F.count("*").cast("bigint").alias("true_cnt")
+    # Materialized: feeds BOTH the top-k truth and the sketch build —
+    # without it the tokenize+explode scan runs twice (uncached
+    # subplans). The sketch derives from the per-token counts as
+    # WEIGHTED cell sums, which is cell-for-cell identical to counting
+    # raw occurrences (addition is associative across equal tokens)
+    # and avoids re-exploding the occurrence stream.
+    true_counts = materialize(
+        toks.groupBy("tok").agg(
+            F.count("*").cast("bigint").alias("true_cnt")
+        )
     )
     # Two-phase top-k (same argument as the KMV bottom-k above): a
     # bare global rank window would sort the WHOLE distinct vocabulary
@@ -221,7 +249,9 @@ def cms_topk_diagnostic(docs: DataFrame, k: int = 20) -> DataFrame:
         survivors.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
-    est = cms_estimate(cms_sketch(toks, "tok"), top, "tok")
+    est = cms_estimate(
+        cms_sketch(true_counts, "tok", weight="true_cnt"), top, "tok"
+    )
     return top.join(est, "tok").select("tok", "rank", "true_cnt", "est_cnt")
 
 

@@ -586,10 +586,18 @@ def bigram_novelty(docs: DataFrame) -> DataFrame:
     Documents shorter than 2 words shingle to the whole text
     (``word_shingles`` contract), so no document drops out.
     """
+    from ..cache import materialize
     from ..functions.text import word_shingles
 
-    grams = docs.select(
-        "doc_id", F.explode(word_shingles("text", 2)).alias("gram")
+    # Materialized: the gram relation feeds BOTH the frequency rollup
+    # and the scoring join — the same shared-subplan shape as
+    # tfidf_top_terms' tf relation (Spark does not share uncached
+    # subplans; without this the tokenize+shingle+explode scan runs
+    # twice).
+    grams = materialize(
+        docs.select(
+            "doc_id", F.explode(word_shingles("text", 2)).alias("gram")
+        )
     )
     freq = grams.groupBy("gram").agg(F.count("*").alias("freq"))
     return (

@@ -1404,7 +1404,9 @@ WITH b AS (
   FROM documents
 ),
 w AS (
-  SELECT doc_id, n, samples, unnest(range(0, greatest((n + 31) // 32, 1))) AS k
+  -- range(0, 0) is empty, so an empty document emits zero window
+  -- rows — matching the operator's n_windows = 0 for n == 0.
+  SELECT doc_id, n, samples, unnest(range(0, (n + 31) // 32)) AS k
   FROM b
 )
 SELECT doc_id, k AS window_no,

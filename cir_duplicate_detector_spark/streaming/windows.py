@@ -13,6 +13,8 @@ a processing-time one and the memory sink for kafka/delta; the watermark
 
 from __future__ import annotations
 
+import os
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -29,9 +31,6 @@ def stage_source(path: str, prefix: str, name: str | None = None) -> str:
     table directories) — symlink each data file. Zero-copy either way.
     ``name`` sets the staged file-name stem (the stateful harness needs
     data files to list lexically before its sentinel files)."""
-    import os
-    import tempfile
-
     stage = tempfile.mkdtemp(prefix=prefix)
     stem = name or os.path.splitext(os.path.basename(path))[0]
     if os.path.isdir(path):
@@ -61,9 +60,6 @@ def streaming_tumbling_window(
     schema = spark.read.parquet(path).schema
     # The file stream source requires a DIRECTORY; stage the single
     # parquet file into a temp dir via symlink (zero-copy).
-    import os
-    import tempfile
-
     stage = stage_source(path, "events_stream_")
     stream = (
         spark.readStream.schema(schema)
@@ -113,9 +109,6 @@ def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    import os
-    import tempfile
-
     stage = stage_source(path, "events_distinct_")
     counts = (
         spark.readStream.schema(schema)
@@ -148,9 +141,6 @@ def _stream_near_dup_corpus(
     stream source requires a DIRECTORY; the single parquet file is
     staged into a temp dir via symlink (zero-copy).
     """
-    import os
-    import tempfile
-
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
     stage = stage_source(path, prefix)
@@ -281,9 +271,6 @@ def streaming_dedup_to_parquet(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    import os
-    import tempfile
-
     stage = stage_source(path, "events_sink_")
     stream = (
         spark.readStream.schema(schema)
@@ -324,9 +311,6 @@ def streaming_purchase_attribution(
     result, so the query shares the batch twin's DuckDB oracle by
     construction.
     """
-    import os
-    import tempfile
-
     from ..operators.events import _sum_value_exact
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -424,9 +408,6 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     double delivery.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import os
-    import tempfile
-
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     stage = stage_source(path, "events_wm_dedup_")
