@@ -28,7 +28,7 @@ except ImportError:
     pass
 
 # Front of the line (the driver verifies the FIRST 50 entries), round 5:
-# (a) 21 queries with NO driver row ever: dedup_containment_canonical
+# (a) 22 queries with NO driver row ever: dedup_containment_canonical
 #     and curation_pipeline landed at registry positions 70/90 in round
 #     4 (outside its window — r4 verdict item 1); tpch_q5_skewed,
 #     bigram_novelty, domain_mixture, shard_assign, events_attribution,
@@ -36,7 +36,7 @@ except ImportError:
 #     events_quantiles_hist, events_dedup_watermarked, dataset_split
 #     (leakage-safe cluster-level split), docs_csv_roundtrip and
 #     kmeans_embeddings, corpus_drift, events_rolling, corpus_upsert and
-#     multimodal_audio, minhash_recall and events_pivot are new this
+#     multimodal_audio, minhash_recall, events_pivot and ann_recall_ivf are new this
 #     round;
 # (b) 9 queries whose PLANS changed this round: detect_duplicates
 #     (cascaded short-circuit Hamming predicate in the naive scan),
@@ -48,13 +48,14 @@ except ImportError:
 #     dedup_incremental;
 # (c) the 11 reference-core queries whose last driver row is round 3
 #     (they ceded their round-4 slots to the then-new extension set);
-# (d) 9 extension queries whose last driver row is round 2/3 (registry
-#     positions 61-92 in round 4's ordering). Twenty-one r2/r3-green
+# (d) 8 extension queries whose last driver row is round 2/3 (registry
+#     positions 61-92 in round 4's ordering). Twenty-two r2/r3-green
 #     queries cede their slots to (a)/(b): rollup_orders, window_topn,
 #     events_distinct_users, events_distinct_users_streaming,
 #     events_quantiles, dup_overlap, tpch_q20_like, tpch_q16_like,
 #     tpch_q15_like, tpch_q2_like, tpch_q9_like, tpch_q11_like, tpch_q21_like, tpch_q19_like, tpch_q17_like, tpch_q8_like, tpch_q7_like,
-#     events_funnel, knn_pq_adc, knn_cosine_ivf, knn_cosine_lsh —
+#     events_funnel, knn_pq_adc, knn_cosine_ivf, knn_cosine_lsh,
+#     knn_cosine_bruteforce —
 #     never-verified and plan-changed queries outrank
 #     stale-green ones for driver slots. They and the 44 round-4-green
 #     queries follow past entry 50 in registry order, all covered by
@@ -82,6 +83,7 @@ _PRIORITY = [
     "multimodal_audio",
     "minhash_recall",
     "events_pivot",
+    "ann_recall_ivf",
     # (b) plan changed this round
     "detect_duplicates",
     "semantic_dedup",
@@ -113,7 +115,6 @@ _PRIORITY = [
     "docs_jsonl_roundtrip",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "knn_cosine_bruteforce",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {

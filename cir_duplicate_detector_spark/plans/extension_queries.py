@@ -3628,6 +3628,93 @@ SELECT doc_id, version, text_hash FROM (
 """
 
 
+def q_ann_recall_ivf(spark, sf_dir):
+    """Recall@5 of the IVF path vs the exact brute-force ranking —
+    completes the self-measuring diagnostic matrix alongside
+    `ann_recall_lsh` and `minhash_recall`: every approximate index the
+    engine ships reports its own measured recall as an oracle-checked
+    query. Misses here isolate the coarse-quantizer knobs (centroid
+    sample density, nprobe), the knobs `semantic_dedup`'s √N scaling
+    note tunes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = _knn_probe_df(spark, sf_dir)
+    bf = similarity.knn_bruteforce(emb, probes, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity.knn_ivf(emb, probes, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_RECALL_IVF = f"""
+WITH n AS ({_DUCK_VEC_N}),
+bf_scored AS ({_DUCK_BF_SCORED}),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank FROM bf_scored
+  ) WHERE rank <= 5
+),
+cent AS (SELECT vec_id AS cid, e AS ce, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
+sc AS (
+  SELECT n.vec_id, n.e, n.nrm, c.cid,
+         list_sum(list_transform(range(1, 65), j -> n.e[j] * c.ce[j]))
+           / (n.nrm * c.cnrm) AS ccos
+  FROM n CROSS JOIN cent c
+),
+member AS (
+  SELECT vec_id AS neighbor_id, e, nrm, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid)
+              AS rn FROM sc
+  ) WHERE rn = 1
+),
+probe_lists AS (
+  SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid)
+              AS rn
+    FROM sc WHERE vec_id % 20 = 0
+  ) WHERE rn <= 3
+),
+iscored AS (
+  SELECT p.query_id, m.neighbor_id,
+         list_sum(list_transform(range(1, 65), j -> p.qe[j] * m.e[j]))
+           / (p.qnrm * m.nrm) AS cosine
+  FROM probe_lists p JOIN member m USING (cid)
+  WHERE p.query_id <> m.neighbor_id
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank FROM iscored
+  ) WHERE rank <= 5
+)
+SELECT bf.query_id, count(*) AS n_true,
+       sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         / count(*) AS recall
+FROM bf LEFT JOIN ivf
+  ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
 def q_corpus_drift(spark, sf_dir):
     """Token-distribution drift between the doc_id-parity cohorts —
     integer-exact cross-product divergence, top-20 tokens."""
@@ -3967,4 +4054,5 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "corpus_upsert": (q_corpus_upsert, SQL_CORPUS_UPSERT),
     "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "ann_recall_ivf": (q_ann_recall_ivf, SQL_ANN_RECALL_IVF),
 }
