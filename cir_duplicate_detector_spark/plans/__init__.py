@@ -38,7 +38,7 @@ except ImportError:
 #     kmeans_embeddings, corpus_drift, events_rolling, corpus_upsert and
 #     multimodal_audio, minhash_recall, events_pivot and ann_recall_ivf are new this
 #     round;
-# (b) 9 queries whose PLANS changed this round: detect_duplicates
+# (b) 13 queries whose PLANS changed this round: detect_duplicates
 #     (cascaded short-circuit Hamming predicate in the naive scan),
 #     semantic_dedup (√N-scaled centroid modulus, results change with
 #     it), distinct_kmv (phase-1 bottom-k is now a spillable window),
@@ -48,14 +48,15 @@ except ImportError:
 #     dedup_incremental;
 # (c) the 11 reference-core queries whose last driver row is round 3
 #     (they ceded their round-4 slots to the then-new extension set);
-# (d) 8 extension queries whose last driver row is round 2/3 (registry
-#     positions 61-92 in round 4's ordering). Twenty-two r2/r3-green
+# (d) 4 extension queries whose last driver row is round 2/3 (registry
+#     positions 61-92 in round 4's ordering). Twenty-six r2/r3-green
 #     queries cede their slots to (a)/(b): rollup_orders, window_topn,
 #     events_distinct_users, events_distinct_users_streaming,
 #     events_quantiles, dup_overlap, tpch_q20_like, tpch_q16_like,
 #     tpch_q15_like, tpch_q2_like, tpch_q9_like, tpch_q11_like, tpch_q21_like, tpch_q19_like, tpch_q17_like, tpch_q8_like, tpch_q7_like,
 #     events_funnel, knn_pq_adc, knn_cosine_ivf, knn_cosine_lsh,
-#     knn_cosine_bruteforce —
+#     knn_cosine_bruteforce, url_domain_stats, doc_chunks, dedup_simhash,
+#     dedup_simhash_pairs —
 #     never-verified and plan-changed queries outrank
 #     stale-green ones for driver slots. They and the 44 round-4-green
 #     queries follow past entry 50 in registry order, all covered by
@@ -84,7 +85,13 @@ _PRIORITY = [
     "minhash_recall",
     "events_pivot",
     "ann_recall_ivf",
-    # (b) plan changed this round
+    # (b) plan changed this round — includes the four streaming queries
+    #     whose file staging (stage_source directory support) and, for
+    #     sessionize, micro-batch protocol changed late in the round
+    "events_sessionize_stateful",
+    "events_window_streaming",
+    "bloom_dedup_streaming",
+    "events_distinct_users_streaming",
     "detect_duplicates",
     "semantic_dedup",
     "distinct_kmv",
@@ -110,11 +117,7 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_exact_normalized",
     "dedup_exact_streaming",
-    "url_domain_stats",
-    "doc_chunks",
     "docs_jsonl_roundtrip",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
 ]
 
 ALL_QUERIES: dict[str, tuple] = {
