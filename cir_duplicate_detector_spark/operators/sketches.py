@@ -298,7 +298,13 @@ def histogram_quantiles(
         F.count("*").alias("n"),
     )
     width = (F.col("v_max") - F.col("v_min")) / F.lit(float(nbins))
-    degenerate = F.col("v_max") == F.col("v_min")
+    # Guard on the WIDTH, not min == max: a subnormal (v_max - v_min)
+    # can underflow to width == 0.0 with min < max, and ANSI mode makes
+    # the bucket division a hard error rather than IEEE inf
+    # (hypothesis-found). width == 0 collapses every row to bucket 0,
+    # so the estimate degrades to v_min with a ~0 error bound — exactly
+    # what a zero-width grid means.
+    degenerate = width == F.lit(0.0)
     bucket = F.when(degenerate, F.lit(0)).otherwise(
         F.least(
             F.floor((F.col(value) - F.col("v_min")) / width).cast("long"),

@@ -3867,7 +3867,9 @@ stats AS (
 ),
 bucketed AS (
   SELECT ev.event_type, stats.v_min, stats.v_max, stats.n,
-         CASE WHEN stats.v_max = stats.v_min THEN 0
+         -- width-zero guard, matching the operator (subnormal ranges
+         -- underflow (v_max - v_min)/64 to exactly 0.0 with min < max)
+         CASE WHEN (stats.v_max - stats.v_min) / 64.0 = 0 THEN 0
               ELSE least(
                 floor((ev.value - stats.v_min)
                       / ((stats.v_max - stats.v_min) / 64.0))::BIGINT,
