@@ -38,10 +38,14 @@ adversarial inputs.
 Scale boundary: assignment is a broadcast cross join, so the centroid
 table must fit executor memory — fine up to k ~ 10^5 (64-dim doubles ≈
 50 MB). Past that (k ≈ √N at trillion-row corpora) the assignment pass
-itself needs candidate pruning: run THIS operator on a hash-sampled
-subset to learn coarse centroids, then assign the full corpus through
-the IVF path (`similarity.ivf_*`) whose bucketed join never broadcasts
-the fine centroids. The fold/mean machinery here is unchanged by that
+itself needs candidate pruning: :func:`kmeans_ivf_assign` is that
+composition — learn COARSE centroids on a deterministic sample with
+the Lloyd loop here, assign the full corpus to them (broadcast is fine,
+coarse k is small), then resolve the FINE centroid through an equi-join
+on the coarse cell id — the IVF bucketed-join shape from
+`similarity.knn_ivf`, which never broadcasts the fine-centroid table,
+so total fine-cluster count is bounded by shuffle capacity, not by
+executor memory. The fold/mean machinery is unchanged by the
 composition.
 """
 
@@ -74,14 +78,33 @@ def _sorted_fold(items: Column, field: str) -> Column:
     )
 
 
-def kmeans_assign(
+# Each unrolled Lloyd round appends a cross-join + two aggregations to
+# ONE unmaterialized plan, so plan size (and Catalyst analysis time)
+# grows multiplicatively with iters; past this ceiling callers must
+# materialize centroids between rounds (cache.materialize) instead of
+# unrolling further (round-5 advice: a large `iters` silently built a
+# megabyte plan).
+KM_MAX_UNROLLED_ITERS = 8
+
+
+def kmeans_centroids(
     embs: DataFrame,
     k: int = KM_K,
     iters: int = KM_ITERS,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Run ``iters`` Lloyd rounds; returns ``(vec_id, cluster, d)``
-    with ``d`` the final squared distance to the assigned centroid."""
+    """Learn ``k`` centroids with ``iters`` unrolled Lloyd rounds;
+    returns the broadcast-hinted ``(cluster, c)`` centroid table.
+    Deterministic by construction (seeds + sorted folds — module
+    docstring); shared by :func:`kmeans_assign` (assign the same corpus)
+    and :func:`kmeans_ivf_assign` (learn on a sample, assign the full
+    corpus through the IVF bucketed join)."""
+    if iters > KM_MAX_UNROLLED_ITERS:
+        raise ValueError(
+            f"iters={iters} exceeds the unrolled-plan ceiling "
+            f"{KM_MAX_UNROLLED_ITERS}; materialize centroids between "
+            "rounds (cache.materialize) for longer runs"
+        )
     e = embs.select(
         "vec_id", F.col(vec_col).cast("array<double>").alias("e")
     )
@@ -144,6 +167,21 @@ def kmeans_assign(
                 ).alias("c")
             )
         )
+    return cents
+
+
+def kmeans_assign(
+    embs: DataFrame,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds; returns ``(vec_id, cluster, d)``
+    with ``d`` the final squared distance to the assigned centroid."""
+    e = embs.select(
+        "vec_id", F.col(vec_col).cast("array<double>").alias("e")
+    )
+    cents = kmeans_centroids(embs, k, iters, vec_col)
     final = e.crossJoin(cents).select(
         "vec_id", "cluster", _sq_dist(F.col("e"), F.col("c")).alias("d")
     )
@@ -153,4 +191,85 @@ def kmeans_assign(
         "vec_id",
         F.col("m.cluster").alias("cluster"),
         F.col("m.d").alias("d"),
+    )
+
+
+# kmeans_ivf_assign defaults: learn coarse centroids on a 1/4
+# deterministic sample; one fine centroid per 10 vectors (every vector
+# whose id ≡ 0 mod 10 serves as a fine centroid of its coarse cell).
+KM_IVF_SAMPLE_MOD = 4
+KM_IVF_FINE_MOD = 10
+
+
+def kmeans_ivf_assign(
+    embs: DataFrame,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    sample_mod: int = KM_IVF_SAMPLE_MOD,
+    fine_mod: int = KM_IVF_FINE_MOD,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level quantizer assignment — the kmeans→IVF composition the
+    module docstring promises for k beyond the broadcast ceiling (~10^5
+    centroids). Returns ``(vec_id, coarse, fine, d)``:
+
+    1. **Learn coarse** — :func:`kmeans_centroids` on the deterministic
+       sample ``vec_id % sample_mod == 0`` (Lloyd cost bounded by the
+       sample, not the corpus).
+    2. **Assign coarse** — full-corpus argmin against the BROADCAST
+       coarse table (k is small by construction; ties toward the lower
+       cluster id, the shared rule).
+    3. **Assign fine** — fine centroids are the deterministic in-cell
+       sample ``vec_id % fine_mod == 0`` of the already-assigned corpus;
+       every vector resolves its nearest fine centroid through an
+       EQUI-JOIN on the coarse cell id — `similarity.knn_ivf`'s bucketed
+       inverted-list shape (similarity.py:281-345). The fine table is
+       never broadcast, so total fine-centroid count scales with shuffle
+       capacity: this is the assignment path past k ~ 10^5 where the
+       flat broadcast of :func:`kmeans_assign` stops fitting.
+
+    ``fine = -1`` (with NULL ``d``) marks vectors whose coarse cell has
+    no fine sample — possible only for cells smaller than ``fine_mod``;
+    callers treat the coarse id as the terminal cluster there. Per-cell
+    work is |cell| x |fine-in-cell| ≈ (N/k)·(N/(k·fine_mod)) — bounded
+    by cell granularity, the same balance argument as
+    `similarity.sqrt_centroid_mod`.
+    """
+    e = embs.select(
+        "vec_id", F.col(vec_col).cast("array<double>").alias("e")
+    )
+    sample = embs.where(F.col("vec_id") % sample_mod == 0)
+    coarse = kmeans_centroids(sample, k, iters, vec_col).select(
+        F.col("cluster").alias("coarse"), "c"
+    )
+    scored_c = e.crossJoin(F.broadcast(coarse)).select(
+        "vec_id", "e", "coarse", _sq_dist(F.col("e"), F.col("c")).alias("dc")
+    )
+    assigned = (
+        scored_c.groupBy("vec_id")
+        .agg(F.min(F.struct("dc", "coarse", "e")).alias("m"))
+        .select("vec_id", F.col("m.coarse").alias("coarse"), F.col("m.e").alias("e"))
+    )
+    fine = assigned.where(F.col("vec_id") % fine_mod == 0).select(
+        "coarse", F.col("vec_id").alias("fine_id"), F.col("e").alias("f")
+    )
+    # The IVF bucketed join: fine candidates arrive by coarse-cell
+    # equi-join (shuffle/AQE-planned, NOT broadcast — the whole point).
+    scored_f = assigned.join(fine, "coarse", "left").select(
+        "vec_id",
+        "coarse",
+        "fine_id",
+        F.when(
+            F.col("f").isNotNull(), _sq_dist(F.col("e"), F.col("f"))
+        ).alias("d"),
+    )
+    return (
+        scored_f.groupBy("vec_id", "coarse")
+        .agg(F.min(F.struct("d", "fine_id")).alias("m"))
+        .select(
+            "vec_id",
+            "coarse",
+            F.coalesce(F.col("m.fine_id"), F.lit(-1)).alias("fine"),
+            F.col("m.d").alias("d"),
+        )
     )

@@ -776,9 +776,27 @@ def corpus_drift(docs: DataFrame, k: int = 20) -> DataFrame:
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("cnt_a"),
         F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("cnt_b"),
     )
+    # Overflow guard (round-5 advice): the cross product is exact only
+    # while na·nb fits BIGINT (cnt ≤ n, so na,nb < ~3e9 suffices); past
+    # the bound fail loudly instead of ranking wrapped garbage.
+    _DRIFT_EXACT_MAX = 3_000_000_000
+
+    def _guarded(c: str):
+        return F.when(
+            F.col(c) < F.lit(_DRIFT_EXACT_MAX), F.col(c)
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"corpus_drift: cohort token count {c} exceeds the "
+                    "exact BIGINT cross-product bound (~3e9); run per-"
+                    "shard/day slices (docstring) instead"
+                )
+            )
+        )
+
     tot = counts.agg(
         F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb")
-    )
+    ).select(_guarded("na").alias("na"), _guarded("nb").alias("nb"))
     scored = counts.join(F.broadcast(tot)).withColumn(
         "score",
         F.abs(

@@ -4,16 +4,36 @@
 duckdb_oracle_sql | None).
 
 Ordering is deliberate: the correctness driver cross-checks the FIRST
-50 registry entries against the DuckDB oracle (round 2 verified entries
-0-49 and skipped the rest), so queries that have never had a driver-
-recorded green row — plus anything whose plan changed this round — are
-registered first. Every query is additionally covered by the local
-parametric parity suite (`tests/test_oracle_parity.py`), which has no
-cap; the priority list only controls which subset the driver's
-independent gate re-verifies this round.
+50 registry entries against the DuckDB oracle, so which 50 lead decides
+which queries get a CURRENT driver-green row this round. With 115
+registered queries that is a standing ROTATION, not an ad-hoc list
+(round-5 verdict item 2). The policy, in priority order:
+
+1. queries with NO driver row in any ``CORRECTNESS_r*.json`` (new this
+   round or never yet inside the window);
+2. queries whose PLAN changed this round in a result-affecting way
+   (``_PLAN_CHANGED`` — maintained by hand each round, because only the
+   author knows which edits change results vs physical shape);
+3. everything else by last driver-verified round ASCENDING (stalest
+   first), ties in registry order.
+
+The ordering is COMPUTED from the committed correctness artifacts at
+import time, so it cannot drift from reality the way a hand-written
+list did (round-5 advice: the hand-list's comment contradicted itself).
+Invariant: with ~115 queries and a 50-slot window, stalest-first means
+no query's driver row is ever older than ceil(115/50) = 3 rounds.
+
+Every query is additionally covered by the local parametric parity
+suite (`tests/test_oracle_parity.py`), which has no cap; the priority
+only controls which subset the driver's independent gate re-verifies
+this round.
 """
 
 from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
 
 from .core_queries import CORE_QUERIES
 
@@ -27,105 +47,50 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Front of the line (the driver verifies the FIRST 50 entries), round 5:
-# (a) 22 queries with NO driver row ever: dedup_containment_canonical
-#     and curation_pipeline landed at registry positions 70/90 in round
-#     4 (outside its window — r4 verdict item 1); tpch_q5_skewed,
-#     bigram_novelty, domain_mixture, shard_assign, events_attribution,
-#     events_attribution_streaming, cms_heavy_hitters, tfidf_topterms,
-#     events_quantiles_hist, events_dedup_watermarked, dataset_split
-#     (leakage-safe cluster-level split), docs_csv_roundtrip and
-#     kmeans_embeddings, corpus_drift, events_rolling, corpus_upsert and
-#     multimodal_audio, minhash_recall, events_pivot and ann_recall_ivf are new this
-#     round;
-# (b) 13 queries whose PLANS changed this round: detect_duplicates
-#     (cascaded short-circuit Hamming predicate in the naive scan),
-#     semantic_dedup (√N-scaled centroid modulus, results change with
-#     it), distinct_kmv (phase-1 bottom-k is now a spillable window),
-#     and the six df_capped consumers (the hot-key anti-join no longer
-#     forces a broadcast): dedup_containment, doc_topk_similar,
-#     dedup_ngram_jaccard, substring_dup, decontaminate,
-#     dedup_incremental;
-# (c) the 11 reference-core queries whose last driver row is round 3
-#     (they ceded their round-4 slots to the then-new extension set);
-# (d) 4 extension queries whose last driver row is round 2/3 (registry
-#     positions 61-92 in round 4's ordering). Twenty-six r2/r3-green
-#     queries cede their slots to (a)/(b): rollup_orders, window_topn,
-#     events_distinct_users, events_distinct_users_streaming,
-#     events_quantiles, dup_overlap, tpch_q20_like, tpch_q16_like,
-#     tpch_q15_like, tpch_q2_like, tpch_q9_like, tpch_q11_like, tpch_q21_like, tpch_q19_like, tpch_q17_like, tpch_q8_like, tpch_q7_like,
-#     events_funnel, knn_pq_adc, knn_cosine_ivf, knn_cosine_lsh,
-#     knn_cosine_bruteforce, url_domain_stats, doc_chunks, dedup_simhash,
-#     dedup_simhash_pairs —
-#     never-verified and plan-changed queries outrank
-#     stale-green ones for driver slots. They and the 44 round-4-green
-#     queries follow past entry 50 in registry order, all covered by
-#     the uncapped local parity suite every round.
-_PRIORITY = [
-    # (a) never driver-verified
-    "dedup_containment_canonical",
-    "curation_pipeline",
-    "tpch_q5_skewed",
-    "bigram_novelty",
-    "domain_mixture",
-    "shard_assign",
-    "events_attribution",
-    "events_attribution_streaming",
-    "cms_heavy_hitters",
-    "tfidf_topterms",
-    "events_quantiles_hist",
-    "events_dedup_watermarked",
-    "dataset_split",
-    "docs_csv_roundtrip",
-    "kmeans_embeddings",
-    "corpus_drift",
-    "events_rolling",
-    "corpus_upsert",
-    "multimodal_audio",
+# Queries whose ROUND-6 edits change results (not just physical plans),
+# so their existing driver rows are void regardless of age:
+# * minhash_recall — probes moved from the 2% `% 50` rule to the ~1%
+#   deterministic hash sample and the found side is probe-restricted
+#   before the verify join (round-5 verdict item 4).
+_PLAN_CHANGED = [
     "minhash_recall",
-    "events_pivot",
-    "ann_recall_ivf",
-    # (b) plan changed this round — includes the four streaming queries
-    #     whose file staging (stage_source directory support) and, for
-    #     sessionize, micro-batch protocol changed late in the round
-    "events_sessionize_stateful",
-    "events_window_streaming",
-    "bloom_dedup_streaming",
-    "events_distinct_users_streaming",
-    "detect_duplicates",
-    "semantic_dedup",
-    "distinct_kmv",
-    "dedup_containment",
-    "doc_topk_similar",
-    "dedup_ngram_jaccard",
-    "substring_dup",
-    "decontaminate",
-    "dedup_incremental",
-    # (c) reference core, last driver row round 3
-    "url_normalize",
-    "url_duplicates",
-    "url_duplicates_probed",
-    "hash_explode_dedup",
-    "hash_decode",
-    "pdq_pairs",
-    "pdq_duplicates_naive",
-    "pdq_duplicates_banded",
-    "pdq_duplicates_probed",
-    "pdq_duplicates_t08_probed",
-    "pdq_duplicates_t08_probe30",
-    # (d) extensions, last driver row round 2/3
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_exact_streaming",
-    "docs_jsonl_roundtrip",
 ]
 
+
+def _last_verified_round() -> dict[str, int]:
+    """name -> latest round with a driver row, from the committed
+    ``CORRECTNESS_r*.json`` artifacts (repo root). Missing files (fresh
+    clone, round 1) yield {} and the registry keeps insertion order."""
+    last: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+_LAST = _last_verified_round()
+_REG_POS = {name: i for i, name in enumerate(_MERGED)}
+
+
+def _priority_key(name: str):
+    if name in _PLAN_CHANGED:
+        # After never-verified (round 0), before every verified round.
+        return (0.5, _PLAN_CHANGED.index(name))
+    return (_LAST.get(name, 0), _REG_POS[name])
+
+
 ALL_QUERIES: dict[str, tuple] = {
-    name: _MERGED[name] for name in _PRIORITY if name in _MERGED
+    name: _MERGED[name] for name in sorted(_MERGED, key=_priority_key)
 }
-ALL_QUERIES.update(
-    {name: v for name, v in _MERGED.items() if name not in ALL_QUERIES}
-)
 
 # Guard: the streaming sessionize/window/distinct queries must answer
 # the SAME question as their batch twins — they share one oracle string

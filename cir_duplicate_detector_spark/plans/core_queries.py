@@ -168,6 +168,56 @@ WHERE EXISTS (SELECT 1 FROM ({_DUCK_PROBE}) t(i) WHERE list_contains(g.members, 
 """
 
 
+# Skew-guard demo cap: the planted viral group below is one row per
+# document (500-5000 rows across the SFs), far past this bound at every
+# scale factor; the corpus's organic duplicate groups are far below it.
+URL_GROUP_CAP = 50
+
+_VIRAL_URL = "https://viral.example.com/launch?utm_source=share"
+
+
+def q_url_duplicates_capped(spark, sf_dir):
+    """`find_url_duplicates(max_group_size=...)` against a PLANTED
+    mega-group (every document contributes one row with the same viral
+    URL — the link-shortener/platform-root pathology the cap exists
+    for, mirroring `tpch_q5_skewed`'s planted-skew pattern): the viral
+    group is dropped by the count pre-pass before the member-list
+    window can materialize a corpus-sized array per row; the organic
+    duplicate groups pass through untouched."""
+    entries = _entries(spark, sf_dir).select("index", "url")
+    viral = load_table(spark, sf_dir, "documents").select(
+        F.format_string("VG%08d", F.col("doc_id")).alias("index"),
+        F.lit(_VIRAL_URL).alias("url"),
+    )
+    return find_url_duplicates(
+        entries.unionAll(viral), max_group_size=URL_GROUP_CAP
+    ).select("index", _joined("url_duplicates").alias("url_duplicates"))
+
+
+SQL_URL_DUPLICATES_CAPPED = f"""
+WITH entries AS ({_DUCK_ENTRIES}),
+unioned AS (
+  SELECT "index", url FROM entries
+  UNION ALL
+  SELECT 'VG' || lpad(cast(doc_id as string), 8, '0'), '{_VIRAL_URL}'
+  FROM documents
+),
+base AS (
+  SELECT "index", {normalize_url_sql('url')} AS base_url
+  FROM unioned WHERE url IS NOT NULL
+),
+grp AS (
+  SELECT base_url, list("index") AS members
+  FROM base GROUP BY base_url
+  HAVING count(*) > 1 AND count(*) <= {URL_GROUP_CAP}
+)
+SELECT b."index" AS "index",
+       array_to_string(list_sort(list_filter(g.members, m -> m <> b."index")), '|')
+         AS url_duplicates
+FROM base b JOIN grp g USING (base_url)
+"""
+
+
 def q_hash_explode_dedup(spark, sf_dir):
     # P3/P4/P6: null-drop, explode, literal dedup.
     return exploded_hashes(_entries(spark, sf_dir))
@@ -388,6 +438,7 @@ CORE_QUERIES: dict[str, tuple] = {
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "url_duplicates": (q_url_duplicates, SQL_URL_DUPLICATES),
     "url_duplicates_probed": (q_url_duplicates_probed, SQL_URL_DUPLICATES_PROBED),
+    "url_duplicates_capped": (q_url_duplicates_capped, SQL_URL_DUPLICATES_CAPPED),
     "hash_explode_dedup": (q_hash_explode_dedup, SQL_HASH_EXPLODE_DEDUP),
     "hash_decode": (q_hash_decode, SQL_HASH_DECODE),
     "pdq_pairs": (q_pdq_pairs, SQL_PDQ_PAIRS),

@@ -1393,12 +1393,73 @@ def q_multimodal_audio(spark, sf_dir):
     return multimodal.audio_energy_windows(media)
 
 
-# The corpus is printable ASCII (verified vs the testdata), so DuckDB's
-# char-indexed ascii(substr(...)) equals the Python byte view. W=64
-# samples, hop 32; windows = ceil(n/hop); energy = sum of squares.
+def q_multimodal_image_ahash(spark, sf_dir):
+    """REAL image decode path (round-5 stretch item): each document is
+    framed as an actual 8x8 binary PPM (P6 header + its first 192 text
+    bytes as the RGB raster), decoded by the pure-numpy PPM codec (PIL
+    when the optional extra is installed), and perceptually fingerprinted
+    with an 8x8 average hash over the DECODED PIXELS — the feature is a
+    function of image content, not of payload bytes (a header comment
+    changes the bytes but not the hash; pinned by unit test). One Arrow
+    boundary, vectorized decode, same plumbing as the stub paths."""
+    docs = load_table(spark, sf_dir, "documents")
+    raster = F.rpad(F.substring("text", 1, 192), 192, " ")
+    payload = F.encode(
+        F.concat(F.lit("P6\n8 8\n255\n"), raster), "utf-8"
+    )
+    media = docs.select(
+        "doc_id",
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+    )
+    return multimodal.image_ahash_features(media)
+
+
+# Char-indexed like SQL_MULTIMODAL_AUDIO, with the same loud ASCII
+# assertion (chars == bytes only on ASCII text). gray = (r+g+b)//3 per
+# pixel; bit rule gray*64 > sum(gray) — exact integers, no division.
+SQL_MULTIMODAL_IMAGE_AHASH = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = len(text)
+              THEN rpad(substr(text, 1, 192), 192, ' ')
+              ELSE error('SQL_MULTIMODAL_IMAGE_AHASH: non-ASCII text (doc_id '
+                         || doc_id || '); char-indexed oracle diverges '
+                         || 'from the byte-decoding operator')
+         END AS raster
+  FROM documents
+),
+px AS (
+  SELECT doc_id, i,
+         (ascii(substr(raster, 3 * i + 1, 1))
+          + ascii(substr(raster, 3 * i + 2, 1))
+          + ascii(substr(raster, 3 * i + 3, 1))) // 3 AS gray
+  FROM b CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+),
+tot AS (SELECT doc_id, sum(gray)::BIGINT AS sg FROM px GROUP BY doc_id)
+SELECT px.doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+       string_agg(CASE WHEN gray * 64 > sg THEN '1' ELSE '0' END,
+                  '' ORDER BY i) AS ahash_bits
+FROM px JOIN tot ON tot.doc_id = px.doc_id
+GROUP BY px.doc_id
+"""
+
+
+# The oracle indexes CHARACTERS while the operator decodes UTF-8
+# BYTES; they agree only on pure-ASCII text, so the oracle ASSERTS
+# ASCII per row (octet_length(encode(text)) = len(text) iff ASCII) and
+# a future non-ASCII corpus fails LOUDLY here instead of silently
+# hash-mismatching (round-5 advice). W=64 samples, hop 32; windows =
+# ceil(n/hop); energy = sum of squares.
 SQL_MULTIMODAL_AUDIO = """
 WITH b AS (
-  SELECT doc_id, len(text) AS n,
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = len(text) THEN len(text)
+              ELSE error('SQL_MULTIMODAL_AUDIO: non-ASCII text (doc_id '
+                         || doc_id || '); the char-indexed oracle '
+                         || 'diverges from the byte-decoding operator')
+         END AS n,
          list_transform(range(1, len(text) + 1),
                         i -> ascii(substr(text, i, 1))::BIGINT) AS samples
   FROM documents
@@ -3464,23 +3525,42 @@ FROM events GROUP BY user_id
 """
 
 
+def _mhr_probe_pred(col):
+    """Deterministic ~1% hash sample of ORIGINAL docs (< 1e6 excludes
+    the derived mutant/copy ids) — the recall probes. Hash-based (not
+    ``% 100`` on the id) so it is unbiased under any id assignment
+    scheme, and a FIXED rate so the diagnostic's cost stays a constant
+    fraction of the corpus (round-5 advice: the exact-truth join at
+    2% probes × 10x replica was the diagnostic's scale wall)."""
+    from ..functions.text import hash60
+
+    return (hash60(col.cast("string"), seed="mhr") % 100 == 0) & (
+        col < 1_000_000
+    )
+
+
 def q_minhash_recall(spark, sf_dir):
     """Self-measuring dedup-index quality, the text twin of
     `ann_recall_lsh`: per probe document, what fraction of its TRUE
     near-duplicates (exact Jaccard ≥ 0.5 over the same uncapped
     shingle universe the MinHash path uses) does the banded LSH
-    pipeline recover? The found side is `dedup.minhash_near_duplicates`
-    itself (band-collision candidates + exact verify), so any miss is a
-    banding miss — exactly the knob (bands × rows) this measures.
-    Truth is probe-restricted (every 50th doc) so the exact side stays
-    a bounded fraction of the corpus; production samples the same way.
+    pipeline recover? The found side runs the same signatures → banded
+    candidates → exact-verify pipeline as `dedup.minhash_near_
+    duplicates`, with the candidate set probe-restricted BEFORE the
+    verify join (recall only scores probe-touching pairs, and a
+    banding miss is decided at candidate generation — restricting
+    later stages cannot change any probe's verdict). Probes are a
+    deterministic ~1% hash sample (:func:`_mhr_probe_pred`), so both
+    the exact-truth join and the verify stage cost a fixed ~1% of
+    their full-corpus forms — the production shape for running this
+    diagnostic continuously at 100 TB.
     """
+    from ..cache import materialize
+
     docs = _docs_nd(spark, sf_dir)
     sh = dedup.shingle_sets(docs).select("doc_id", "sh_hash")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    probes = sh.where(
-        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
-    )
+    probes = sh.where(_mhr_probe_pred(F.col("doc_id")))
     pinter = (
         probes.select(F.col("doc_id").alias("p"), "sh_hash")
         .join(sh.select(F.col("doc_id").alias("o"), "sh_hash"), "sh_hash")
@@ -3502,9 +3582,15 @@ def q_minhash_recall(spark, sf_dir):
         )
         .select("p", "o")
     )
-    found = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
-        "a", "b", F.lit(1).alias("hit")
+    hashed = dedup.hashed_shingle_arrays(docs)
+    cands = materialize(
+        dedup.lsh_candidates(dedup.minhash_signatures(hashed)).where(
+            _mhr_probe_pred(F.col("a")) | _mhr_probe_pred(F.col("b"))
+        )
     )
+    found = dedup.jaccard_pairs(
+        hashed, cands, threshold=0.5, candidate_count=cands.count()
+    ).select("a", "b", F.lit(1).alias("hit"))
     keyed = truth.select(
         "p", F.least("p", "o").alias("a"), F.greatest("p", "o").alias("b")
     )
@@ -3524,6 +3610,14 @@ def q_minhash_recall(spark, sf_dir):
     )
 
 
+def _mhr_probe_pred_sql(col: str) -> str:
+    """DuckDB twin of :func:`_mhr_probe_pred`."""
+    return (
+        f"({hash60_sql(col + '::VARCHAR', chr(39) + 'mhr' + chr(39))} % 100 = 0"
+        f" AND {col} < 1000000)"
+    )
+
+
 SQL_MINHASH_RECALL = f"""
 WITH {_DUCK_SHINGLE_SET},
 sigs AS (
@@ -3537,6 +3631,8 @@ cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
   FROM bands l JOIN bands r USING (band_id, band_key)
   WHERE l.doc_id < r.doc_id
+    AND ({_mhr_probe_pred_sql('l.doc_id')}
+         OR {_mhr_probe_pred_sql('r.doc_id')})
 ),
 inter AS (
   SELECT c.a, c.b, count(*) AS i
@@ -3554,7 +3650,7 @@ mh AS (
 pinter AS (
   SELECT x.doc_id AS p, y.doc_id AS o, count(*) AS i
   FROM shh x JOIN shh y ON y.sh_hash = x.sh_hash AND x.doc_id <> y.doc_id
-  WHERE x.doc_id % 50 = 0 AND x.doc_id < 1000000
+  WHERE {_mhr_probe_pred_sql('x.doc_id')}
   GROUP BY 1, 2
 ),
 truth AS (
@@ -3756,21 +3852,28 @@ def q_kmeans_embeddings(spark, sf_dir):
     return kmeans.kmeans_assign(load_table(spark, sf_dir, "embeddings"))
 
 
-def _sql_kmeans() -> str:
-    from ..operators import kmeans
+# Fold-order-pinned squared L2 over 64-dim double arrays named e / c —
+# DuckDB's list_sum(list_transform) folds sequentially, matching Spark's
+# F.aggregate(zip_with) bit for bit (operators.kmeans docstring).
+_KM_DIST = (
+    "list_sum(list_transform(range(1, 65),"
+    " j -> (e[j] - c[j]) * (e[j] - c[j])))"
+)
 
-    k, iters, salts = kmeans.KM_K, kmeans.KM_ITERS, kmeans.KM_SALTS
+
+def _sql_kmeans_lloyd(src: str, k: int, iters: int, salts: int) -> str:
+    """CTE chain ``cent0 .. cent{iters}`` learning ``k`` centroids with
+    ``iters`` unrolled Lloyd rounds over CTE ``src`` (columns vec_id, e)
+    — the SQL twin of `operators.kmeans.kmeans_centroids`, parametrized
+    by source so `kmeans_embeddings` (full corpus) and
+    `kmeans_ivf_assign` (deterministic sample) share one generator.
+    Returned string starts with a comma (appends to an open WITH)."""
     h = hash60_sql("vec_id::VARCHAR", "'km'")
-    dist = (
-        "list_sum(list_transform(range(1, 65),"
-        " j -> (e[j] - c[j]) * (e[j] - c[j])))"
-    )
     parts = [
-        f"""
-n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        f""",
 cent0 AS (
   SELECT (rn - 1)::BIGINT AS cluster, e AS c FROM (
-    SELECT e, row_number() OVER (ORDER BY {h}, vec_id) AS rn FROM n
+    SELECT e, row_number() OVER (ORDER BY {h}, vec_id) AS rn FROM {src}
   ) WHERE rn <= {k}
 )"""
     ]
@@ -3778,7 +3881,7 @@ cent0 AS (
         parts.append(
             f""",
 score{i} AS (
-  SELECT vec_id, cluster, {dist} AS d FROM n, cent{i}
+  SELECT vec_id, cluster, {_KM_DIST} AS d FROM {src}, cent{i}
 ),
 best{i} AS (
   SELECT vec_id, cluster FROM (
@@ -3788,8 +3891,8 @@ best{i} AS (
   ) WHERE rn = 1
 ),
 pe{i} AS (
-  SELECT n.vec_id, b.cluster, j.j AS pos, n.e[j.j] AS val
-  FROM n JOIN best{i} b USING (vec_id)
+  SELECT s.vec_id, b.cluster, j.j AS pos, s.e[j.j] AS val
+  FROM {src} s JOIN best{i} b USING (vec_id)
   CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
 ),
 p1_{i} AS (
@@ -3809,16 +3912,76 @@ cent{i + 1} AS (
   FROM p2_{i} GROUP BY cluster
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _sql_kmeans() -> str:
+    from ..operators import kmeans
+
+    k, iters, salts = kmeans.KM_K, kmeans.KM_ITERS, kmeans.KM_SALTS
+    return f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+{_sql_kmeans_lloyd('n', k, iters, salts)}
 SELECT vec_id, cluster, d FROM (
   SELECT vec_id, cluster, d,
          row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-  FROM (SELECT vec_id, cluster, {dist} AS d FROM n, cent{iters})
+  FROM (SELECT vec_id, cluster, {_KM_DIST} AS d FROM n, cent{iters})
 ) WHERE rn = 1
 """
+
+
+def q_kmeans_ivf_assign(spark, sf_dir):
+    """Two-level quantizer: coarse centroids LEARNED (Lloyd rounds on a
+    deterministic 1/4 sample), full-corpus coarse assignment by
+    broadcast argmin, fine assignment through the IVF bucketed
+    equi-join on the coarse cell — the scale path past k ~ 10^5 where
+    the flat centroid broadcast of `kmeans_assign` stops fitting
+    (`operators.kmeans.kmeans_ivf_assign`)."""
+    from ..operators import kmeans
+
+    return kmeans.kmeans_ivf_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+def _sql_kmeans_ivf() -> str:
+    from ..operators import kmeans
+
+    k, iters, salts = kmeans.KM_K, kmeans.KM_ITERS, kmeans.KM_SALTS
+    smod = kmeans.KM_IVF_SAMPLE_MOD
+    fmod = kmeans.KM_IVF_FINE_MOD
+    # Same fold-pinned squared L2, field names per join side.
+    dist_f = (
+        "list_sum(list_transform(range(1, 65),"
+        " j -> (a.e[j] - fi.f[j]) * (a.e[j] - fi.f[j])))"
     )
-    return "WITH " + "".join(parts)
+    return f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, e FROM n WHERE vec_id % {smod} = 0)
+{_sql_kmeans_lloyd('s', k, iters, salts)},
+coarse AS (SELECT cluster AS coarse, c FROM cent{iters}),
+assigned AS (
+  SELECT vec_id, e, coarse FROM (
+    SELECT n.vec_id, n.e, coarse.coarse,
+           row_number() OVER (
+             PARTITION BY n.vec_id ORDER BY {_KM_DIST}, coarse.coarse
+           ) AS rn
+    FROM n, coarse
+  ) WHERE rn = 1
+),
+fine AS (
+  SELECT coarse, vec_id AS fine_id, e AS f
+  FROM assigned WHERE vec_id % {fmod} = 0
+),
+scored AS (
+  SELECT a.vec_id, a.coarse, fi.fine_id,
+         CASE WHEN fi.fine_id IS NULL THEN NULL ELSE {dist_f} END AS d
+  FROM assigned a LEFT JOIN fine fi ON fi.coarse = a.coarse
+)
+SELECT vec_id, coarse, coalesce(fine_id, -1)::BIGINT AS fine, d FROM (
+  SELECT vec_id, coarse, fine_id, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, fine_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
 
 
 def q_tfidf_topterms(spark, sf_dir):
@@ -3976,6 +4139,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
+    "multimodal_image_ahash": (
+        q_multimodal_image_ahash,
+        SQL_MULTIMODAL_IMAGE_AHASH,
+    ),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_window_streaming": (q_events_window_streaming, SQL_EVENTS_WINDOW),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
@@ -4051,6 +4218,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dataset_split": (q_dataset_split, _sql_dataset_split()),
     "docs_csv_roundtrip": (q_docs_csv_roundtrip, SQL_DOCS_CSV_ROUNDTRIP),
     "kmeans_embeddings": (q_kmeans_embeddings, _sql_kmeans()),
+    "kmeans_ivf_assign": (q_kmeans_ivf_assign, _sql_kmeans_ivf()),
     "corpus_drift": (q_corpus_drift, SQL_CORPUS_DRIFT),
     "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
     "corpus_upsert": (q_corpus_upsert, SQL_CORPUS_UPSERT),

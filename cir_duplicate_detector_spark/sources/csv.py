@@ -31,7 +31,31 @@ __all__ = ["CORRUPT_COL", "read_documents_csv", "write_documents_csv"]
 def write_documents_csv(docs: DataFrame, path: str) -> None:
     """Write a corpus as headerless CSV (schema is declared on read;
     a header row would be indistinguishable from data in a
-    multi-thousand-file directory and breaks concatenation)."""
+    multi-thousand-file directory and breaks concatenation).
+
+    The no-embedded-newlines contract (module docstring) is ENFORCED,
+    not assumed: any string cell carrying a newline fails the write
+    loudly (round-5 advice — it previously surfaced only as a silent
+    quarantine row on read-back). The guard is a scan-side predicate
+    per string column, no extra pass."""
+    for f in docs.schema.fields:
+        if f.dataType.typeName() == "string":
+            docs = docs.withColumn(
+                f.name,
+                F.when(
+                    F.col(f.name).rlike("[\\n\\r]"),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"write_documents_csv: column {f.name} "
+                                "contains an embedded newline; pre-escape "
+                                "it or use the JSONL sink: "
+                            ),
+                            F.col(f.name),
+                        )
+                    ),
+                ).otherwise(F.col(f.name)),
+            )
     docs.write.mode("overwrite").option("header", "false").csv(path)
 
 

@@ -51,3 +51,18 @@ def test_csv_quarantines_corrupt_lines(spark, tmp_path):
     quarantined = [r["_corrupt_record"] for r in bad.collect()]
     # The quarantined line is the RAW input, recoverable for triage.
     assert quarantined == ["NOT_A_NUMBER,type mismatch"]
+
+
+def test_write_documents_csv_rejects_embedded_newlines(spark, tmp_path):
+    import pytest as _pytest
+
+    from cir_duplicate_detector_spark.sources.csv import write_documents_csv
+
+    docs = spark.createDataFrame(
+        [(1, "line one\nline two", "en", "web", 17)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    # The raise_error surfaces through the write job wrapped by the
+    # JVM/py4j layers; match on the guard's message, not the type.
+    with _pytest.raises(Exception, match="embedded newline"):
+        write_documents_csv(docs, str(tmp_path / "out"))

@@ -484,3 +484,79 @@ def test_multimodal_audio_window_math(spark):
     for r in rows:
         seg = payload[r.window_no * 32 : r.window_no * 32 + 64]
         assert r.energy_sq == sum(b * b for b in seg)
+
+
+# ------------------------------------------------- real image codec
+
+def _ppm(w, h, pixels, comment=None):
+    """Binary P6 bytes from [(r,g,b), ...] row-major."""
+    head = b"P6\n"
+    if comment is not None:
+        head += b"# " + comment + b"\n"
+    head += f"{w} {h}\n255\n".encode()
+    return head + bytes(v for px in pixels for v in px)
+
+
+def test_decode_ppm_parses_header_comments_and_raster():
+    import numpy as np
+
+    from cir_duplicate_detector_spark.operators.multimodal import decode_ppm
+
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    arr = decode_ppm(_ppm(2, 2, px, comment=b"made by a test"))
+    assert arr.shape == (2, 2, 3)
+    assert arr.dtype == np.uint8
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[1, 1].tolist() == [9, 9, 9]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ppm(_ppm(2, 2, px)[:-1])
+    with _pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
+def test_image_ahash_is_content_addressed_not_byte_addressed(spark):
+    # Two byte-DIFFERENT payloads (one carries a header comment) with
+    # identical pixels must produce identical hashes — proof the path
+    # decodes the image rather than hashing the bytes. A pixel-level
+    # change must flip the hash.
+    from cir_duplicate_detector_spark.operators import multimodal
+
+    bright = [(200, 200, 200)] * 2 + [(10, 10, 10)] * 2
+    rows = [
+        (1, _ppm(2, 2, bright)),
+        (2, _ppm(2, 2, bright, comment=b"different bytes, same image")),
+        (3, _ppm(2, 2, list(reversed(bright)))),
+    ]
+    media = spark.createDataFrame(
+        [(i, "image/x-portable-pixmap", p, len(p)) for i, p in rows],
+        "doc_id bigint, media_type string, payload binary, n_bytes bigint",
+    )
+    out = {
+        r.doc_id: r
+        for r in multimodal.image_ahash_features(media, grid=2).collect()
+    }
+    assert out[1].width == 2 and out[1].height == 2
+    assert len(out[1].ahash_bits) == 4
+    assert out[1].ahash_bits == out[2].ahash_bits == "1100"
+    assert out[3].ahash_bits == "0011"
+
+
+def test_decode_image_pil_agrees_with_pure_decoder():
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")  # optional extra; skip in no-deps envs
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from cir_duplicate_detector_spark.operators.multimodal import decode_ppm
+
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    payload = _ppm(2, 2, px)
+    ours = decode_ppm(payload)
+    pils = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    assert (ours == pils).all()

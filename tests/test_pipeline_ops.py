@@ -550,3 +550,76 @@ def test_minhash_recall_floor_on_planted_corpus(spark):
     # stay >= 0.9 (found is a subset of truth by construction).
     assert all(0.0 <= r.recall <= 1.0 for r in rows)
     assert n_found / n_true >= 0.9
+
+
+def test_kmeans_ivf_assign_two_level_contract(spark):
+    from cir_duplicate_detector_spark.operators import kmeans
+
+    # two tight blobs far apart; sample_mod=2 learns coarse on half the
+    # corpus, fine_mod=4 makes every 4th vector a fine centroid of its
+    # coarse cell.
+    rows = []
+    for i in range(16):
+        rows.append((i, [10.0 + 0.01 * i] * 64))
+        rows.append((100 + i, [-10.0 - 0.01 * i] * 64))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = kmeans.kmeans_ivf_assign(
+        embs, k=2, iters=2, sample_mod=2, fine_mod=4
+    ).collect()
+    assert len(out) == 32
+    # coarse assignment separates the blobs exactly
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r.vec_id < 100, set()).add(r.coarse)
+    assert by_blob[True].isdisjoint(by_blob[False])
+    # fine centroids live in the SAME coarse cell as their members: a
+    # fine id of a +blob member must itself be a +blob vector (ids are
+    # disjoint across blobs), and d is the in-cell distance
+    coarse_of = {r.vec_id: r.coarse for r in out}
+    for r in out:
+        if r.fine == -1:
+            assert r.d is None
+            continue
+        assert coarse_of[r.fine] == r.coarse
+        assert r.fine % 4 == 0
+        assert r.d is not None and r.d < 64 * 0.1
+
+
+def test_kmeans_ivf_assign_marks_fine_less_cells(spark):
+    from cir_duplicate_detector_spark.operators import kmeans
+
+    # Ids are chosen so one group carries fine samples (% 4 == 0) and
+    # the other carries none; whatever cells Lloyd lands on, the
+    # CONTRACT is: a row gets fine=-1 / d NULL iff its coarse cell
+    # contains no fine-sample vector, else a real in-cell fine id.
+    rows = [(i, [10.0] * 64) for i in (0, 4, 8, 12)]
+    rows += [(i, [-10.0] * 64) for i in (101, 102, 103)]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = kmeans.kmeans_ivf_assign(
+        embs, k=2, iters=1, sample_mod=1, fine_mod=4
+    ).collect()
+    assert len(out) == 7
+    cells_with_fine = {
+        r.coarse for r in out if r.vec_id % 4 == 0
+    }
+    for r in out:
+        if r.coarse in cells_with_fine:
+            assert r.fine != -1 and r.fine % 4 == 0 and r.d is not None
+        else:
+            assert r.fine == -1 and r.d is None
+
+
+def test_kmeans_unrolled_iters_ceiling(spark):
+    import pytest as _pytest
+
+    from cir_duplicate_detector_spark.operators import kmeans
+
+    embs = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="unrolled-plan ceiling"):
+        kmeans.kmeans_centroids(embs, iters=9)

@@ -482,3 +482,16 @@ def test_histogram_quantiles_is_two_agg_sketch(spark):
     plan = _plan(spark, "events_quantiles_hist")
     assert "WindowGroupLimit" not in plan  # no top-k machinery
     assert plan.count("HashAggregate") >= 4  # partial+final × two aggs
+
+
+def test_url_duplicates_capped_drops_planted_viral_group(spark):
+    # The registered capped query plants one viral-URL row per document
+    # (group size = corpus size >> cap); the cap's count pre-pass must
+    # drop that group entirely while organic groups pass through.
+    fn, _ = ALL_QUERIES["url_duplicates_capped"]
+    rows = fn(spark, SF).collect()
+    assert rows, "organic duplicate groups must survive the cap"
+    assert not [r for r in rows if r["index"].startswith("VG")]
+    assert not [
+        r for r in rows if "VG" in (r["url_duplicates"] or "")
+    ]
