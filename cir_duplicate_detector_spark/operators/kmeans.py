@@ -235,6 +235,8 @@ def kmeans_ivf_assign(
     by cell granularity, the same balance argument as
     `similarity.sqrt_centroid_mod`.
     """
+    from ..cache import materialize
+
     e = embs.select(
         "vec_id", F.col(vec_col).cast("array<double>").alias("e")
     )
@@ -245,7 +247,13 @@ def kmeans_ivf_assign(
     scored_c = e.crossJoin(F.broadcast(coarse)).select(
         "vec_id", "e", "coarse", _sq_dist(F.col("e"), F.col("c")).alias("dc")
     )
-    assigned = (
+    # Both fine-stage branches (the fine-centroid table and the probe
+    # side of the bucketed join) consume the coarse assignment;
+    # materialize it once or the whole sample-Lloyd + scoring subplan
+    # executes per branch (measured 11.4 s -> ~4 s at sf0.1). On a real
+    # cluster pass a durable checkpoint via `cache.materialize` when
+    # composing into longer pipelines.
+    assigned = materialize(
         scored_c.groupBy("vec_id")
         .agg(F.min(F.struct("dc", "coarse", "e")).alias("m"))
         .select("vec_id", F.col("m.coarse").alias("coarse"), F.col("m.e").alias("e"))

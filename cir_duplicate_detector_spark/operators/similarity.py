@@ -453,6 +453,77 @@ def semantic_near_duplicates(
     )
 
 
+def semantic_near_duplicates_learned(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    k: int | None = None,
+    iters: int | None = None,
+    sample_mod: int | None = None,
+    fine_mod: int | None = None,
+) -> DataFrame:
+    """:func:`semantic_near_duplicates` with LEARNED two-level clusters
+    — the upgrade its docstring defers ("a production run would k-means
+    them"): cluster keys come from `kmeans.kmeans_ivf_assign` (Lloyd
+    coarse centroids learned on a deterministic sample, fine cells
+    resolved through the IVF bucketed equi-join), and exact cosine
+    pairs >= ``threshold`` are emitted WITHIN each (coarse, fine) cell.
+
+    This is the SemDeDup composition that scales past the flat
+    centroid-sample form: total fine-cell count is bounded by shuffle
+    capacity (never broadcast), so cluster granularity can track √N at
+    corpus sizes where a broadcast centroid table stops fitting. Cells
+    with no fine sample (fine = -1) pair at the coarse level — small
+    cells pair whole, exactly the intent.
+
+    Returns ``(a, b, coarse, fine, cosine)``.
+    """
+    from ..cache import materialize
+    from .kmeans import kmeans_ivf_assign
+
+    kwargs = {}
+    if k is not None:
+        kwargs["k"] = k
+    if iters is not None:
+        kwargs["iters"] = iters
+    if sample_mod is not None:
+        kwargs["sample_mod"] = sample_mod
+    if fine_mod is not None:
+        kwargs["fine_mod"] = fine_mod
+    cells = kmeans_ivf_assign(vectors, **kwargs).select(
+        "vec_id", "coarse", "fine"
+    )
+    base = vectors.select(
+        "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
+    )
+    # kmeans_ivf_assign already materialized its assignment; this join
+    # feeds both sides of the pair join, so cut lineage once more.
+    member = materialize(base.join(cells, "vec_id"))
+    a = member.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "coarse",
+        "fine",
+    )
+    b = member.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        "coarse",
+        "fine",
+    )
+    cos = dot64(F.col("a_emb"), F.col("b_emb")) / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    return (
+        a.join(b, ["coarse", "fine"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "coarse", "fine", "cosine")
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

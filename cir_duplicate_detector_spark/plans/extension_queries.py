@@ -3942,7 +3942,12 @@ def q_kmeans_ivf_assign(spark, sf_dir):
     return kmeans.kmeans_ivf_assign(load_table(spark, sf_dir, "embeddings"))
 
 
-def _sql_kmeans_ivf() -> str:
+def _sql_kmeans_ivf_cells() -> str:
+    """CTE chain (starts with a comma, appends to an open WITH whose
+    ``n`` CTE provides ``vec_id, e`` double arrays) ending in ``cells``
+    = ``(vec_id, coarse, fine, d)`` — the SQL twin of
+    `operators.kmeans.kmeans_ivf_assign`, shared by the plain
+    `kmeans_ivf_assign` oracle and `semantic_dedup_learned`."""
     from ..operators import kmeans
 
     k, iters, salts = kmeans.KM_K, kmeans.KM_ITERS, kmeans.KM_SALTS
@@ -3953,8 +3958,7 @@ def _sql_kmeans_ivf() -> str:
         "list_sum(list_transform(range(1, 65),"
         " j -> (a.e[j] - fi.f[j]) * (a.e[j] - fi.f[j])))"
     )
-    return f"""
-WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    return f""",
 s AS (SELECT vec_id, e FROM n WHERE vec_id % {smod} = 0)
 {_sql_kmeans_lloyd('s', k, iters, salts)},
 coarse AS (SELECT cluster AS coarse, c FROM cent{iters}),
@@ -3975,12 +3979,55 @@ scored AS (
   SELECT a.vec_id, a.coarse, fi.fine_id,
          CASE WHEN fi.fine_id IS NULL THEN NULL ELSE {dist_f} END AS d
   FROM assigned a LEFT JOIN fine fi ON fi.coarse = a.coarse
+),
+cells AS (
+  SELECT vec_id, coarse, coalesce(fine_id, -1)::BIGINT AS fine, d FROM (
+    SELECT vec_id, coarse, fine_id, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, fine_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_kmeans_ivf() -> str:
+    return f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+{_sql_kmeans_ivf_cells()}
+SELECT vec_id, coarse, fine, d FROM cells
+"""
+
+
+def q_semantic_dedup_learned(spark, sf_dir):
+    """SemDeDup over LEARNED two-level clusters (`similarity.semantic_
+    near_duplicates_learned`): Lloyd coarse centroids on a deterministic
+    sample, fine cells through the IVF bucketed equi-join, exact cosine
+    pairs within each (coarse, fine) cell — the learned-centroid
+    upgrade `semantic_dedup`'s docstring defers, as a first-class
+    oracle-checked query over the planted near-dup embedding corpus."""
+    corpus = derive_near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return similarity.semantic_near_duplicates_learned(corpus, threshold=0.9)
+
+
+def _sql_semantic_dedup_learned() -> str:
+    cos = (
+        "list_sum(list_transform(range(1, 65), j -> a.e[j] * b.e[j]))"
+        " / (a.nrm * b.nrm)"
+    )
+    return f"""
+WITH emb_nd AS ({_ND_EMB}),
+n AS (SELECT vec_id, embedding AS e FROM emb_nd)
+{_sql_kmeans_ivf_cells()},
+m AS (
+  SELECT n.vec_id, n.e,
+         sqrt(list_sum(list_transform(n.e, x -> x * x))) AS nrm,
+         c.coarse, c.fine
+  FROM n JOIN cells c USING (vec_id)
 )
-SELECT vec_id, coarse, coalesce(fine_id, -1)::BIGINT AS fine, d FROM (
-  SELECT vec_id, coarse, fine_id, d,
-         row_number() OVER (PARTITION BY vec_id ORDER BY d, fine_id) AS rn
-  FROM scored
-) WHERE rn = 1
+SELECT a.vec_id AS a, b.vec_id AS b, a.coarse AS coarse, a.fine AS fine,
+       {cos} AS cosine
+FROM m a JOIN m b
+  ON a.coarse = b.coarse AND a.fine = b.fine AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.9
 """
 
 
@@ -4219,6 +4266,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "docs_csv_roundtrip": (q_docs_csv_roundtrip, SQL_DOCS_CSV_ROUNDTRIP),
     "kmeans_embeddings": (q_kmeans_embeddings, _sql_kmeans()),
     "kmeans_ivf_assign": (q_kmeans_ivf_assign, _sql_kmeans_ivf()),
+    "semantic_dedup_learned": (
+        q_semantic_dedup_learned,
+        _sql_semantic_dedup_learned(),
+    ),
     "corpus_drift": (q_corpus_drift, SQL_CORPUS_DRIFT),
     "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
     "corpus_upsert": (q_corpus_upsert, SQL_CORPUS_UPSERT),

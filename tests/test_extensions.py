@@ -560,3 +560,24 @@ def test_decode_image_pil_agrees_with_pure_decoder():
     ours = decode_ppm(payload)
     pils = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     assert (ours == pils).all()
+
+
+def test_semantic_dedup_learned_pairs_are_cell_local(spark):
+    from cir_duplicate_detector_spark.operators import similarity
+
+    # two far blobs of near-identical vectors: every emitted pair must
+    # be within one blob (cells cannot span blobs) and above threshold
+    rows = []
+    for i in range(8):
+        rows.append((i, [10.0 + 0.001 * i] * 64))
+        rows.append((100 + i, [-10.0 - 0.001 * i] * 64))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = similarity.semantic_near_duplicates_learned(
+        embs, threshold=0.9, k=2, iters=2, sample_mod=1, fine_mod=4
+    ).collect()
+    assert out, "near-identical in-blob vectors must pair"
+    for r in out:
+        assert (r.a < 100) == (r.b < 100), "pair spans blobs"
+        assert r.cosine >= 0.9
