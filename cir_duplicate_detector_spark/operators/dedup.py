@@ -190,12 +190,12 @@ def minhash_signatures(
     return hashed.select("doc_id", *lanes)
 
 
-def lsh_candidates(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
-    """Candidate pairs (a < b) sharing at least one LSH band.
-
-    Band key = md5 of the band's signature rows; the self-join is an
-    equi-join on (band_id, band_key) — shuffle-partitioned, scale-out.
-    """
+def banded_keys(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """``(doc_id, band_id, band_key)`` — one row per LSH band per doc;
+    band key = md5 of the band's signature rows. Pure per-row
+    projection + explode (streaming-safe: no shuffle, no state), shared
+    by :func:`lsh_candidates` (self-join both sides) and
+    :func:`lsh_screen` (stream-static probe side)."""
     rows = MINHASH_K // bands
     band_cols = []
     for b in range(bands):
@@ -205,9 +205,18 @@ def lsh_candidates(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
             )
         )
         band_cols.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def lsh_candidates(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate pairs (a < b) sharing at least one LSH band.
+
+    Band key = md5 of the band's signature rows; the self-join is an
+    equi-join on (band_id, band_key) — shuffle-partitioned, scale-out.
+    """
+    banded = banded_keys(signatures, bands)
     left = banded.select(
         F.col("doc_id").alias("a"), "band_id", "band_key"
     )
@@ -327,6 +336,52 @@ def minhash_near_duplicates(
     cands = materialize(lsh_candidates(sigs), checkpoint_dir)
     return jaccard_pairs(
         hashed, cands, threshold, candidate_count=cands.count()
+    )
+
+
+def lsh_screen(
+    existing: DataFrame, incoming: DataFrame, bands: int = LSH_BANDS
+) -> DataFrame:
+    """MinHash-LSH membership screen for continuous ingest — the
+    NEAR-duplicate analogue of :func:`bloom_filter_dedup`: the existing
+    corpus is indexed ONCE into its distinct ``(band_id, band_key)``
+    set; each incoming document computes its signature per-row (no
+    shuffle, no state — :func:`minhash_signatures` is a pure
+    projection) and probes the index with an equi-join. Returns
+    ``(doc_id, n_bands_hit, lsh_hit)`` per incoming doc: how many of
+    its bands collide with ANY indexed document, and the boolean
+    screen verdict.
+
+    This is the screen a 100 TB ingest pipeline runs BEFORE the
+    expensive verify: band collision ⊇ near-duplicates at the banding
+    operating point (no false negatives the banding itself wouldn't
+    have), so the downstream exact-Jaccard verify only prices
+    ``lsh_hit`` rows. Scale shape: the index is one distinct-key
+    relation (≤ bands × |corpus| rows, shrinking with duplication),
+    the probe side joins by equi-key — both sides shuffle-partitioned,
+    nothing broadcast by construction. The streaming twin
+    (`streaming.windows.streaming_lsh_screen`) runs the identical
+    expressions stream-side against the static index and shares this
+    operator's oracle by construction.
+    """
+    idx = (
+        banded_keys(minhash_signatures(hashed_shingle_arrays(existing)), bands)
+        .select("band_id", "band_key")
+        .dropDuplicates(["band_id", "band_key"])
+        .withColumn("hit", F.lit(1))
+    )
+    inc = banded_keys(
+        minhash_signatures(hashed_shingle_arrays(incoming)), bands
+    )
+    return (
+        inc.join(idx, ["band_id", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_bands_hit")
+        )
+        .withColumn("lsh_hit", F.col("n_bands_hit") > 0)
     )
 
 

@@ -100,6 +100,7 @@ for _batch, _streaming in [
     ("events_sessionize", "events_sessionize_stateful"),
     ("events_window", "events_window_streaming"),
     ("bloom_dedup", "bloom_dedup_streaming"),
+    ("dedup_lsh_screen", "dedup_lsh_screen_streaming"),
     ("events_attribution", "events_attribution_streaming"),
     # salted_join is a physical-plan rewrite only — same answer, same
     # oracle string as the unsalted plan.

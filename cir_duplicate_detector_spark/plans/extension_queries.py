@@ -3087,6 +3087,49 @@ FROM hit h LEFT JOIN ex e ON e.key = h.key
 """
 
 
+def q_dedup_lsh_screen(spark, sf_dir):
+    """MinHash-LSH membership screen (batch form): existing split's
+    distinct band index probed by the incoming split's per-row
+    signatures — the NEAR-dup analogue of `bloom_dedup`, the screen a
+    continuous-ingest pipeline runs before pricing the exact verify."""
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(_BLOOM_SPLIT_SPARK)
+    return dedup.lsh_screen(docs.where(split == 0), docs.where(split == 1))
+
+
+def q_dedup_lsh_screen_streaming(spark, sf_dir):
+    from ..streaming.windows import streaming_lsh_screen
+
+    return streaming_lsh_screen(spark, sf_dir)
+
+
+_LSH_HITS = "sum(CASE WHEN idx.band_id IS NOT NULL THEN 1 ELSE 0 END)"
+
+SQL_DEDUP_LSH_SCREEN = f"""
+WITH {_DUCK_SHINGLE_SET},
+sigs AS (
+  SELECT doc_id, {_LANES}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+idx AS (
+  SELECT DISTINCT band_id, band_key FROM bands
+  WHERE ({_BLOOM_SPLIT}) = 0
+),
+inc AS (
+  SELECT doc_id, band_id, band_key FROM bands
+  WHERE ({_BLOOM_SPLIT}) = 1
+)
+SELECT inc.doc_id,
+       {_LSH_HITS}::BIGINT AS n_bands_hit,
+       {_LSH_HITS} > 0 AS lsh_hit
+FROM inc LEFT JOIN idx USING (band_id, band_key)
+GROUP BY inc.doc_id
+"""
+
+
 def q_chunk_dedup(spark, sf_dir):
     """Repeated-passage chunks over the derived near-dup corpus (exact
     copies share every chunk; truncation mutants share all but the
@@ -3466,6 +3509,51 @@ def q_dataset_split(spark, sf_dir):
         bucket.cast("int").alias("bucket"),
         split.alias("split"),
     )
+
+
+def q_dup_weighting(spark, sf_dir):
+    """Inverse-duplication sampling weights — the SOFT alternative to
+    hard near-dup removal (keep every copy but down-weight it so a
+    family of d near-copies contributes ~one document's worth of
+    training signal): weight = 1/|near-dup cluster|, singletons 1.0.
+    Rides the same MinHash→connected-components closure as
+    `dataset_split`; after the closure everything is one map-side
+    count join — no new shuffle class. Weight is an exact single
+    division of integers (value-hash stable)."""
+    docs = _docs_nd(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
+        "a", "b"
+    )
+    cc = dedup.connected_components(pairs)
+    members = cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("gid")
+    )
+    joined = docs.select("doc_id").join(members, "doc_id", "left")
+    gid = F.coalesce(F.col("gid"), F.col("doc_id"))
+    sized = joined.select("doc_id", gid.alias("group_id"))
+    counts = sized.groupBy("group_id").agg(
+        F.count("*").cast("bigint").alias("group_size")
+    )
+    return sized.join(counts, "group_id").select(
+        "doc_id",
+        "group_id",
+        "group_size",
+        (F.lit(1.0) / F.col("group_size")).alias("weight"),
+    )
+
+
+def _sql_dup_weighting() -> str:
+    return f"""
+WITH RECURSIVE {_DUCK_CC_CTES},
+g AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS group_id
+  FROM docs_nd d LEFT JOIN cc ON cc.doc_id = d.doc_id
+),
+c AS (SELECT group_id, count(*)::BIGINT AS group_size FROM g GROUP BY 1)
+SELECT g.doc_id, g.group_id, c.group_size,
+       1.0::DOUBLE / c.group_size AS weight
+FROM g JOIN c USING (group_id)
+"""
 
 
 def _sql_dataset_split() -> str:
@@ -4240,6 +4328,11 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "bloom_dedup_streaming": (q_bloom_dedup_streaming, SQL_BLOOM_DEDUP),
+    "dedup_lsh_screen": (q_dedup_lsh_screen, SQL_DEDUP_LSH_SCREEN),
+    "dedup_lsh_screen_streaming": (
+        q_dedup_lsh_screen_streaming,
+        SQL_DEDUP_LSH_SCREEN,
+    ),
     "dup_overlap": (q_dup_overlap, _sql_dup_overlap()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "corpus_stats_cube": (q_corpus_stats_cube, SQL_CORPUS_STATS_CUBE),
@@ -4263,6 +4356,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         SQL_EVENTS_DEDUP_WATERMARKED,
     ),
     "dataset_split": (q_dataset_split, _sql_dataset_split()),
+    "dup_weighting": (q_dup_weighting, _sql_dup_weighting()),
     "docs_csv_roundtrip": (q_docs_csv_roundtrip, SQL_DOCS_CSV_ROUNDTRIP),
     "kmeans_embeddings": (q_kmeans_embeddings, _sql_kmeans()),
     "kmeans_ivf_assign": (q_kmeans_ivf_assign, _sql_kmeans_ivf()),

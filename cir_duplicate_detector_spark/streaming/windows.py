@@ -255,6 +255,71 @@ def streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_lsh_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH near-dup membership screen AS A STREAM — the
+    near-duplicate analogue of :func:`streaming_bloom_dedup`: the
+    existing split's distinct ``(band_id, band_key)`` index is built
+    batch-side ONCE; incoming documents arrive on a file stream,
+    compute their signatures per-row (pure projection — zero stream
+    state before the final rollup), explode to band keys and probe the
+    static index through a stream-static equi-join. Output is identical
+    to the batch `operators.dedup.lsh_screen` — the two registry
+    entries share one oracle string by construction (the batch/
+    streaming twin guard in ``plans/__init__``).
+    """
+    from ..operators.dedup import (
+        banded_keys,
+        hashed_shingle_arrays,
+        minhash_signatures,
+    )
+    from ..sources.derived import BLOOM_SPLIT_SPARK, derive_near_dup_corpus
+
+    # Static side (batch): the existing split's distinct band index.
+    docs_b = derive_near_dup_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    idx = (
+        banded_keys(
+            minhash_signatures(
+                hashed_shingle_arrays(
+                    docs_b.where(F.expr(BLOOM_SPLIT_SPARK) == 0)
+                )
+            )
+        )
+        .select("band_id", "band_key")
+        .dropDuplicates(["band_id", "band_key"])
+        .withColumn("hit", F.lit(1))
+    )
+
+    # Stream side: documents file stream -> derived-corpus branches ->
+    # incoming split -> per-row signatures -> band keys.
+    incoming = _stream_near_dup_corpus(
+        spark, sf_dir, "docs_lsh_stream_"
+    ).where(F.expr(BLOOM_SPLIT_SPARK) == 1)
+    inc = banded_keys(minhash_signatures(hashed_shingle_arrays(incoming)))
+
+    probed = (
+        inc.join(idx, ["band_id", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_bands_hit")
+        )
+        .withColumn("lsh_hit", F.col("n_bands_hit") > 0)
+    )
+    name = f"stream_lsh_{uuid.uuid4().hex[:8]}"
+    query = (
+        probed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_dedup_to_parquet(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:

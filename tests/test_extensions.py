@@ -581,3 +581,21 @@ def test_semantic_dedup_learned_pairs_are_cell_local(spark):
     for r in out:
         assert (r.a < 100) == (r.b < 100), "pair spans blobs"
         assert r.cosine >= 0.9
+
+
+def test_lsh_screen_flags_copies_not_novel(spark):
+    from cir_duplicate_detector_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text here " * 4)],
+        "doc_id bigint, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, base), (11, "unrelated novel document nothing shared " * 4)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dedup.lsh_screen(existing, incoming).collect()}
+    # an exact copy shares the full signature -> every band collides
+    assert out[10].lsh_hit and out[10].n_bands_hit == dedup.LSH_BANDS
+    assert not out[11].lsh_hit and out[11].n_bands_hit == 0

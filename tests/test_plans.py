@@ -495,3 +495,19 @@ def test_url_duplicates_capped_drops_planted_viral_group(spark):
     assert not [
         r for r in rows if "VG" in (r["url_duplicates"] or "")
     ]
+
+
+def test_kmeans_ivf_fine_join_is_bucketed_not_broadcast(spark):
+    # The two-level quantizer's whole point: the fine-centroid table
+    # arrives via an equi-join on the coarse cell id, NOT a broadcast
+    # (the fine table scales past executor memory). The coarse
+    # assignment must be materialized once (both fine-stage branches
+    # consume it) — pinned as ExistingRDD scans in the executed plan.
+    plan = _plan(spark, "kmeans_ivf_assign")
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    fine_join = re.findall(r"(\w+Join) \[coarse", plan)
+    assert fine_join and all(j != "BroadcastHashJoin" for j in fine_join)
