@@ -641,6 +641,28 @@ def q_docs_csv_roundtrip(spark, sf_dir):
 SQL_DOCS_CSV_ROUNDTRIP = SQL_DOCS_JSONL_ROUNDTRIP
 
 
+def q_docs_orc_roundtrip(spark, sf_dir):
+    """Third columnar interchange format end-to-end: stage the documents
+    table as ORC (Spark-native, predicate-pushdown-capable like parquet
+    — the format a warehouse-adjacent pipeline exchanges with Hive/Trino
+    estates), read it back with the declared schema, return the rows.
+    ORC is schema-carrying binary, so there is no corrupt-LINE
+    quarantine concept (that is the JSONL/CSV readers' job); schema is
+    still DECLARED on read — inference never runs. Oracle = the
+    documents table; equality IS the round-trip guarantee."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    stage = "/tmp/docs_orc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs.write.mode("overwrite").orc(stage)
+    return spark.read.schema(DOCS_JSONL_SCHEMA).orc(stage)
+
+
+SQL_DOCS_ORC_ROUNDTRIP = SQL_DOCS_JSONL_ROUNDTRIP
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping token-window chunking over raw documents — the
     pre-training tokenize/chunk scan (`textops.chunk_documents`).
@@ -4358,6 +4380,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "dataset_split": (q_dataset_split, _sql_dataset_split()),
     "dup_weighting": (q_dup_weighting, _sql_dup_weighting()),
     "docs_csv_roundtrip": (q_docs_csv_roundtrip, SQL_DOCS_CSV_ROUNDTRIP),
+    "docs_orc_roundtrip": (q_docs_orc_roundtrip, SQL_DOCS_ORC_ROUNDTRIP),
     "kmeans_embeddings": (q_kmeans_embeddings, _sql_kmeans()),
     "kmeans_ivf_assign": (q_kmeans_ivf_assign, _sql_kmeans_ivf()),
     "semantic_dedup_learned": (

@@ -291,3 +291,31 @@ def test_histogram_quantiles_bracket_exact(spark, vals):
         exact = s[(len(s) * p + 99) // 100 - 1]
         est = row[f"est_p{p}"]
         assert exact - 1e-9 <= est <= exact + width + 1e-6, (p, est, exact)
+
+
+# --------------------------------------------- PPM codec round-trip
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.binary(min_size=0, max_size=4),
+    st.booleans(),
+)
+@settings(max_examples=50, deadline=None)
+def test_ppm_encode_decode_roundtrip(w, h, comment, with_comment):
+    # encode an arbitrary raster (deterministic fill) with and without
+    # header comments; decode must reproduce the exact pixels
+    import numpy as np
+
+    from cir_duplicate_detector_spark.operators.multimodal import decode_ppm
+
+    raster = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+    head = b"P6\n"
+    if with_comment:
+        # comments cannot contain a newline (it terminates them)
+        head += b"# " + comment.replace(b"\n", b" ") + b"\n"
+    payload = head + f"{w} {h}\n255\n".encode() + raster
+    arr = decode_ppm(payload)
+    assert arr.shape == (h, w, 3)
+    assert bytes(arr.tobytes()) == raster
+    assert arr.dtype == np.uint8
