@@ -599,3 +599,55 @@ def test_lsh_screen_flags_copies_not_novel(spark):
     # an exact copy shares the full signature -> every band collides
     assert out[10].lsh_hit and out[10].n_bands_hit == dedup.LSH_BANDS
     assert not out[11].lsh_hit and out[11].n_bands_hit == 0
+
+
+def test_lsh_screen_has_no_false_negatives_vs_banding(spark):
+    # Cross-operator invariant: the screen's candidate space IS the
+    # banding's candidate space, so any (existing, incoming) pair the
+    # full minhash pipeline emits (band collision + exact verify) must
+    # have its incoming side flagged lsh_hit — the screen can only
+    # over-approximate, never miss what the banding would find.
+    from pyspark.sql import functions as F
+
+    from cir_duplicate_detector_spark.operators import dedup
+    from cir_duplicate_detector_spark.sources.derived import (
+        BLOOM_SPLIT_SPARK,
+        derive_near_dup_corpus,
+    )
+
+    docs = derive_near_dup_corpus(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    split = F.expr(BLOOM_SPLIT_SPARK)
+    existing, incoming = docs.where(split == 0), docs.where(split == 1)
+    screen = {
+        r.doc_id: r.lsh_hit
+        for r in dedup.lsh_screen(existing, incoming).collect()
+    }
+    ex_ids = {r.doc_id for r in existing.select("doc_id").collect()}
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    crossing = [
+        (p.a, p.b) for p in pairs
+        if (p.a in ex_ids) != (p.b in ex_ids)
+    ]
+    assert crossing, "derived corpus must produce cross-split near-dups"
+    for a, b in crossing:
+        inc = b if a in ex_ids else a
+        assert screen[inc], f"screen missed banding-found pair ({a},{b})"
+
+
+def test_dup_weighting_partitions_unit_mass_per_group(spark):
+    from cir_duplicate_detector_spark.plans import ALL_QUERIES
+
+    rows = ALL_QUERIES["dup_weighting"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+    assert any(len(v) > 1 for v in by_group.values())
+    for members in by_group.values():
+        ws = {m.weight for m in members}
+        assert len(ws) == 1  # equal weight within a family
+        assert abs(sum(m.weight for m in members) - 1.0) < 1e-9
+        assert all(m.group_size == len(members) for m in members)
