@@ -3038,6 +3038,114 @@ WHERE list_sum(list_transform(range(1, 65), j -> a.e[j] * b.e[j]))
 """
 
 
+def _sem_probe_pred(col):
+    """Deterministic 5% probe sample of ORIGINAL vectors for
+    `semantic_recall_learned` (< 1e6 excludes the derived copy bands)."""
+    return (col % 20 == 0) & (col < 1_000_000)
+
+
+def q_semantic_recall_learned(spark, sf_dir):
+    """Per-probe recall of `semantic_dedup_learned` vs EXACT cosine
+    truth (cos ≥ 0.9 over the same corpus) — the learned quantizer's
+    own entry in the self-measuring diagnostic matrix (`ann_recall_lsh`
+    / `ann_recall_ivf` / `minhash_recall`): a miss is a pair split
+    across (coarse, fine) cells, isolating exactly the blindness the
+    SemDeDup trade accepts. Truth is probe-restricted (every 20th
+    original vector) with the probe side broadcast against the
+    streaming corpus — the bounded asymmetric scan, same posture as the
+    other recall diagnostics; production uses a fixed probe sample."""
+    corpus = derive_near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    nn = corpus.select(
+        "vec_id",
+        "embedding",
+        similarity.norm64(F.col("embedding")).alias("nrm"),
+    )
+    probes = nn.where(_sem_probe_pred(F.col("vec_id"))).select(
+        F.col("vec_id").alias("p"),
+        F.col("embedding").alias("p_emb"),
+        F.col("nrm").alias("p_nrm"),
+    )
+    cos = similarity.dot64(F.col("p_emb"), F.col("embedding")) / (
+        F.col("p_nrm") * F.col("nrm")
+    )
+    truth = (
+        nn.crossJoin(F.broadcast(probes))
+        .where(F.col("p") != F.col("vec_id"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.9)
+        .select("p", F.col("vec_id").alias("o"))
+    )
+    found = (
+        similarity.semantic_near_duplicates_learned(corpus, threshold=0.9)
+        .where(
+            _sem_probe_pred(F.col("a")) | _sem_probe_pred(F.col("b"))
+        )
+        .select("a", "b", F.lit(1).alias("hit"))
+    )
+    keyed = truth.select(
+        "p", F.least("p", "o").alias("a"), F.greatest("p", "o").alias("b")
+    )
+    return (
+        keyed.join(found, ["a", "b"], "left")
+        .groupBy("p")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"),
+        )
+        .select(
+            F.col("p").alias("probe_id"),
+            "n_true",
+            "n_found",
+            (F.col("n_found") / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
+def _sql_semantic_recall_learned() -> str:
+    cos_ab = (
+        "list_sum(list_transform(range(1, 65), j -> a.e[j] * b.e[j]))"
+        " / (a.nrm * b.nrm)"
+    )
+    cos_pc = (
+        "list_sum(list_transform(range(1, 65), j -> p.e[j] * c.e[j]))"
+        " / (p.nrm * c.nrm)"
+    )
+    return f"""
+WITH emb_nd AS ({_ND_EMB}),
+n AS (SELECT vec_id, embedding AS e FROM emb_nd)
+{_sql_kmeans_ivf_cells()},
+m AS (
+  SELECT n.vec_id, n.e,
+         sqrt(list_sum(list_transform(n.e, x -> x * x))) AS nrm,
+         c.coarse, c.fine
+  FROM n JOIN cells c USING (vec_id)
+),
+found AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM m a JOIN m b
+    ON a.coarse = b.coarse AND a.fine = b.fine AND a.vec_id < b.vec_id
+  WHERE {cos_ab} >= 0.9
+),
+nn AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM n
+),
+truth AS (
+  SELECT p.vec_id AS p, c.vec_id AS o
+  FROM nn p, nn c
+  WHERE p.vec_id % 20 = 0 AND p.vec_id < 1000000
+    AND p.vec_id <> c.vec_id AND {cos_pc} >= 0.9
+)
+SELECT t.p AS probe_id, count(*) AS n_true,
+       sum(CASE WHEN f.a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found,
+       sum(CASE WHEN f.a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT / count(*)
+         AS recall
+FROM truth t LEFT JOIN found f
+  ON f.a = least(t.p, t.o) AND f.b = greatest(t.p, t.o)
+GROUP BY t.p
+"""
+
+
 def q_distinct_kmv(spark, sf_dir):
     return sketches.kmv_distinct_tokens(load_table(spark, sf_dir, "documents"))
 
@@ -4383,6 +4491,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "docs_orc_roundtrip": (q_docs_orc_roundtrip, SQL_DOCS_ORC_ROUNDTRIP),
     "kmeans_embeddings": (q_kmeans_embeddings, _sql_kmeans()),
     "kmeans_ivf_assign": (q_kmeans_ivf_assign, _sql_kmeans_ivf()),
+    "semantic_recall_learned": (
+        q_semantic_recall_learned,
+        _sql_semantic_recall_learned(),
+    ),
     "semantic_dedup_learned": (
         q_semantic_dedup_learned,
         _sql_semantic_dedup_learned(),
