@@ -460,6 +460,7 @@ def semantic_near_duplicates_learned(
     iters: int | None = None,
     sample_mod: int | None = None,
     fine_mod: int | None = None,
+    probe_pred=None,
 ) -> DataFrame:
     """:func:`semantic_near_duplicates` with LEARNED two-level clusters
     — the upgrade its docstring defers ("a production run would k-means
@@ -474,6 +475,14 @@ def semantic_near_duplicates_learned(
     corpus sizes where a broadcast centroid table stops fitting. Cells
     with no fine sample (fine = -1) pair at the coarse level — small
     cells pair whole, exactly the intent.
+
+    ``probe_pred`` (a vec_id Column predicate) restricts output to
+    pairs TOUCHING the probe set — semantically identical to filtering
+    the full output with ``pred(a) | pred(b)``, but pushed INTO the
+    join as the disjoint union of two one-side-restricted cell joins,
+    so per-cell pair work drops from |cell|² to |probes∩cell|·|cell|
+    (the `semantic_recall_learned` diagnostic's scale lever; replica
+    measurement in SCALE.md round-6 table).
 
     Returns ``(a, b, coarse, fine, cosine)``.
     """
@@ -515,9 +524,20 @@ def semantic_near_duplicates_learned(
     cos = dot64(F.col("a_emb"), F.col("b_emb")) / (
         F.col("a_nrm") * F.col("b_nrm")
     )
+    if probe_pred is None:
+        joined = a.join(b, ["coarse", "fine"])
+    else:
+        # Disjoint union of one-side-restricted joins == pred(a)|pred(b)
+        # on the full join, with the restriction pushed below the join.
+        joined = a.where(probe_pred(F.col("a"))).join(
+            b, ["coarse", "fine"]
+        ).unionByName(
+            a.where(~probe_pred(F.col("a"))).join(
+                b.where(probe_pred(F.col("b"))), ["coarse", "fine"]
+            )
+        )
     return (
-        a.join(b, ["coarse", "fine"])
-        .where(F.col("a") < F.col("b"))
+        joined.where(F.col("a") < F.col("b"))
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "coarse", "fine", "cosine")

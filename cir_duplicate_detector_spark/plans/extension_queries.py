@@ -3075,13 +3075,9 @@ def q_semantic_recall_learned(spark, sf_dir):
         .where(F.col("cosine") >= 0.9)
         .select("p", F.col("vec_id").alias("o"))
     )
-    found = (
-        similarity.semantic_near_duplicates_learned(corpus, threshold=0.9)
-        .where(
-            _sem_probe_pred(F.col("a")) | _sem_probe_pred(F.col("b"))
-        )
-        .select("a", "b", F.lit(1).alias("hit"))
-    )
+    found = similarity.semantic_near_duplicates_learned(
+        corpus, threshold=0.9, probe_pred=_sem_probe_pred
+    ).select("a", "b", F.lit(1).alias("hit"))
     keyed = truth.select(
         "p", F.least("p", "o").alias("a"), F.greatest("p", "o").alias("b")
     )
