@@ -303,7 +303,23 @@ def knn_ivf(
     """
     if centroid_mod is None:
         centroid_mod = sqrt_centroid_mod(vectors)
-    scored_c = _centroid_scores(vectors, centroid_mod)
+    return _ivf_search(
+        _centroid_scores(vectors, centroid_mod), probe_ids, k, nprobe
+    )
+
+
+def _ivf_search(
+    scored_c: DataFrame,
+    probe_ids: "list[int] | DataFrame",
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """The IVF probe path over a pre-scored centroid frame
+    (``(vec_id, embedding, nrm, cid, ccos)`` — every vector × every
+    centroid): argmax member assignment, top-``nprobe`` lists per
+    probe, exact cosine re-rank inside them. Shared by :func:`knn_ivf`
+    (deterministic mod-sample centroids) and :func:`knn_ivf_learned`
+    (Lloyd centroids) so the join shape cannot drift between them."""
     # Ties broken toward the smallest centroid id (shared rule).
     member = _centroid_assign(scored_c).select(
         "cid",
@@ -341,6 +357,52 @@ def knn_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def knn_ivf_learned(
+    vectors: DataFrame,
+    probe_ids: "list[int] | DataFrame",
+    k: int = 5,
+    coarse_k: int | None = None,
+    iters: int | None = None,
+    sample_mod: int | None = None,
+    nprobe: int = 3,
+) -> DataFrame:
+    """:func:`knn_ivf` with LEARNED centroids — the upgrade its
+    docstring defers ("a real deployment would k-means them"):
+    inverted lists are keyed by Lloyd centroids learned on the
+    deterministic sample ``vec_id % sample_mod == 0``
+    (`kmeans.kmeans_centroids` — engine-reproducible seeds and folds,
+    so the oracle stays value-hash exact), then the identical
+    :func:`_ivf_search` probe path runs. Centroid selection is the only
+    difference; the join shape — broadcast centroid scoring, argmax
+    member assignment, ``cid`` equi-join probe — is shared code."""
+    from .kmeans import (
+        KM_ITERS,
+        KM_IVF_SAMPLE_MOD,
+        KM_K,
+        kmeans_centroids,
+    )
+
+    smod = KM_IVF_SAMPLE_MOD if sample_mod is None else sample_mod
+    cents = kmeans_centroids(
+        vectors.where(F.col("vec_id") % smod == 0),
+        k=KM_K if coarse_k is None else coarse_k,
+        iters=KM_ITERS if iters is None else iters,
+    )
+    cent = cents.select(
+        F.col("cluster").alias("cid"),
+        F.col("c").alias("c_emb"),
+        norm64(F.col("c")).alias("c_nrm"),
+    )
+    base = vectors.select(
+        "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
+    )
+    cos_c = dot64(F.col("embedding"), F.col("c_emb")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
+    scored_c = base.crossJoin(F.broadcast(cent)).withColumn("ccos", cos_c)
+    return _ivf_search(scored_c, probe_ids, k, nprobe)
 
 
 def _centroid_scores(vectors: DataFrame, centroid_mod: int) -> DataFrame:

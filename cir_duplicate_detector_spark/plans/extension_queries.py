@@ -1008,6 +1008,67 @@ def q_knn_ivf(spark, sf_dir):
     return similarity.knn_ivf(emb, _knn_probe_df(spark, sf_dir), k=5)
 
 
+def q_knn_ivf_learned(spark, sf_dir):
+    """IVF search over LEARNED (Lloyd) centroids — `similarity.
+    knn_ivf_learned`: same probe path as knn_cosine_ivf, centroids
+    learned on the deterministic 1/4 sample instead of mod-sampled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf_learned(emb, _knn_probe_df(spark, sf_dir), k=5)
+
+
+def _sql_knn_ivf_learned() -> str:
+    from ..operators import kmeans
+
+    k, iters, salts = kmeans.KM_K, kmeans.KM_ITERS, kmeans.KM_SALTS
+    smod = kmeans.KM_IVF_SAMPLE_MOD
+    return f"""
+WITH nn AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+n AS (SELECT vec_id, e FROM nn),
+s AS (SELECT vec_id, e FROM n WHERE vec_id % {smod} = 0)
+{_sql_kmeans_lloyd('s', k, iters, salts)},
+cent AS (
+  SELECT cluster AS cid, c AS ce,
+         sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm
+  FROM cent{iters}
+),
+sc AS (
+  SELECT nn.vec_id, nn.e, nn.nrm, cent.cid,
+         list_sum(list_transform(range(1, 65), j -> nn.e[j] * cent.ce[j]))
+           / (nn.nrm * cent.cnrm) AS ccos
+  FROM nn CROSS JOIN cent
+),
+member AS (
+  SELECT vec_id AS neighbor_id, e, nrm, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid)
+              AS rn FROM sc
+  ) WHERE rn = 1
+),
+probe_lists AS (
+  SELECT vec_id AS query_id, e AS qe, nrm AS qnrm, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid)
+              AS rn
+    FROM sc WHERE vec_id % 20 = 0
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT p.query_id, m.neighbor_id,
+         list_sum(list_transform(range(1, 65), j -> p.qe[j] * m.e[j]))
+           / (p.qnrm * m.nrm) AS cosine
+  FROM probe_lists p JOIN member m USING (cid)
+  WHERE p.query_id <> m.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  )::BIGINT AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
 SQL_KNN_IVF = """
 WITH n AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -4383,6 +4444,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "knn_cosine_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_cosine_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "knn_cosine_ivf": (q_knn_ivf, SQL_KNN_IVF),
+    "knn_cosine_ivf_learned": (q_knn_ivf_learned, _sql_knn_ivf_learned()),
     "knn_pq_adc": (q_knn_pq_adc, _sql_knn_pq_adc()),
     "ann_recall_lsh": (q_ann_recall_lsh, SQL_ANN_RECALL_LSH),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
