@@ -380,14 +380,19 @@ def knn_ivf_learned(
     from .kmeans import (
         KM_ITERS,
         KM_IVF_SAMPLE_MOD,
-        KM_K,
         kmeans_centroids,
+        sqrt_sample_k,
     )
 
     smod = KM_IVF_SAMPLE_MOD if sample_mod is None else sample_mod
+    sample = vectors.where(F.col("vec_id") % smod == 0)
+    # √-scaled coarse k by default (one eager count; pass coarse_k to
+    # stay lazy): with a FIXED k, inverted lists grow linearly with the
+    # corpus and the probe re-rank turns quadratic — measured 8× time
+    # at 10× data with k=8 before this default.
     cents = kmeans_centroids(
-        vectors.where(F.col("vec_id") % smod == 0),
-        k=KM_K if coarse_k is None else coarse_k,
+        sample,
+        k=sqrt_sample_k(sample) if coarse_k is None else coarse_k,
         iters=KM_ITERS if iters is None else iters,
     )
     cent = cents.select(

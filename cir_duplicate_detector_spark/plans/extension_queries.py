@@ -1019,7 +1019,9 @@ def q_knn_ivf_learned(spark, sf_dir):
 def _sql_knn_ivf_learned() -> str:
     from ..operators import kmeans
 
-    k, iters, salts = kmeans.KM_K, kmeans.KM_ITERS, kmeans.KM_SALTS
+    iters, salts = kmeans.KM_ITERS, kmeans.KM_SALTS
+    # sqrt-scaled coarse k derived from the sample (kmeans.sqrt_sample_k twin)
+    k = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM s)"
     smod = kmeans.KM_IVF_SAMPLE_MOD
     return f"""
 WITH nn AS (
@@ -4136,20 +4138,23 @@ _KM_DIST = (
 )
 
 
-def _sql_kmeans_lloyd(src: str, k: int, iters: int, salts: int) -> str:
+def _sql_kmeans_lloyd(src: str, k: "int | str", iters: int, salts: int) -> str:
     """CTE chain ``cent0 .. cent{iters}`` learning ``k`` centroids with
     ``iters`` unrolled Lloyd rounds over CTE ``src`` (columns vec_id, e)
     — the SQL twin of `operators.kmeans.kmeans_centroids`, parametrized
     by source so `kmeans_embeddings` (full corpus) and
     `kmeans_ivf_assign` (deterministic sample) share one generator.
-    Returned string starts with a comma (appends to an open WITH)."""
+    ``k`` may be an int literal or a SQL expression string (the learned
+    family derives √|sample| via a scalar subquery — the twin of
+    `kmeans.sqrt_sample_k`). Returned string starts with a comma
+    (appends to an open WITH)."""
     h = hash60_sql("vec_id::VARCHAR", "'km'")
     parts = [
         f""",
 cent0 AS (
   SELECT (rn - 1)::BIGINT AS cluster, e AS c FROM (
     SELECT e, row_number() OVER (ORDER BY {h}, vec_id) AS rn FROM {src}
-  ) WHERE rn <= {k}
+  ) WHERE rn <= ({k})
 )"""
     ]
     for i in range(iters):
@@ -4225,7 +4230,10 @@ def _sql_kmeans_ivf_cells() -> str:
     `kmeans_ivf_assign` oracle and `semantic_dedup_learned`."""
     from ..operators import kmeans
 
-    k, iters, salts = kmeans.KM_K, kmeans.KM_ITERS, kmeans.KM_SALTS
+    iters, salts = kmeans.KM_ITERS, kmeans.KM_SALTS
+    # sqrt-scaled coarse k derived from the sample -- the twin of
+    # kmeans.sqrt_sample_k (isqrt == floor(sqrt) at any testable N).
+    k = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM s)"
     smod = kmeans.KM_IVF_SAMPLE_MOD
     fmod = kmeans.KM_IVF_FINE_MOD
     # Same fold-pinned squared L2, field names per join side.
