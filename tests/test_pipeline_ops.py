@@ -623,3 +623,18 @@ def test_kmeans_unrolled_iters_ceiling(spark):
     )
     with _pytest.raises(ValueError, match="unrolled-plan ceiling"):
         kmeans.kmeans_centroids(embs, iters=9)
+
+
+def test_kmeans_ivf_default_k_is_sqrt_scaled(spark):
+    from cir_duplicate_detector_spark.operators import kmeans
+
+    rows = [(i, [float(i % 7)] * 64) for i in range(64)]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    # sample_mod=1 -> sample is the full corpus -> default k = isqrt(64) = 8
+    assert kmeans.sqrt_sample_k(embs) == 8
+    out = kmeans.kmeans_ivf_assign(embs, sample_mod=1, iters=1).collect()
+    coarse_ids = {r.coarse for r in out}
+    assert len(out) == 64
+    assert coarse_ids <= set(range(8)), "coarse ids must come from k=isqrt(N) seeds"
