@@ -5,8 +5,8 @@ duckdb_oracle_sql | None).
 
 Ordering is deliberate: the correctness driver cross-checks the FIRST
 50 registry entries against the DuckDB oracle, so which 50 lead decides
-which queries get a CURRENT driver-green row this round. With 115
-registered queries that is a standing ROTATION, not an ad-hoc list
+which queries get a CURRENT driver-green row this round. At the current
+registry size (120+) that is a standing ROTATION, not an ad-hoc list
 (round-5 verdict item 2). The policy, in priority order:
 
 1. queries with NO driver row in any ``CORRECTNESS_r*.json`` (new this
@@ -20,8 +20,9 @@ registered queries that is a standing ROTATION, not an ad-hoc list
 The ordering is COMPUTED from the committed correctness artifacts at
 import time, so it cannot drift from reality the way a hand-written
 list did (round-5 advice: the hand-list's comment contradicted itself).
-Invariant: with ~115 queries and a 50-slot window, stalest-first means
-no query's driver row is ever older than ceil(115/50) = 3 rounds.
+Invariant: with ~N queries and a 50-slot window, stalest-first means
+no query's driver row is ever older than ceil(N/50) rounds (3 at the
+current ~123).
 
 Every query is additionally covered by the local parametric parity
 suite (`tests/test_oracle_parity.py`), which has no cap; the priority
