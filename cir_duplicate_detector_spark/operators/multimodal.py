@@ -201,11 +201,17 @@ def decode_ppm(payload: bytes):
 
 
 def decode_image(payload: bytes):
-    """Decode ``payload`` to an (h, w, 3) uint8 array: PIL when the
-    optional extra is installed (any PIL-readable format), else the
-    pure-numpy PPM decoder. This is the production swap point the
-    module docstring names; `_fake_decode` remains the no-decode
-    fallback for payloads that are not images at all."""
+    """Decode ``payload`` to an (h, w, 3) uint8 array. P6 PPM payloads
+    ALWAYS take the pure-numpy decoder — PIL rescales maxval<255
+    rasters to 8-bit while the pure decoder returns raw bytes, so
+    routing by environment would make features depend on whether the
+    optional extra is installed (round-6 advice). Non-PPM payloads use
+    PIL when installed (any PIL-readable format). This is the
+    production swap point the module docstring names; `_fake_decode`
+    remains the no-decode fallback for payloads that are not images at
+    all."""
+    if payload.startswith(PPM_MAGIC):
+        return decode_ppm(payload)
     try:
         import io
 
@@ -214,7 +220,10 @@ def decode_image(payload: bytes):
 
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
-        return decode_ppm(payload)
+        raise ValueError(
+            "decode_image: non-PPM payload and the optional PIL extra "
+            "is not installed"
+        ) from None
 
 
 AHASH_SCHEMA = "doc_id bigint, width bigint, height bigint, ahash_bits string"
@@ -242,6 +251,11 @@ def image_ahash_features(media: DataFrame, grid: int = 8) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 px = decode_image(bytes(payload))
                 h, w = px.shape[0], px.shape[1]
+                if h < grid or w < grid:
+                    raise ValueError(
+                        f"image_ahash_features: doc_id {doc_id} image "
+                        f"{w}x{h} is smaller than the {grid}x{grid} grid"
+                    )
                 gray = px.astype(np.int64).sum(axis=2) // 3
                 # block means by integer floor over equal grid cells
                 bh, bw = h // grid, w // grid

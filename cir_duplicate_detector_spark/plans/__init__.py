@@ -48,13 +48,17 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Queries whose ROUND-6 edits change results (not just physical plans),
-# so their existing driver rows are void regardless of age:
-# * minhash_recall — probes moved from the 2% `% 50` rule to the ~1%
-#   deterministic hash sample and the found side is probe-restricted
-#   before the verify join (round-5 verdict item 4).
+# Queries whose ROUND-7 edits change results (not just physical plans),
+# so their existing driver rows are void regardless of age (round 6's
+# minhash_recall entry was verified in r6 and cleared):
+# * multimodal_resize — upgraded from the byte-truncation stub to a
+#   real decode → box-filter downsample over PPM-framed payloads.
+# * multimodal_frames — upgraded from utf-8 text slicing to frame
+#   parsing over concatenated-PPM "video" payloads with per-frame
+#   average-hash features.
 _PLAN_CHANGED = [
-    "minhash_recall",
+    "multimodal_resize",
+    "multimodal_frames",
 ]
 
 

@@ -199,7 +199,10 @@ WITH entries AS ({_DUCK_ENTRIES}),
 unioned AS (
   SELECT "index", url FROM entries
   UNION ALL
-  SELECT 'VG' || lpad(cast(doc_id as string), 8, '0'), '{_VIRAL_URL}'
+  -- printf %08d pads but never truncates, exactly like Spark's
+  -- format_string ('VG%08d'); lpad(..., 8, '0') would silently drop
+  -- digits past 1e8 and diverge (round-6 advice).
+  SELECT printf('VG%08d', doc_id), '{_VIRAL_URL}'
   FROM documents
 ),
 base AS (
