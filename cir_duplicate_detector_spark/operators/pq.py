@@ -123,6 +123,180 @@ def pq_encode(
     )
 
 
+# Lloyd rounds for the LEARNED codebook (pq_codebook_learned). Two
+# rounds, not kmeans.KM_ITERS=3: the seeds are already real data points
+# (the deterministic smallest-K sample), so round-over-round centroid
+# movement decays fast, while plan size and the oracle's N·M·K scoring
+# CTEs grow linearly per round. Callers tune via the `iters` parameter.
+PQ_LLOYD_ITERS = 2
+
+
+def pq_codebook_learned(
+    vectors: DataFrame,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    n_codewords: int = PQ_CODEWORDS,
+    iters: int = PQ_LLOYD_ITERS,
+    train_mod: int = 1,
+) -> DataFrame:
+    """(subspace, cid, csub): per-subspace Lloyd-LEARNED codewords — the
+    k-means refinement :func:`pq_codebook`'s docstring defers ("a real
+    deployment k-means refines it"). Seeds are exactly the deterministic
+    :func:`pq_codebook` sample (cluster id = seed vec_id, stable across
+    rounds); each round then re-assigns every subvector to its nearest
+    codeword and recomputes codeword means.
+
+    One GROUPED Lloyd job, not M independent ones: every stage carries
+    ``subspace`` in its key, so assignment is a single broadcast join of
+    the exploded (vec_id, subspace, sub) corpus against the M·K-row
+    codebook, and the mean update is one aggregation tree keyed by
+    (subspace, cid, pos) — M× less scheduling than per-subspace loops
+    and the identical shuffle shape at any M.
+
+    Engine-reproducible by the same construction as
+    `kmeans.kmeans_centroids` (whose fold machinery this shares):
+    deterministic seeds, argmin ties to the smallest cid, and the
+    centroid mean's double accumulation pinned by the two-phase sorted
+    fold (salt sub-buckets folded in vec_id order, partials folded in
+    salt order — `kmeans._sorted_fold`). Codewords that lose every
+    member drop out of the next round on both engines.
+
+    ``train_mod`` restricts TRAINING to the deterministic sample
+    ``vec_id % train_mod == 0`` (seeds included) — what production PQ
+    does at scale: codebooks train on a bounded sample, the full
+    corpus only pays the one O(N·M·K) encode pass (`pq_encode`).
+    With the default ``train_mod=1`` the Lloyd rounds themselves cost
+    O(N·M·K) per round — still linear in the corpus with K FIXED, the
+    property that makes PQ the 100 TB compression path.
+    """
+    from .kmeans import KM_SALTS, _sorted_fold
+
+    train = (
+        vectors
+        if train_mod == 1
+        else vectors.where(F.col("vec_id") % train_mod == 0)
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("subspace"),
+                _sub(F.col("e"), i, subdim).alias("sub"),
+            )
+            for i in range(m)
+        ]
+    )
+    sub = (
+        train.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .select("vec_id", F.explode(subs).alias("s"))
+        .select("vec_id", "s.subspace", "s.sub")
+    )
+    cents = pq_codebook(train, m, subdim, n_codewords).select(
+        "subspace", "cid", F.col("csub").cast("array<double>").alias("csub")
+    )
+    for _ in range(iters):
+        scored = sub.join(F.broadcast(cents), "subspace").withColumn(
+            "d", _l2sq(F.col("sub"), F.col("csub"), subdim)
+        )
+        best = scored.groupBy("vec_id", "subspace").agg(
+            F.min_by(
+                F.col("cid"),
+                F.struct(F.col("d").alias("d"), F.col("cid").alias("cid")),
+            ).alias("cid")
+        )
+        members = sub.join(best, ["vec_id", "subspace"])
+        pe = members.select(
+            "vec_id", "subspace", "cid", F.posexplode("sub").alias("pos", "val")
+        )
+        p1 = (
+            pe.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(KM_SALTS)))
+            .groupBy("subspace", "cid", "pos", "salt")
+            .agg(
+                _sorted_fold(
+                    F.collect_list(F.struct("vec_id", "val")), "val"
+                ).alias("psum"),
+                F.count("*").alias("pn"),
+            )
+        )
+        p2 = p1.groupBy("subspace", "cid", "pos").agg(
+            _sorted_fold(
+                F.collect_list(F.struct("salt", "psum")), "psum"
+            ).alias("s"),
+            F.sum("pn").alias("n"),
+        )
+        cents = (
+            p2.withColumn("cval", F.col("s") / F.col("n"))
+            .groupBy("subspace", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("csub")
+            )
+        )
+    return cents
+
+
+def _query_partials(
+    probes: DataFrame, codebook: DataFrame, m: int, subdim: int
+) -> DataFrame:
+    """The ADC lookup table: (query_id, subspace, code, pd) — each
+    probe's squared distance to every codeword of every subspace
+    (Q·M·K rows, broadcastable). Shared by :func:`knn_pq_adc` and
+    :func:`knn_ivf_pq` so the scoring tables cannot drift."""
+    qsubs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("subspace"),
+                _sub(F.col("embedding"), i, subdim).alias("qsub"),
+            )
+            for i in range(m)
+        ]
+    )
+    q_exploded = probes.select("query_id", F.explode(qsubs).alias("s")).select(
+        "query_id", "s.subspace", "s.qsub"
+    )
+    return q_exploded.join(F.broadcast(codebook), "subspace").select(
+        "query_id",
+        "subspace",
+        F.col("cid").alias("code"),
+        _l2sq(F.col("qsub"), F.col("csub"), subdim).alias("pd"),
+    )
+
+
+def _adc_topk(pd_rows: DataFrame, m: int, k: int) -> DataFrame:
+    """Rank candidates by ADC distance. ``pd_rows`` carries one row per
+    (query_id, neighbor_id, subspace) with that subspace's partial
+    distance ``pd``; output (query_id, neighbor_id, rank, adc_dist),
+    rank by (adc asc, id asc). Shared by :func:`knn_pq_adc` (all-corpus
+    candidates) and :func:`knn_ivf_pq` (cell-restricted candidates).
+
+    The M partials pivot into fixed columns and add LEFT-TO-RIGHT: a
+    bare sum() over doubles is order-nondeterministic under shuffle,
+    which would break bit-equality with the oracle. Each conditional
+    sum sees exactly one non-null row (one partial per subspace per
+    pair), so it is an exact passthrough, and the final left-assoc
+    addition chain is the same on both engines."""
+    pivots = [
+        F.sum(F.when(F.col("subspace") == i, F.col("pd"))).alias(f"pd{i}")
+        for i in range(m)
+    ]
+    grouped = pd_rows.groupBy("query_id", "neighbor_id").agg(*pivots)
+    adc = F.col("pd0")
+    for i in range(1, m):
+        adc = adc + F.col(f"pd{i}")
+    scored = grouped.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
 def knn_pq_adc(
     vectors: DataFrame,
     probe: "list[int] | DataFrame",
@@ -148,53 +322,181 @@ def knn_pq_adc(
     probes = _probe_restrict(vectors, probe).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    qsubs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("subspace"),
-                _sub(F.col("embedding"), i, subdim).alias("qsub"),
-            )
-            for i in range(m)
-        ]
-    )
-    q_exploded = probes.select("query_id", F.explode(qsubs).alias("s")).select(
-        "query_id", "s.subspace", "s.qsub"
-    )
     # Q·M·K partial distances — the ADC lookup table, broadcastable.
-    partials = q_exploded.join(F.broadcast(codebook), "subspace").select(
-        "query_id",
-        "subspace",
-        F.col("cid").alias("code"),
-        _l2sq(F.col("qsub"), F.col("csub"), subdim).alias("pd"),
-    )
-    # Pivot the M partials into fixed columns and add LEFT-TO-RIGHT:
-    # a bare sum() over doubles is order-nondeterministic under shuffle,
-    # which would break bit-equality with the oracle. Each conditional
-    # sum sees exactly one non-null row (one partial per subspace per
-    # pair), so it is an exact passthrough, and the final left-assoc
-    # addition chain is the same on both engines.
-    pivots = [
-        F.sum(F.when(F.col("subspace") == i, F.col("pd"))).alias(f"pd{i}")
-        for i in range(m)
-    ]
-    grouped = (
+    partials = _query_partials(probes, codebook, m, subdim)
+    pd_rows = (
         codes.withColumnRenamed("vec_id", "neighbor_id")
         .join(F.broadcast(partials), ["subspace", "code"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(*pivots)
+        .select("query_id", "neighbor_id", "subspace", "pd")
     )
-    adc = F.col("pd0")
-    for i in range(1, m):
-        adc = adc + F.col(f"pd{i}")
-    scored = grouped.select(
-        "query_id", "neighbor_id", adc.alias("adc_dist")
+    return _adc_topk(pd_rows, m, k)
+
+
+def knn_ivf_pq(
+    vectors: DataFrame,
+    probe: "list[int] | DataFrame",
+    k: int = 5,
+    nprobe: int = 3,
+    coarse_k: int | None = None,
+    coarse_iters: int | None = None,
+    sample_mod: int | None = None,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    n_codewords: int = PQ_CODEWORDS,
+    cb_iters: int = PQ_LLOYD_ITERS,
+    cb_train_mod: int | None = None,
+) -> DataFrame:
+    """IVF-ADC — the composed index real 100 TB ANN ships, in ONE query:
+    a LEARNED coarse quantizer restricts candidates to the ``nprobe``
+    inverted lists nearest each query, and a LEARNED product-quantizer
+    codebook scores those candidates by asymmetric distance — original
+    vectors are touched only at index-build time, never at scan time.
+    Output (query_id, neighbor_id, rank, adc_dist), rank by (adc asc,
+    id asc), candidates limited to the probed cells.
+
+    Composition of the repo's own learned machinery, not new math:
+
+    * coarse centroids — `kmeans.kmeans_centroids` on the deterministic
+      ``vec_id % sample_mod`` sample, √|sample|-scaled k by default
+      (`kmeans.sqrt_sample_k`; FIXED k makes cells grow linearly and
+      every per-cell stage quadratic — the measured 8×-at-10× trap);
+    * corpus + probe cell assignment — broadcast argmin against the
+      √N-row centroid table (`kmeans._sq_dist` fold, ties to the lower
+      cell id), probes keeping their ``nprobe`` nearest cells;
+    * PQ codes — :func:`pq_codebook_learned` TRAINED on the same
+      deterministic sample (``cb_train_mod`` defaults to
+      ``sample_mod`` — training is bounded by the sample, the full
+      corpus pays only the one encode pass) + :func:`pq_encode`;
+    * scoring — candidate pairs from the cell EQUI-join (query cells ⋈
+      corpus assignment — never an all-pairs scan), codes resolved by
+      vec_id equi-join, partials from the shared broadcast ADC table
+      (:func:`_query_partials`), ranked by :func:`_adc_topk`.
+
+    The centroid table and codebook each feed two consumers (corpus and
+    probe sides), so both are materialized once (`cache.materialize`)
+    instead of re-running their Lloyd subplans per branch — the same
+    measured fix as `kmeans.kmeans_ivf_assign` (11.4 s → 4 s).
+
+    Scale: one full-data pass to assign + encode (writes M small ints
+    per vector), per-query work bounded by nprobe·|cell|·M code rows
+    with |cell| ≈ √N — no stage touches N·Q vector pairs. Recall is
+    self-measured by the registered `pq_recall` diagnostic (vs exact
+    L2 — the metric ADC approximates).
+    """
+    from ..cache import materialize
+    from .kmeans import (
+        KM_ITERS,
+        KM_IVF_SAMPLE_MOD,
+        _sq_dist,
+        kmeans_centroids,
+        sqrt_sample_k,
+    )
+    from .similarity import _probe_restrict
+
+    smod = KM_IVF_SAMPLE_MOD if sample_mod is None else sample_mod
+    e = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sample = vectors.where(F.col("vec_id") % smod == 0)
+    cents = materialize(
+        kmeans_centroids(
+            sample,
+            k=sqrt_sample_k(sample) if coarse_k is None else coarse_k,
+            iters=KM_ITERS if coarse_iters is None else coarse_iters,
+        ).select(F.col("cluster").alias("coarse"), "c")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "coarse", _sq_dist(F.col("e"), F.col("c")).alias("dc")
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dc", "coarse")).alias("mn"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"), F.col("mn.coarse").alias("coarse")
+        )
+    )
+    codebook = materialize(
+        pq_codebook_learned(
+            vectors,
+            m,
+            subdim,
+            n_codewords,
+            cb_iters,
+            train_mod=smod if cb_train_mod is None else cb_train_mod,
+        )
+    )
+    codes = pq_encode(vectors, codebook, m, subdim)
+
+    probes = _probe_restrict(e, probe).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("embedding")
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.col("dq").asc(), F.col("coarse").asc()
+    )
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "coarse",
+            _sq_dist(F.col("embedding"), F.col("c")).alias("dq"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "coarse")
+    )
+    partials = _query_partials(probes, codebook, m, subdim)
+    # Candidates by cell equi-join; each corpus vector lives in exactly
+    # one cell and probe cells are distinct, so pairs are unique.
+    cand = (
+        probe_cells.join(assigned, "coarse")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    pd_rows = (
+        cand.join(
+            codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(partials), ["query_id", "subspace", "code"])
+        .select("query_id", "neighbor_id", "subspace", "pd")
+    )
+    return _adc_topk(pd_rows, m, k)
+
+
+def knn_l2_bruteforce(
+    vectors: DataFrame, probe: "list[int] | DataFrame", k: int = 5
+) -> DataFrame:
+    """EXACT squared-L2 top-k — the ground truth ADC approximates (the
+    cosine brute force ranks a different metric): (query_id,
+    neighbor_id, rank, l2sq), rank by (l2sq asc, id asc). Probe ×
+    corpus scan, fold-order-pinned distance (`kmeans._sq_dist`) — the
+    deliberately-exact baseline `pq_recall` measures the learned
+    IVF-ADC index against."""
+    from .kmeans import _sq_dist
+    from .similarity import _probe_restrict
+
+    e = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    probes = _probe_restrict(e, probe).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        e.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_dist(F.col("qe"), F.col("e")).alias("l2sq"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+        F.col("l2sq").asc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_dist")
+        .select("query_id", "neighbor_id", "rank", "l2sq")
     )

@@ -1003,6 +1003,274 @@ SELECT query_id, neighbor_id, rank, adc_dist FROM (
 """
 
 
+def _sql_pq_lloyd(
+    iters: int,
+    salts: int,
+    subdim: int,
+    kcw: int,
+    sub_src: str = "sub",
+    seed_src: str = "n",
+) -> str:
+    """CTE chain ``pcent0 .. pcent{iters}`` learning per-subspace PQ
+    codewords with ``iters`` GROUPED Lloyd rounds — the SQL twin of
+    `operators.pq.pq_codebook_learned`. Expects open CTEs
+    ``subspaces`` (m), ``{sub_src}`` (vec_id, subspace, sub — the
+    TRAINING subvectors) and ``{seed_src}`` (vec_id, e — the seed
+    relation; the operator's `train_mod` sampling maps to passing the
+    sample CTE for both). Seeds = the deterministic smallest-``kcw``
+    vec_ids (`pq_codebook`'s sample, cluster id = seed vec_id); every
+    stage keys on (subspace, cid) — one aggregation tree for all M
+    subspaces, mirroring the operator's single grouped job. Fold
+    discipline is `_sql_kmeans_lloyd`'s: sequential list_sum
+    distances, argmin ties to the smallest cid, two-phase sorted-fold
+    means. Returned string starts with a comma (appends to an open
+    WITH)."""
+    l2 = (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        "j -> (v.sub[j] - c.csub[j]) * (v.sub[j] - c.csub[j])))"
+    )
+    parts = [
+        f""",
+pcent0 AS (
+  SELECT sp.m AS subspace, c.vec_id AS cid,
+         list_transform(range(1, {subdim + 1}),
+                        j -> c.e[sp.m * {subdim} + j]) AS csub
+  FROM (SELECT vec_id, e FROM {seed_src} ORDER BY vec_id LIMIT {kcw}) c,
+       subspaces sp
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""",
+pscore{i} AS (
+  SELECT v.vec_id, v.subspace, c.cid, {l2} AS d
+  FROM {sub_src} v JOIN pcent{i} c USING (subspace)
+),
+pbest{i} AS (
+  SELECT vec_id, subspace, cid FROM (
+    SELECT vec_id, subspace, cid,
+           row_number() OVER (
+             PARTITION BY vec_id, subspace ORDER BY d, cid
+           ) AS rn
+    FROM pscore{i}
+  ) WHERE rn = 1
+),
+ppe{i} AS (
+  SELECT s.vec_id, s.subspace, b.cid, j.j AS pos, s.sub[j.j] AS val
+  FROM {sub_src} s JOIN pbest{i} b USING (vec_id, subspace)
+  CROSS JOIN (SELECT unnest(range(1, {subdim + 1})) AS j) j
+),
+pp1_{i} AS (
+  SELECT subspace, cid, pos, vec_id % {salts} AS salt,
+         list_sum(list(val ORDER BY vec_id)) AS psum,
+         count(*)::BIGINT AS pn
+  FROM ppe{i} GROUP BY 1, 2, 3, 4
+),
+pp2_{i} AS (
+  SELECT subspace, cid, pos,
+         list_sum(list(psum ORDER BY salt)) AS sm,
+         sum(pn)::BIGINT AS cnt
+  FROM pp1_{i} GROUP BY 1, 2, 3
+),
+pcent{i + 1} AS (
+  SELECT subspace, cid, list(sm / cnt ORDER BY pos) AS csub
+  FROM pp2_{i} GROUP BY 1, 2
+)"""
+        )
+    return "".join(parts)
+
+
+def _sql_ivf_pq_chain() -> str:
+    """CTE chain (appends to an open WITH providing ``n``) ending in
+    ``ivfpq`` = (query_id, neighbor_id, rank, adc_dist) — the SQL twin
+    of `operators.pq.knn_ivf_pq`, shared by the `knn_ivf_pq` oracle and
+    the `pq_recall` diagnostic so the recall row measures EXACTLY the
+    index the search query ships."""
+    from ..operators import kmeans, pq as _pq
+
+    m, sd, kcw = _pq.PQ_M, _pq.PQ_SUBDIM, _pq.PQ_CODEWORDS
+    cb_iters = _pq.PQ_LLOYD_ITERS
+    iters, salts = kmeans.KM_ITERS, kmeans.KM_SALTS
+    smod = kmeans.KM_IVF_SAMPLE_MOD
+    k_sqrt = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM s)"
+    pd_pivots = ", ".join(
+        f"sum(CASE WHEN subspace = {i} THEN pd END) AS pd{i}"
+        for i in range(m)
+    )
+    adc_sum = " + ".join(f"pd{i}" for i in range(m))
+    probe_cell_dist = (
+        "list_sum(list_transform(range(1, 65),"
+        " j -> (p.e[j] - coarse.c[j]) * (p.e[j] - coarse.c[j])))"
+    )
+    code_l2 = (
+        f"list_sum(list_transform(range(1, {sd + 1}),"
+        " j -> (v.sub[j] - c.csub[j]) * (v.sub[j] - c.csub[j])))"
+    )
+    partial_l2 = (
+        f"list_sum(list_transform(range(1, {sd + 1}),"
+        f" j -> (p.e[c.subspace * {sd} + j] - c.csub[j])"
+        f" * (p.e[c.subspace * {sd} + j] - c.csub[j])))"
+    )
+    return f""",
+s AS (SELECT vec_id, e FROM n WHERE vec_id % {smod} = 0)
+{_sql_kmeans_lloyd('s', k_sqrt, iters, salts)},
+coarse AS (SELECT cluster AS coarse, c FROM cent{iters}),
+assigned AS (
+  SELECT vec_id, coarse FROM (
+    SELECT n.vec_id, coarse.coarse,
+           row_number() OVER (
+             PARTITION BY n.vec_id ORDER BY {_KM_DIST}, coarse.coarse
+           ) AS rn
+    FROM n, coarse
+  ) WHERE rn = 1
+),
+probes AS (SELECT vec_id AS query_id, e FROM n WHERE vec_id % 100 = 0),
+pcells AS (
+  SELECT query_id, coarse FROM (
+    SELECT p.query_id, coarse.coarse,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY {probe_cell_dist}, coarse.coarse
+           ) AS rn
+    FROM probes p, coarse
+  ) WHERE rn <= 3
+),
+subspaces AS (SELECT unnest(range(0, {m})) AS m),
+sub AS (
+  SELECT vec_id, sp.m AS subspace,
+         list_transform(range(1, {sd + 1}), j -> e[sp.m * {sd} + j]) AS sub
+  FROM n, subspaces sp
+),
+tsub AS (SELECT * FROM sub WHERE vec_id % {smod} = 0)
+{_sql_pq_lloyd(cb_iters, salts, sd, kcw, sub_src='tsub', seed_src='s')},
+codes AS (
+  SELECT vec_id, subspace, cid AS code FROM (
+    SELECT v.vec_id, v.subspace, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id, v.subspace ORDER BY {code_l2}, c.cid
+           ) AS rn
+    FROM sub v JOIN pcent{cb_iters} c USING (subspace)
+  ) WHERE rn = 1
+),
+partials AS (
+  SELECT p.query_id, c.subspace, c.cid AS code, {partial_l2} AS pd
+  FROM probes p, pcent{cb_iters} c
+),
+cand AS (
+  SELECT pc.query_id, a.vec_id AS neighbor_id
+  FROM pcells pc JOIN assigned a USING (coarse)
+  WHERE pc.query_id <> a.vec_id
+),
+prows AS (
+  SELECT cd.query_id, cd.neighbor_id, k.subspace, pt.pd
+  FROM cand cd
+  JOIN codes k ON k.vec_id = cd.neighbor_id
+  JOIN partials pt ON pt.query_id = cd.query_id
+    AND pt.subspace = k.subspace AND pt.code = k.code
+),
+ppairs AS (
+  SELECT query_id, neighbor_id, {pd_pivots} FROM prows GROUP BY 1, 2
+),
+padc AS (
+  SELECT query_id, neighbor_id, {adc_sum} AS adc_dist FROM ppairs
+),
+ivfpq AS (
+  SELECT query_id, neighbor_id, rank, adc_dist FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+    )::BIGINT AS rank FROM padc
+  ) WHERE rank <= 5
+)"""
+
+
+def q_knn_ivf_pq(spark, sf_dir):
+    """IVF-ADC in one query (`operators.pq.knn_ivf_pq`): Lloyd coarse
+    quantizer (√-scaled k on the deterministic 1/4 sample) restricts
+    candidates to the 3 nearest inverted lists per probe; a Lloyd-
+    LEARNED per-subspace PQ codebook (256 codewords, 2 grouped Lloyd
+    rounds over the `pq_codebook` seeds) scores them by asymmetric
+    distance — the composed learned index real 100 TB ANN ships, with
+    its measured recall registered alongside as `pq_recall`."""
+    from ..operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.select("vec_id").where("vec_id % 100 = 0")
+    return pq.knn_ivf_pq(emb, probe, k=5)
+
+
+def _sql_knn_ivf_pq() -> str:
+    return f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+{_sql_ivf_pq_chain()}
+SELECT query_id, neighbor_id, rank, adc_dist FROM ivfpq
+"""
+
+
+def q_pq_recall(spark, sf_dir):
+    """Recall@5 of the composed IVF-ADC index vs EXACT squared-L2 —
+    the metric ADC approximates (the cosine brute force ranks a
+    different one). Completes the self-measuring matrix
+    (`ann_recall_lsh` / `ann_recall_ivf` / `semantic_recall_learned` /
+    `minhash_recall`): every approximate index ships its own
+    oracle-checked recall row. Misses here fold in BOTH loss sources —
+    the coarse quantizer (nprobe, cell count) and the codebook
+    (M×K resolution)."""
+    from ..operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.select("vec_id").where("vec_id % 100 = 0")
+    bf = pq.knn_l2_bruteforce(emb, probe, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    apx = pq.knn_ivf_pq(emb, probe, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(apx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
+def _sql_pq_recall() -> str:
+    return f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+{_sql_ivf_pq_chain()},
+bfs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, 65),
+                                 j -> (q.e[j] - c.e[j]) * (q.e[j] - c.e[j])))
+           AS l2sq
+  FROM n q, n c
+  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY l2sq, neighbor_id
+    ) AS rank FROM bfs
+  ) WHERE rank <= 5
+)
+SELECT bf.query_id, count(*) AS n_true,
+       sum(CASE WHEN ivfpq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       sum(CASE WHEN ivfpq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         / count(*) AS recall
+FROM bf LEFT JOIN ivfpq
+  ON bf.query_id = ivfpq.query_id AND bf.neighbor_id = ivfpq.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
 def q_knn_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.knn_ivf(emb, _knn_probe_df(spark, sf_dir), k=5)
@@ -4454,6 +4722,8 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "knn_cosine_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "knn_cosine_ivf_learned": (q_knn_ivf_learned, _sql_knn_ivf_learned()),
     "knn_pq_adc": (q_knn_pq_adc, _sql_knn_pq_adc()),
+    "knn_ivf_pq": (q_knn_ivf_pq, _sql_knn_ivf_pq()),
+    "pq_recall": (q_pq_recall, _sql_pq_recall()),
     "ann_recall_lsh": (q_ann_recall_lsh, SQL_ANN_RECALL_LSH),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

@@ -334,6 +334,75 @@ def test_pq_codes_compress_and_adc_ranks_near_vector_first(spark):
     assert own == 0
 
 
+def test_pq_codebook_learned_converges_to_blob_means(spark):
+    # Two far blobs; seeds (smallest-2 vec_ids) land one in each blob,
+    # so a Lloyd round must move each codeword to its blob's per-
+    # subspace mean — proof the codebook is LEARNED from member
+    # geometry, not the raw seed sample pq_codebook returns.
+    from cir_duplicate_detector_spark.operators import pq
+
+    lo = [(i, [0.0 + i * 0.01] * 64) for i in range(0, 8, 2)]   # ids 0,2,4,6
+    hi = [(i, [10.0 + i * 0.01] * 64) for i in range(1, 8, 2)]  # ids 1,3,5,7
+    emb = spark.createDataFrame(
+        lo + hi, "vec_id long, embedding array<double>"
+    )
+    cb = pq.pq_codebook_learned(emb, n_codewords=2, iters=2)
+    rows = cb.collect()
+    # Bounded: exactly M rows per codeword, cluster ids = seed vec_ids.
+    assert len(rows) == pq.PQ_M * 2
+    assert {r.cid for r in rows} == {0, 1}
+    lo_mean = sum(v for _, vec in lo for v in vec[:1]) / len(lo)
+    hi_mean = sum(vec[0] for _, vec in hi) / len(hi)
+    for r in rows:
+        want = lo_mean if r.cid == 0 else hi_mean
+        assert len(r.csub) == pq.PQ_SUBDIM
+        for v in r.csub:
+            assert abs(v - want) < 0.2  # blob spread is ±0.07
+    # Still bounded by M*K on the real table regardless of corpus size.
+    emb_t = load_table(spark, SF_DIR, "embeddings")
+    assert (
+        pq.pq_codebook_learned(emb_t).count()
+        <= pq.PQ_M * pq.PQ_CODEWORDS
+    )
+
+
+def test_knn_ivf_pq_contract_and_l2_bruteforce_exact(spark):
+    from cir_duplicate_detector_spark.operators import pq
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probe = emb.select("vec_id").where("vec_id % 100 = 0")
+    out = pq.knn_ivf_pq(emb, probe, k=5, n_codewords=32).collect()
+    by_q: dict = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 100, 200, 300, 400}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+        dists = [r.adc_dist for r in rows]
+        assert dists == sorted(dists)  # rank follows ADC distance
+
+    # Exact-L2 ground truth: rank 1 for a planted twin pair must be
+    # each other, distances exact.
+    twin = spark.createDataFrame(
+        [
+            (1, [1.0] * 64),
+            (2, [1.0] * 63 + [1.5]),
+            (3, [5.0] * 64),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bf = {
+        (r.query_id, r.rank): r
+        for r in pq.knn_l2_bruteforce(twin, [1, 2], k=2).collect()
+    }
+    assert bf[(1, 1)].neighbor_id == 2 and bf[(1, 1)].l2sq == 0.25
+    assert bf[(2, 1)].neighbor_id == 1 and bf[(2, 1)].l2sq == 0.25
+    assert bf[(1, 2)].neighbor_id == 3
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     text100 = " ".join(f"w{i}" for i in range(100))
     docs = spark.createDataFrame(

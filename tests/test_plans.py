@@ -209,6 +209,18 @@ def test_pq_adc_is_equijoin_with_broadcast_tables(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_knn_ivf_pq_no_allpairs_scan(spark):
+    # The composed IVF-ADC query: candidate generation is the coarse-
+    # cell EQUI-join, scoring is the (query, subspace, code) equi-join
+    # against the broadcast partials table. The only nested-loop joins
+    # are the broadcast centroid/codebook scorings (bounded √N / M·K
+    # build sides); an unhinted CartesianProduct anywhere means an
+    # all-pairs scan leaked in.
+    plan = _plan(spark, "knn_ivf_pq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_doc_fingerprint_shuffle_free_before_explode(spark):
     from cir_duplicate_detector_spark.operators import textops
     from cir_duplicate_detector_spark.sources.tables import load_table
