@@ -1,15 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched Pandas UDFs (mapInPandas).
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked deterministic stub (`_fake_decode`); everything around it
-— binary column handling, metadata schema, mapInPandas batch shape,
-partitioning — is real and is the part that matters on a cluster. A
-production deployment swaps `_fake_decode` for a real codec (PIL/ffmpeg)
-without touching the Spark plumbing; that hot-swap point mirrors the
-reference's posture of treating hash *computation* as an upstream
-concern (reference pyproject declares pdqhash but never imports it —
-SURVEY header).
+The image paths are REAL codec paths: binary PPM (P6) is a complete
+standardized image container decodable with numpy alone, and
+`decode_ppm` / `_parse_ppm_at` parse it for the perceptual-hash
+(`image_ahash_features`), box-filter-resize (`image_resize`) and
+concatenated-frame video (`video_frame_ahash`) operators — features
+are functions of decoded pixels, not payload bytes. PIL, when the
+optional extra is installed, extends `decode_image` to any PIL-readable
+format. Only `_fake_decode` (the feature60 stand-in for payloads that
+are not images at all) remains a labeled stub; a production deployment
+swaps codecs (PIL/ffmpeg) behind the same Arrow schema/batch shapes —
+that hot-swap point mirrors the reference's posture of treating hash
+*computation* as an upstream concern (reference pyproject declares
+pdqhash but never imports it — SURVEY header).
 """
 
 from __future__ import annotations
@@ -77,76 +81,9 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(extract, FEATURE_SCHEMA)
 
 
-RESIZE_SCHEMA = (
-    "doc_id bigint, orig_bytes bigint, resized_bytes bigint, resized_md5 string"
-)
-
-
-def resize_stub(media: DataFrame, target_bytes: int = 64) -> DataFrame:
-    """Resize/downsample step of the media pipeline — STUB codec.
-
-    The deterministic stand-in truncates the payload to ``target_bytes``
-    (a real deployment swaps in PIL thumbnail / ffmpeg scale); the Spark
-    plumbing — binary column in, Arrow batches through one Python pass,
-    metadata about both sizes out — is the production shape.
-    """
-    import hashlib
-
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            resized = pdf["payload"].map(lambda b: bytes(b)[:target_bytes])
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "orig_bytes": pdf["payload"].str.len().astype("int64"),
-                    "resized_bytes": resized.str.len().astype("int64"),
-                    "resized_md5": resized.map(
-                        lambda b: hashlib.md5(b).hexdigest()
-                    ),
-                }
-            )
-
-    return media.mapInPandas(resize, RESIZE_SCHEMA)
-
-
-FRAME_SCHEMA = (
-    "doc_id bigint, frame_no bigint, frame_text string, frame_md5 string"
-)
-
-
-def frame_sample(
-    media: DataFrame, frame_chars: int = 32, stride: int = 4
-) -> DataFrame:
-    """Frame decomposition + sampling over the payload column — the
-    video-keyframe-shaped pipeline: decode (stub), split into fixed-
-    width frames, keep every ``stride``-th frame, fingerprint each.
-
-    One Arrow-batched pass (mapInPandas); the row explosion happens
-    inside the Python worker, so upstream stages never materialize the
-    unsampled frames. A production deployment replaces the utf-8 "
-    "decode with ffmpeg frame extraction; schema and batch shape hold.
-    """
-    import hashlib
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {
-                "doc_id": [], "frame_no": [], "frame_text": [], "frame_md5": []
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                text = bytes(payload).decode("utf-8")
-                n_frames = (len(text) + frame_chars - 1) // frame_chars
-                for fno in range(0, n_frames, stride):
-                    ft = text[fno * frame_chars : (fno + 1) * frame_chars]
-                    out["doc_id"].append(doc_id)
-                    out["frame_no"].append(fno)
-                    out["frame_text"].append(ft)
-                    out["frame_md5"].append(
-                        hashlib.md5(ft.encode("utf-8")).hexdigest()
-                    )
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(sample, FRAME_SCHEMA)
+# resize / frame-sample are REAL codec paths now — see image_resize and
+# video_frame_ahash below (the round-5/6 byte-truncation stubs they
+# replace proved the Arrow plumbing; these compute over decoded pixels).
 
 
 # ------------------------------------------------------------- real codec
@@ -165,16 +102,19 @@ def frame_sample(
 PPM_MAGIC = b"P6"
 
 
-def decode_ppm(payload: bytes):
-    """Decode a binary PPM (P6, maxval ≤ 255) into an (h, w, 3) uint8
-    numpy array. Pure numpy — no image library. Supports the full
-    header grammar: ``P6``, whitespace-separated width/height/maxval,
-    ``#`` comments, single whitespace before the raster."""
+def _parse_ppm_at(payload: bytes, pos: int):
+    """Parse one binary PPM (P6, maxval ≤ 255) starting at ``pos``;
+    returns ``(pixels, next_pos)`` with pixels (h, w, 3) uint8 and
+    ``next_pos`` the first byte past this image's raster — the
+    concatenated-stream contract :func:`video_frame_ahash` iterates
+    on. Supports the full header grammar: ``P6``, whitespace-separated
+    width/height/maxval, ``#`` comments, single whitespace before the
+    raster."""
     import numpy as np
 
-    if not payload.startswith(PPM_MAGIC):
+    if payload[pos : pos + len(PPM_MAGIC)] != PPM_MAGIC:
         raise ValueError("not a P6 PPM payload")
-    pos = len(PPM_MAGIC)
+    pos += len(PPM_MAGIC)
     fields: list[int] = []
     while len(fields) < 3:
         # skip whitespace and comments
@@ -197,7 +137,17 @@ def decode_ppm(payload: bytes):
         raise ValueError(
             f"truncated PPM raster: need {w * h * 3} bytes, got {len(raster)}"
         )
-    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    return (
+        np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3),
+        pos + w * h * 3,
+    )
+
+
+def decode_ppm(payload: bytes):
+    """Decode a binary PPM (P6, maxval ≤ 255) into an (h, w, 3) uint8
+    numpy array. Pure numpy — no image library."""
+    arr, _ = _parse_ppm_at(payload, 0)
+    return arr
 
 
 def decode_image(payload: bytes):
@@ -229,6 +179,34 @@ def decode_image(payload: bytes):
 AHASH_SCHEMA = "doc_id bigint, width bigint, height bigint, ahash_bits string"
 
 
+def _ahash_bits(px, grid: int, doc_id) -> str:
+    """The exact integer average-hash rule over decoded (h, w, 3)
+    pixels: integer grayscale ``(r+g+b)//3``, ``grid``×``grid`` block
+    means by integer floor, bit '1' where ``cell·cells > sum(cells)``
+    (no float division). Shared by :func:`image_ahash_features` and
+    :func:`video_frame_ahash` so the per-image and per-frame features
+    cannot drift."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    if h < grid or w < grid:
+        raise ValueError(
+            f"ahash: doc_id {doc_id} image {w}x{h} is smaller than "
+            f"the {grid}x{grid} grid"
+        )
+    gray = px.astype(np.int64).sum(axis=2) // 3
+    bh, bw = h // grid, w // grid
+    cells = (
+        gray[: bh * grid, : bw * grid]
+        .reshape(grid, bh, grid, bw)
+        .sum(axis=(1, 3))
+        // (bh * bw)
+    )
+    total = int(cells.sum())
+    bits = (cells.reshape(-1) * (grid * grid)) > total
+    return "".join("1" if b else "0" for b in bits)
+
+
 def image_ahash_features(media: DataFrame, grid: int = 8) -> DataFrame:
     """REAL decode + perceptual feature over the payload column: parse
     each payload as an image (:func:`decode_image`), integer-grayscale
@@ -238,10 +216,9 @@ def image_ahash_features(media: DataFrame, grid: int = 8) -> DataFrame:
     Row-major, block means by integer floor; for a grid-sized image
     each cell is one pixel, which is what the registered oracle pins.
 
-    Same scale posture as the stubs: one Arrow boundary, numpy-
-    vectorized per batch, schema/batch shape codec-agnostic.
+    Same scale posture as the stubs it grew from: one Arrow boundary,
+    numpy-vectorized per batch, schema/batch shape codec-agnostic.
     """
-    import numpy as np
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -250,32 +227,125 @@ def image_ahash_features(media: DataFrame, grid: int = 8) -> DataFrame:
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 px = decode_image(bytes(payload))
-                h, w = px.shape[0], px.shape[1]
-                if h < grid or w < grid:
-                    raise ValueError(
-                        f"image_ahash_features: doc_id {doc_id} image "
-                        f"{w}x{h} is smaller than the {grid}x{grid} grid"
-                    )
-                gray = px.astype(np.int64).sum(axis=2) // 3
-                # block means by integer floor over equal grid cells
-                bh, bw = h // grid, w // grid
-                cells = (
-                    gray[: bh * grid, : bw * grid]
-                    .reshape(grid, bh, grid, bw)
-                    .sum(axis=(1, 3))
-                    // (bh * bw)
-                )
-                total = int(cells.sum())
-                bits = (cells.reshape(-1) * (grid * grid)) > total
                 out["doc_id"].append(doc_id)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["ahash_bits"].append(
-                    "".join("1" if b else "0" for b in bits)
-                )
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["ahash_bits"].append(_ahash_bits(px, grid, doc_id))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(features, AHASH_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, orig_width bigint, orig_height bigint, "
+    "width bigint, height bigint, resized_hex string"
+)
+
+
+def image_resize(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL resize over the payload column: decode each payload as an
+    image (:func:`decode_image`), downsample by an integer box filter —
+    each output pixel is the per-channel integer-floor mean of a
+    ``factor``×``factor`` input block (exact arithmetic, so the oracle
+    reproduces every output byte) — and RE-ENCODE the result as a
+    binary P6 PPM. Output carries both geometries plus the full
+    re-encoded payload as hex (header included — proof the path
+    produces a decodable image, not a byte slice; hex instead of raw
+    binary keeps the row driver-canonicalizable). Trailing rows/columns
+    that do not fill a block are dropped (floor geometry), the standard
+    pooling convention.
+
+    One Arrow boundary, numpy-vectorized per image; a production
+    deployment swaps the codec (PIL/ffmpeg scale) behind the same
+    schema and batch shape.
+    """
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "orig_width": [], "orig_height": [],
+                "width": [], "height": [], "resized_hex": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                h, w = px.shape[0], px.shape[1]
+                oh, ow = h // factor, w // factor
+                if oh == 0 or ow == 0:
+                    raise ValueError(
+                        f"image_resize: doc_id {doc_id} image {w}x{h} "
+                        f"is smaller than the {factor}x{factor} filter"
+                    )
+                blocks = (
+                    px[: oh * factor, : ow * factor]
+                    .astype(np.int64)
+                    .reshape(oh, factor, ow, factor, 3)
+                    .sum(axis=(1, 3))
+                    // (factor * factor)
+                )
+                encoded = (
+                    f"P6\n{ow} {oh}\n255\n".encode()
+                    + blocks.astype(np.uint8).tobytes()
+                )
+                out["doc_id"].append(doc_id)
+                out["orig_width"].append(w)
+                out["orig_height"].append(h)
+                out["width"].append(ow)
+                out["height"].append(oh)
+                out["resized_hex"].append(encoded.hex())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_no bigint, width bigint, height bigint, "
+    "ahash_bits string"
+)
+
+
+def video_frame_ahash(
+    media: DataFrame, stride: int = 2, grid: int = 8
+) -> DataFrame:
+    """Keyframe sampling over concatenated-PPM "video" payloads: the
+    payload is a stream of back-to-back binary P6 frames (the poor
+    engine's uncompressed video container); each is parsed in turn
+    (:func:`_parse_ppm_at`), every ``stride``-th frame is kept, and
+    each kept frame gets the shared integer average-hash
+    (:func:`_ahash_bits` — the same rule as the per-image feature, so
+    frame and image fingerprints live in one hash space). The frame
+    explosion happens inside the Arrow worker: upstream stages never
+    materialize the unsampled frames, and skipped frames cost one
+    header parse + pointer bump, no pixel work — the property that
+    matters when the stride is 30 and the payload is a real video.
+
+    A production deployment replaces the parser loop with ffmpeg
+    keyframe extraction behind the same schema and batch shape.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_no": [], "width": [], "height": [],
+                "ahash_bits": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                pos, fno = 0, 0
+                while pos < len(buf):
+                    px, pos = _parse_ppm_at(buf, pos)
+                    if fno % stride == 0:
+                        out["doc_id"].append(doc_id)
+                        out["frame_no"].append(fno)
+                        out["width"].append(px.shape[1])
+                        out["height"].append(px.shape[0])
+                        out["ahash_bits"].append(
+                            _ahash_bits(px, grid, doc_id)
+                        )
+                    fno += 1
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(sample, VIDEO_FRAME_SCHEMA)
 
 
 AUDIO_SCHEMA = (

@@ -1746,27 +1746,34 @@ def q_multimodal_audio(spark, sf_dir):
     return multimodal.audio_energy_windows(media)
 
 
-def q_multimodal_image_ahash(spark, sf_dir):
-    """REAL image decode path (round-5 stretch item): each document is
-    framed as an actual 8x8 binary PPM (P6 header + its first 192 text
-    bytes as the RGB raster), decoded by the pure-numpy PPM codec (PIL
-    when the optional extra is installed), and perceptually fingerprinted
-    with an 8x8 average hash over the DECODED PIXELS — the feature is a
-    function of image content, not of payload bytes (a header comment
-    changes the bytes but not the hash; pinned by unit test). One Arrow
-    boundary, vectorized decode, same plumbing as the stub paths."""
-    docs = load_table(spark, sf_dir, "documents")
+def _ppm_media(docs):
+    """Documents framed as actual 8x8 binary PPMs: P6 header + each
+    document's first 192 text bytes as the RGB raster (rpad-space to a
+    full raster). Shared by the ahash and resize queries so both real
+    codec paths decode the same images."""
     raster = F.rpad(F.substring("text", 1, 192), 192, " ")
     payload = F.encode(
         F.concat(F.lit("P6\n8 8\n255\n"), raster), "utf-8"
     )
-    media = docs.select(
+    return docs.select(
         "doc_id",
         F.lit("image/x-portable-pixmap").alias("media_type"),
         payload.alias("payload"),
         F.octet_length(payload).cast("bigint").alias("n_bytes"),
     )
-    return multimodal.image_ahash_features(media)
+
+
+def q_multimodal_image_ahash(spark, sf_dir):
+    """REAL image decode path (round-5 stretch item): each document is
+    framed as an actual 8x8 binary PPM (`_ppm_media`), decoded by the
+    pure-numpy PPM codec, and perceptually fingerprinted with an 8x8
+    average hash over the DECODED PIXELS — the feature is a function of
+    image content, not of payload bytes (a header comment changes the
+    bytes but not the hash; pinned by unit test). One Arrow boundary,
+    vectorized decode."""
+    return multimodal.image_ahash_features(
+        _ppm_media(load_table(spark, sf_dir, "documents"))
+    )
 
 
 # Char-indexed like SQL_MULTIMODAL_AUDIO, with the same loud ASCII
@@ -2317,39 +2324,140 @@ def q_events_sessionize_stateful(spark, sf_dir):
 
 
 def q_multimodal_resize(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return multimodal.resize_stub(multimodal.to_media(docs))
+    """REAL resize (round-6 verdict item 5, replacing the byte-
+    truncation stub): each document's 8x8 PPM frame (`_ppm_media`, the
+    same images the ahash query decodes) is decoded, box-filter
+    downsampled 2x (per-channel integer-floor mean over 2x2 blocks —
+    exact arithmetic, every output byte oracle-reproducible) and
+    re-encoded as a 4x4 P6 payload, emitted as hex."""
+    return multimodal.image_resize(
+        _ppm_media(load_table(spark, sf_dir, "documents")), factor=2
+    )
 
 
-# Byte truncation == char truncation here: the testdata text is pure
-# ASCII (verified octet_length == length at every SF); DuckDB md5 hashes
-# the UTF-8 bytes of the VARCHAR.
-SQL_MULTIMODAL_RESIZE = """
-SELECT doc_id,
-       octet_length(encode(text))::BIGINT AS orig_bytes,
-       octet_length(encode(substr(text, 1, 64)))::BIGINT AS resized_bytes,
-       md5(substr(text, 1, 64)) AS resized_md5
-FROM documents
+# The re-encoded payload is header + raster; the header is a constant
+# for the fixed 8x8 -> 4x4 geometry, so the oracle prepends its hex and
+# reconstructs the raster per output pixel: channel mean over the 2x2
+# input block, input pixel (i, j) channel c at raster char 3*(i*8+j)+c+1
+# (ASCII-asserted like the other char-indexed media oracles).
+_RESIZE_HEADER_HEX = "P6\n4 4\n255\n".encode().hex()
+
+_RESIZE_BLOCK_MEAN = (
+    "("
+    "ascii(substr(raster, 3 * ((2 * oi) * 8 + 2 * oj) + c + 1, 1)) + "
+    "ascii(substr(raster, 3 * ((2 * oi) * 8 + 2 * oj + 1) + c + 1, 1)) + "
+    "ascii(substr(raster, 3 * ((2 * oi + 1) * 8 + 2 * oj) + c + 1, 1)) + "
+    "ascii(substr(raster, 3 * ((2 * oi + 1) * 8 + 2 * oj + 1) + c + 1, 1))"
+    ") // 4"
+)
+
+SQL_MULTIMODAL_RESIZE = f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = len(text)
+              THEN rpad(substr(text, 1, 192), 192, ' ')
+              ELSE error('SQL_MULTIMODAL_RESIZE: non-ASCII text (doc_id '
+                         || doc_id || '); char-indexed oracle diverges '
+                         || 'from the byte-decoding operator')
+         END AS raster
+  FROM documents
+),
+opx AS (
+  SELECT doc_id, oi, oj, c, {_RESIZE_BLOCK_MEAN} AS v
+  FROM b
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS oi) oi_t
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS oj) oj_t
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS c) ch_t
+)
+SELECT doc_id, 8::BIGINT AS orig_width, 8::BIGINT AS orig_height,
+       4::BIGINT AS width, 4::BIGINT AS height,
+       '{_RESIZE_HEADER_HEX}' ||
+       string_agg(lower(lpad(hex(v), 2, '0')), '' ORDER BY oi, oj, c)
+         AS resized_hex
+FROM opx GROUP BY doc_id
 """
 
 
 def q_multimodal_frames(spark, sf_dir):
+    """REAL frame sampling (round-6 verdict item 5, replacing the text-
+    slicing stub): each document becomes a concatenated-PPM "video" —
+    one back-to-back 8x8 P6 frame per 192 text chars (last frame
+    rpad-space) — and `multimodal.video_frame_ahash` parses the stream,
+    keeps every 2nd frame, and fingerprints each kept frame's DECODED
+    PIXELS with the shared integer average-hash rule."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return multimodal.frame_sample(multimodal.to_media(docs))
+    header = "P6\n8 8\n255\n"
+    nf = F.ceil(F.length("text") / F.lit(192.0))
+    frames = F.transform(
+        F.sequence(F.lit(1), nf),
+        lambda i: F.concat(
+            F.lit(header),
+            F.rpad(
+                F.substring(F.col("text"), (i - 1) * 192 + 1, F.lit(192)),
+                192,
+                " ",
+            ),
+        ),
+    )
+    payload = F.encode(
+        F.array_join(
+            F.when(F.length("text") > 0, frames).otherwise(
+                F.array().cast("array<string>")
+            ),
+            "",
+        ),
+        "utf-8",
+    )
+    media = docs.select(
+        "doc_id",
+        F.lit("video/x-ppm-stream").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+    )
+    return multimodal.video_frame_ahash(media, stride=2)
 
 
+# Same char-indexed reconstruction as the image oracles (ASCII-asserted):
+# frame fno's raster is the document's chars [fno*192+1, fno*192+192]
+# rpad-space; gray/bit rules identical to SQL_MULTIMODAL_IMAGE_AHASH,
+# keyed by (doc_id, frame). range(0, 0) is empty, so an empty document
+# emits zero frames, matching the operator's empty payload.
 SQL_MULTIMODAL_FRAMES = """
-WITH fr AS (
-  SELECT doc_id, text,
-         unnest([i for i in range(0, (length(text) + 31) // 32)]) AS fno
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = len(text) THEN text
+              ELSE error('SQL_MULTIMODAL_FRAMES: non-ASCII text (doc_id '
+                         || doc_id || '); char-indexed oracle diverges '
+                         || 'from the byte-decoding operator')
+         END AS text,
+         len(text) AS n
   FROM documents
+),
+sf AS (
+  SELECT doc_id, fno,
+         rpad(substr(text, fno * 192 + 1, 192), 192, ' ') AS raster
+  FROM (
+    SELECT doc_id, text, unnest(range(0, (n + 191) // 192)) AS fno FROM b
+  ) WHERE fno % 2 = 0
+),
+px AS (
+  SELECT doc_id, fno, i,
+         (ascii(substr(raster, 3 * i + 1, 1))
+          + ascii(substr(raster, 3 * i + 2, 1))
+          + ascii(substr(raster, 3 * i + 3, 1))) // 3 AS gray
+  FROM sf CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+),
+tot AS (
+  SELECT doc_id, fno, sum(gray)::BIGINT AS sg FROM px GROUP BY doc_id, fno
 )
-SELECT doc_id, fno AS frame_no,
-       substr(text, fno * 32 + 1, 32) AS frame_text,
-       md5(substr(text, fno * 32 + 1, 32)) AS frame_md5
-FROM fr WHERE fno % 4 = 0
+SELECT px.doc_id, px.fno AS frame_no, 8::BIGINT AS width,
+       8::BIGINT AS height,
+       string_agg(CASE WHEN gray * 64 > sg THEN '1' ELSE '0' END,
+                  '' ORDER BY i) AS ahash_bits
+FROM px JOIN tot ON tot.doc_id = px.doc_id AND tot.fno = px.fno
+GROUP BY px.doc_id, px.fno
 """
 
 

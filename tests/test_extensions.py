@@ -146,24 +146,53 @@ def test_fingerprint_shape(spark):
     assert hashes == sorted(hashes)
 
 
-def test_frame_sample_semantics(spark):
-    text = "x" * 100  # 4 frames of 32 chars (last = 4 chars), stride 4
-    docs = spark.createDataFrame([(1, text)], DOCS_SCHEMA)
-    got = multimodal.frame_sample(multimodal.to_media(docs)).collect()
-    assert [r["frame_no"] for r in got] == [0]  # only frame 0 of 4 sampled
-    assert got[0]["frame_text"] == "x" * 32
-    long_docs = spark.createDataFrame([(2, "y" * 200)], DOCS_SCHEMA)
-    got2 = multimodal.frame_sample(multimodal.to_media(long_docs)).collect()
-    assert sorted(r["frame_no"] for r in got2) == [0, 4]  # 7 frames, stride 4
+def test_image_resize_box_filters_decoded_pixels(spark):
+    # 2x2 image with one bright and three dark pixels: the 2x resize
+    # must produce ONE pixel whose channels are the integer-floor block
+    # means of the DECODED values — and the output must be a valid,
+    # re-decodable P6 payload.
+    from cir_duplicate_detector_spark.operators.multimodal import decode_ppm
+
+    px = [(200, 100, 40), (0, 0, 0), (0, 0, 0), (0, 0, 2)]
+    payload = _ppm(2, 2, px, comment=b"bytes differ, pixels rule")
+    media = spark.createDataFrame(
+        [(1, "image/x-portable-pixmap", payload, len(payload))],
+        "doc_id bigint, media_type string, payload binary, n_bytes bigint",
+    )
+    got = multimodal.image_resize(media, factor=2).collect()[0]
+    assert (got.orig_width, got.orig_height) == (2, 2)
+    assert (got.width, got.height) == (1, 1)
+    out = bytes.fromhex(got.resized_hex)
+    arr = decode_ppm(out)
+    assert arr.shape == (1, 1, 3)
+    assert arr[0, 0].tolist() == [50, 25, 10]  # floor means incl. 42//4
 
 
-def test_resize_stub_truncates(spark):
-    docs = spark.createDataFrame([(1, "a" * 100), (2, "b" * 10)], DOCS_SCHEMA)
-    got = {r["doc_id"]: r for r in
-           multimodal.resize_stub(multimodal.to_media(docs)).collect()}
-    assert got[1]["orig_bytes"] == 100 and got[1]["resized_bytes"] == 64
-    assert got[2]["orig_bytes"] == 10 and got[2]["resized_bytes"] == 10
-    assert got[1]["resized_md5"] == hashlib.md5(b"a" * 64).hexdigest()
+def test_video_frame_ahash_parses_and_strides(spark):
+    # Three concatenated 2x2 frames; stride 2 keeps frames 0 and 2.
+    # Frame hashes must match the single-image feature on the same
+    # pixels (shared rule), and frame 1 must be skipped.
+    bright = [(200, 200, 200)] * 2 + [(10, 10, 10)] * 2
+    frames = [
+        _ppm(2, 2, bright),
+        _ppm(2, 2, [(1, 2, 3)] * 4, comment=b"skipped"),
+        _ppm(2, 2, list(reversed(bright))),
+    ]
+    payload = b"".join(frames)
+    media = spark.createDataFrame(
+        [(7, "video/x-ppm-stream", payload, len(payload))],
+        "doc_id bigint, media_type string, payload binary, n_bytes bigint",
+    )
+    got = {
+        r.frame_no: r
+        for r in multimodal.video_frame_ahash(
+            media, stride=2, grid=2
+        ).collect()
+    }
+    assert sorted(got) == [0, 2]
+    assert got[0].width == 2 and got[0].height == 2
+    assert got[0].ahash_bits == "1100"
+    assert got[2].ahash_bits == "0011"
 
 
 def test_knn_ivf_ranked_and_self_excluded(spark):
