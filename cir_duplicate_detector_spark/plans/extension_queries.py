@@ -4377,6 +4377,17 @@ SELECT doc_id, version, text_hash FROM (
 """
 
 
+def q_corpus_upsert_streaming(spark, sf_dir):
+    """The latest-wins upsert as a stream (`streaming.windows.
+    streaming_corpus_upsert`): re-crawls arrive on a file stream,
+    per-key winner state stays (version, digest)-sized, the drained
+    delta resolves against the static snapshot batch-side. Shares the
+    batch `corpus_upsert` oracle by the registry twin guard."""
+    from ..streaming.windows import streaming_corpus_upsert
+
+    return streaming_corpus_upsert(spark, sf_dir)
+
+
 def q_ann_recall_ivf(spark, sf_dir):
     """Recall@5 of the IVF path vs the exact brute-force ranking —
     completes the self-measuring diagnostic matrix alongside
@@ -4946,6 +4957,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "corpus_drift": (q_corpus_drift, SQL_CORPUS_DRIFT),
     "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
     "corpus_upsert": (q_corpus_upsert, SQL_CORPUS_UPSERT),
+    "corpus_upsert_streaming": (q_corpus_upsert_streaming, SQL_CORPUS_UPSERT),
     "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "ann_recall_ivf": (q_ann_recall_ivf, SQL_ANN_RECALL_IVF),

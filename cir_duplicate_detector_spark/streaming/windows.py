@@ -320,6 +320,78 @@ def streaming_lsh_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins corpus upsert AS A STREAM — the continuous-ingest
+    form of `operators.dedup.corpus_upsert` (the one recurring-crawl
+    pattern that was still batch-only after the exact/Bloom/LSH
+    screens): re-crawled documents arrive on a file stream (every 5th
+    doc as version 2 with edited text, the batch twin's update
+    relation built STREAM-SIDE), and per-key winner state accumulates
+    in a complete-mode ``max(struct(version, text_hash))`` aggregation
+    — one (version, digest) pair per UPDATED key, never the text, and
+    never a row for the untouched corpus: state is bounded by the
+    update stream's key cardinality, which a crawl window bounds by
+    design. The drained winner set then resolves against the STATIC
+    base snapshot batch-side — the merge-on-read pattern: the stream
+    maintains the compacted delta, the snapshot join happens at read
+    time (on a live pipeline the winner state would compact into a
+    Delta/Hudi delta table in update mode, with a crawl-time watermark
+    expiring keys once their re-crawl horizon passes).
+
+    Output is identical to the batch `corpus_upsert` — the two
+    registry entries share one oracle string by construction (the
+    batch/streaming twin guard in ``plans/__init__``). The tie-break
+    (equal versions resolve to the lexically larger digest) rides the
+    same struct-max rule on both paths.
+    """
+    from pyspark.sql import Window
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    base = spark.read.parquet(path).select(
+        "doc_id",
+        F.lit(1).cast("bigint").alias("version"),
+        F.md5("text").alias("text_hash"),
+    )
+    stage = stage_source(path, "docs_upsert_stream_")
+    updates = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .where(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.lit(2).cast("bigint").alias("version"),
+            F.md5(F.concat(F.col("text"), F.lit(" [recrawled]"))).alias(
+                "text_hash"
+            ),
+        )
+    )
+    winners = (
+        updates.groupBy("doc_id")
+        .agg(F.max(F.struct("version", "text_hash")).alias("m"))
+        .select("doc_id", F.col("m.version").alias("version"),
+                F.col("m.text_hash").alias("text_hash"))
+    )
+    name = f"stream_upsert_{uuid.uuid4().hex[:8]}"
+    query = (
+        winners.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    merged = base.unionByName(spark.table(name))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("version").desc(), F.col("text_hash").desc()
+    )
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "version", "text_hash")
+    )
+
+
 def streaming_dedup_to_parquet(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:
