@@ -145,7 +145,7 @@ def q_dup_clusters(spark, sf_dir):
     pairs = dedup.minhash_near_duplicates(
         _docs_nd(spark, sf_dir), threshold=0.5
     ).select("a", "b")
-    cc = dedup.connected_components(pairs)
+    cc = dedup.connected_components(pairs, check_every=2)  # duplicate graphs converge in 2-3 rounds; halve the count jobs
     sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return cc.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
@@ -222,7 +222,7 @@ def q_cluster_representatives(spark, sf_dir):
 
     docs = _docs_nd(spark, sf_dir)
     pairs = dedup.minhash_near_duplicates(docs, threshold=0.5).select("a", "b")
-    cc = dedup.connected_components(pairs)
+    cc = dedup.connected_components(pairs, check_every=2)  # duplicate graphs converge in 2-3 rounds; halve the count jobs
     members = cc.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -4056,7 +4056,7 @@ def q_dataset_split(spark, sf_dir):
     pairs = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
         "a", "b"
     )
-    cc = dedup.connected_components(pairs)
+    cc = dedup.connected_components(pairs, check_every=2)  # duplicate graphs converge in 2-3 rounds; halve the count jobs
     members = cc.select(
         F.col("node").alias("doc_id"), F.col("label").alias("gid")
     )
@@ -4089,7 +4089,7 @@ def q_dup_weighting(spark, sf_dir):
     pairs = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
         "a", "b"
     )
-    cc = dedup.connected_components(pairs)
+    cc = dedup.connected_components(pairs, check_every=2)  # duplicate graphs converge in 2-3 rounds; halve the count jobs
     members = cc.select(
         F.col("node").alias("doc_id"), F.col("label").alias("gid")
     )
