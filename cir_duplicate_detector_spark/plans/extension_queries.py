@@ -1080,12 +1080,17 @@ pcent{i + 1} AS (
     return "".join(parts)
 
 
-def _sql_ivf_pq_chain() -> str:
+def _sql_ivf_pq_chain(
+    probes_body: str = "SELECT vec_id AS query_id, e FROM n"
+    " WHERE vec_id % 100 = 0",
+) -> str:
     """CTE chain (appends to an open WITH providing ``n``) ending in
     ``ivfpq`` = (query_id, neighbor_id, rank, adc_dist) — the SQL twin
     of `operators.pq.knn_ivf_pq`, shared by the `knn_ivf_pq` oracle and
     the `pq_recall` diagnostic so the recall row measures EXACTLY the
-    index the search query ships."""
+    index the search query ships. ``probes_body`` parametrizes the
+    probe relation (the search query scales probes with the corpus;
+    the recall diagnostic pins a fixed-size panel)."""
     from ..operators import kmeans, pq as _pq
 
     m, sd, kcw = _pq.PQ_M, _pq.PQ_SUBDIM, _pq.PQ_CODEWORDS
@@ -1124,7 +1129,7 @@ assigned AS (
     FROM n, coarse
   ) WHERE rn = 1
 ),
-probes AS (SELECT vec_id AS query_id, e FROM n WHERE vec_id % 100 = 0),
+probes AS ({probes_body}),
 pcells AS (
   SELECT query_id, coarse FROM (
     SELECT p.query_id, coarse.coarse,
@@ -1214,11 +1219,26 @@ def q_pq_recall(spark, sf_dir):
     `minhash_recall`): every approximate index ships its own
     oracle-checked recall row. Misses here fold in BOTH loss sources —
     the coarse quantizer (nprobe, cell count) and the codebook
-    (M×K resolution)."""
+    (M×K resolution).
+
+    Probes are a FIXED-SIZE deterministic panel (the 32 smallest
+    seeded-hash vec_ids — a distributed top-k, not a window), NOT the
+    corpus-scaled ``% 100`` rule the search query uses: the exact
+    side costs |panel|·N distances, so a corpus-growing probe count
+    would make the diagnostic quadratic (measured 154 s at the 10×
+    replica under ``% 100``; the panel keeps it linear — the same
+    fixed-fraction discipline as `minhash_recall`'s probe sample)."""
+    from ..functions.text import hash60
     from ..operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probe = emb.select("vec_id").where("vec_id % 100 = 0")
+    probe = (
+        emb.select("vec_id", hash60(F.col("vec_id").cast("string"),
+                                    seed="pqr").alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(32)
+        .select("vec_id")
+    )
     bf = pq.knn_l2_bruteforce(emb, probe, k=5).select(
         "query_id", "neighbor_id"
     )
@@ -1242,16 +1262,20 @@ def q_pq_recall(spark, sf_dir):
 
 
 def _sql_pq_recall() -> str:
+    h = hash60_sql("vec_id::VARCHAR", "'pqr'")
+    panel = f"SELECT vec_id, e FROM n ORDER BY {h}, vec_id LIMIT 32"
     return f"""
 WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-{_sql_ivf_pq_chain()},
+{_sql_ivf_pq_chain(
+    probes_body=f"SELECT vec_id AS query_id, e FROM ({panel})"
+)},
 bfs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_sum(list_transform(range(1, 65),
                                  j -> (q.e[j] - c.e[j]) * (q.e[j] - c.e[j])))
            AS l2sq
-  FROM n q, n c
-  WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+  FROM ({panel}) q, n c
+  WHERE q.vec_id <> c.vec_id
 ),
 bf AS (
   SELECT query_id, neighbor_id FROM (
