@@ -464,6 +464,76 @@ def knn_ivf_pq(
     return _adc_topk(pd_rows, m, k)
 
 
+def pq_refine(
+    vectors: DataFrame, shortlist: DataFrame, k: int = 5
+) -> DataFrame:
+    """EXACT re-rank of an ADC shortlist — stage two of the production
+    retrieval recipe (IVF restricts, ADC shortlists, exact re-rank
+    decides): ``shortlist`` carries (query_id, neighbor_id) candidate
+    pairs (typically :func:`knn_ivf_pq` with ``k = refine``); each
+    pair's true squared-L2 distance is resolved by two equi-joins
+    against the original vectors, then ranked (l2 asc, id asc) to the
+    final top-``k``. Original vectors are touched for only
+    refine·|probes| rows — the whole point of the two-stage shape: the
+    scan stays code-only, exactness is bought per-candidate.
+    Output (query_id, neighbor_id, rank, l2sq)."""
+    from .kmeans import _sq_dist
+
+    e = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    scored = (
+        shortlist.select("query_id", "neighbor_id")
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne")
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                e.select(
+                    F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+                ).join(
+                    shortlist.select("query_id").distinct(), "query_id", "semi"
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_dist(F.col("qe"), F.col("ne")).alias("l2sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2sq").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "l2sq")
+    )
+
+
+def knn_ivf_pq_refined(
+    vectors: DataFrame,
+    probe: "list[int] | DataFrame",
+    k: int = 5,
+    refine: int = 20,
+    **ivf_pq_kwargs,
+) -> DataFrame:
+    """Two-stage IVF-ADC retrieval: :func:`knn_ivf_pq` shortlists
+    ``refine`` candidates per probe by asymmetric distance (codes
+    only), :func:`pq_refine` resolves their exact distances and keeps
+    the final ``k`` — the standard production recipe that recovers
+    most of the quantization loss for refine·|probes| extra vector
+    reads. The registered `pq_recall` row measures both stages' recall
+    from one shared shortlist."""
+    short = knn_ivf_pq(vectors, probe, k=refine, **ivf_pq_kwargs)
+    return pq_refine(vectors, short, k)
+
+
 def knn_l2_bruteforce(
     vectors: DataFrame, probe: "list[int] | DataFrame", k: int = 5
 ) -> DataFrame:

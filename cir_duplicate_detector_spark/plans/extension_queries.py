@@ -1083,6 +1083,7 @@ pcent{i + 1} AS (
 def _sql_ivf_pq_chain(
     probes_body: str = "SELECT vec_id AS query_id, e FROM n"
     " WHERE vec_id % 100 = 0",
+    topk: int = 5,
 ) -> str:
     """CTE chain (appends to an open WITH providing ``n``) ending in
     ``ivfpq`` = (query_id, neighbor_id, rank, adc_dist) — the SQL twin
@@ -1184,7 +1185,7 @@ ivfpq AS (
     SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY adc_dist, neighbor_id
     )::BIGINT AS rank FROM padc
-  ) WHERE rank <= 5
+  ) WHERE rank <= {topk}
 )"""
 
 
@@ -1211,23 +1212,79 @@ SELECT query_id, neighbor_id, rank, adc_dist FROM ivfpq
 """
 
 
+PQ_REFINE = 20  # ADC shortlist size feeding the exact re-rank
+
+
+def q_knn_ivf_pq_refined(spark, sf_dir):
+    """Two-stage IVF-ADC retrieval (`operators.pq.knn_ivf_pq_refined`):
+    the composed learned index shortlists 20 candidates per probe by
+    asymmetric distance (codes only), then an exact re-rank over just
+    those refine·|probes| original vectors keeps the final 5 — the
+    production recipe that recovers most quantization loss without
+    touching vectors at scan time. Same corpus-scaled probes as
+    `knn_ivf_pq`; `pq_recall` measures both stages."""
+    from ..operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.select("vec_id").where("vec_id % 100 = 0")
+    return pq.knn_ivf_pq_refined(emb, probe, k=5, refine=PQ_REFINE)
+
+
+_SQL_L2_QC = (
+    "list_sum(list_transform(range(1, 65),"
+    " j -> (q.e[j] - c.e[j]) * (q.e[j] - c.e[j])))"
+)
+
+
+def _sql_refined(topk: int) -> str:
+    """CTE chain appending the exact re-rank to an open WITH that ends
+    in ``ivfpq`` (the ADC shortlist): ``refined`` = final top-``topk``
+    by true squared-L2. Shared by the `knn_ivf_pq_refined` oracle and
+    `pq_recall` so the recall row measures exactly the shipped query."""
+    return f""",
+rr AS (
+  SELECT s.query_id, s.neighbor_id, {_SQL_L2_QC} AS l2sq
+  FROM ivfpq s
+  JOIN n q ON q.vec_id = s.query_id
+  JOIN n c ON c.vec_id = s.neighbor_id
+),
+refined AS (
+  SELECT query_id, neighbor_id, rank, l2sq FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY l2sq, neighbor_id
+    )::BIGINT AS rank FROM rr
+  ) WHERE rank <= {topk}
+)"""
+
+
+def _sql_knn_ivf_pq_refined() -> str:
+    return f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+{_sql_ivf_pq_chain(topk=PQ_REFINE)}
+{_sql_refined(5)}
+SELECT query_id, neighbor_id, rank, l2sq FROM refined
+"""
+
+
 def q_pq_recall(spark, sf_dir):
-    """Recall@5 of the composed IVF-ADC index vs EXACT squared-L2 —
-    the metric ADC approximates (the cosine brute force ranks a
-    different one). Completes the self-measuring matrix
-    (`ann_recall_lsh` / `ann_recall_ivf` / `semantic_recall_learned` /
-    `minhash_recall`): every approximate index ships its own
-    oracle-checked recall row. Misses here fold in BOTH loss sources —
-    the coarse quantizer (nprobe, cell count) and the codebook
-    (M×K resolution).
+    """Recall@5 of BOTH IVF-ADC stages vs EXACT squared-L2 — the metric
+    ADC approximates: ``recall_adc`` for the raw ADC top-5 and
+    ``recall_refined`` for the exact re-rank of the same 20-candidate
+    shortlist, computed from ONE shared shortlist (the shortlist plan
+    is materialized once; the ADC top-5 is its rank ≤ 5 prefix).
+    Completes the self-measuring matrix (`ann_recall_lsh` /
+    `ann_recall_ivf` / `semantic_recall_learned` / `minhash_recall`):
+    every approximate index ships its own oracle-checked recall row,
+    and the refined column shows what the re-rank stage buys.
 
     Probes are a FIXED-SIZE deterministic panel (the 32 smallest
     seeded-hash vec_ids — a distributed top-k, not a window), NOT the
-    corpus-scaled ``% 100`` rule the search query uses: the exact
+    corpus-scaled ``% 100`` rule the search queries use: the exact
     side costs |panel|·N distances, so a corpus-growing probe count
     would make the diagnostic quadratic (measured 154 s at the 10×
     replica under ``% 100``; the panel keeps it linear — the same
     fixed-fraction discipline as `minhash_recall`'s probe sample)."""
+    from ..cache import materialize
     from ..functions.text import hash60
     from ..operators import pq
 
@@ -1242,21 +1299,33 @@ def q_pq_recall(spark, sf_dir):
     bf = pq.knn_l2_bruteforce(emb, probe, k=5).select(
         "query_id", "neighbor_id"
     )
-    apx = pq.knn_ivf_pq(emb, probe, k=5).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    short = materialize(pq.knn_ivf_pq(emb, probe, k=PQ_REFINE))
+    adc = short.where(F.col("rank") <= 5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_adc")
+    )
+    ref = pq.pq_refine(emb, short, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_ref")
     )
     return (
-        bf.join(apx, ["query_id", "neighbor_id"], "left")
+        bf.join(adc, ["query_id", "neighbor_id"], "left")
+        .join(ref, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("*").alias("n_true"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+            F.sum(F.coalesce(F.col("hit_adc"), F.lit(0))).alias("n_hit_adc"),
+            F.sum(F.coalesce(F.col("hit_ref"), F.lit(0))).alias(
+                "n_hit_refined"
+            ),
         )
         .select(
             "query_id",
             "n_true",
-            "n_hit",
-            (F.col("n_hit") / F.col("n_true")).alias("recall"),
+            "n_hit_adc",
+            (F.col("n_hit_adc") / F.col("n_true")).alias("recall_adc"),
+            "n_hit_refined",
+            (F.col("n_hit_refined") / F.col("n_true")).alias(
+                "recall_refined"
+            ),
         )
     )
 
@@ -1267,13 +1336,13 @@ def _sql_pq_recall() -> str:
     return f"""
 WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 {_sql_ivf_pq_chain(
-    probes_body=f"SELECT vec_id AS query_id, e FROM ({panel})"
-)},
+    probes_body=f"SELECT vec_id AS query_id, e FROM ({panel})",
+    topk=PQ_REFINE,
+)}
+{_sql_refined(5)},
+adc AS (SELECT query_id, neighbor_id FROM ivfpq WHERE rank <= 5),
 bfs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_sum(list_transform(range(1, 65),
-                                 j -> (q.e[j] - c.e[j]) * (q.e[j] - c.e[j])))
-           AS l2sq
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SQL_L2_QC} AS l2sq
   FROM ({panel}) q, n c
   WHERE q.vec_id <> c.vec_id
 ),
@@ -1285,12 +1354,19 @@ bf AS (
   ) WHERE rank <= 5
 )
 SELECT bf.query_id, count(*) AS n_true,
-       sum(CASE WHEN ivfpq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         AS n_hit,
-       sum(CASE WHEN ivfpq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         / count(*) AS recall
-FROM bf LEFT JOIN ivfpq
-  ON bf.query_id = ivfpq.query_id AND bf.neighbor_id = ivfpq.neighbor_id
+       sum(CASE WHEN adc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit_adc,
+       sum(CASE WHEN adc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         / count(*) AS recall_adc,
+       sum(CASE WHEN refined.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit_refined,
+       sum(CASE WHEN refined.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         / count(*) AS recall_refined
+FROM bf
+LEFT JOIN adc
+  ON bf.query_id = adc.query_id AND bf.neighbor_id = adc.neighbor_id
+LEFT JOIN refined
+  ON bf.query_id = refined.query_id AND bf.neighbor_id = refined.neighbor_id
 GROUP BY bf.query_id
 """
 
@@ -4866,6 +4942,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "knn_cosine_ivf_learned": (q_knn_ivf_learned, _sql_knn_ivf_learned()),
     "knn_pq_adc": (q_knn_pq_adc, _sql_knn_pq_adc()),
     "knn_ivf_pq": (q_knn_ivf_pq, _sql_knn_ivf_pq()),
+    "knn_ivf_pq_refined": (q_knn_ivf_pq_refined, _sql_knn_ivf_pq_refined()),
     "pq_recall": (q_pq_recall, _sql_pq_recall()),
     "ann_recall_lsh": (q_ann_recall_lsh, SQL_ANN_RECALL_LSH),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),

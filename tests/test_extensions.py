@@ -431,6 +431,15 @@ def test_knn_ivf_pq_contract_and_l2_bruteforce_exact(spark):
     assert bf[(2, 1)].neighbor_id == 1 and bf[(2, 1)].l2sq == 0.25
     assert bf[(1, 2)].neighbor_id == 3
 
+    # Exact re-rank: hand the refine stage a shortlist whose ADC order
+    # is wrong-by-construction (3 before 2); true L2 must flip it.
+    short = spark.createDataFrame(
+        [(1, 3), (1, 2)], "query_id long, neighbor_id long"
+    )
+    ref = {r.rank: r for r in pq.pq_refine(twin, short, k=2).collect()}
+    assert ref[1].neighbor_id == 2 and ref[1].l2sq == 0.25
+    assert ref[2].neighbor_id == 3
+
 
 def test_chunk_documents_windows_and_overlap(spark):
     text100 = " ".join(f"w{i}" for i in range(100))
