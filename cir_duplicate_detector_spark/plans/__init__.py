@@ -22,7 +22,7 @@ import time, so it cannot drift from reality the way a hand-written
 list did (round-5 advice: the hand-list's comment contradicted itself).
 Invariant: with ~N queries and a 50-slot window, stalest-first means
 no query's driver row is ever older than ceil(N/50) rounds (3 at the
-current ~123).
+current ~127).
 
 Every query is additionally covered by the local parametric parity
 suite (`tests/test_oracle_parity.py`), which has no cap; the priority

@@ -13,7 +13,9 @@ baseline points) and ``tpch_*``/analytics names (their tables are not
 replicated, so a "10x" timing would be flat and misleading). Run AFTER
 ``bench.py`` so the selection sees this round's timings.
 
-Usage: python scripts/bench_10x.py [n_slowest] [runs]
+Usage: python scripts/bench_10x.py [n_slowest] [runs] [query ...]
+Explicit query names override the slowest-N selection (chunked runs);
+results MERGE into an existing BENCH_10X.json so chunks accumulate.
 """
 
 from __future__ import annotations
@@ -46,7 +48,7 @@ def main() -> None:
 
     with open(os.path.join(REPO, "BENCH_FULL.json")) as f:
         full = json.load(f)["queries"]
-    names = [
+    names = sys.argv[3:] or [
         n
         for n in sorted(full, key=lambda n: -full[n])
         if n in ALL_QUERIES
@@ -64,7 +66,14 @@ def main() -> None:
     replica = build_replica(spark, 10)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Merge into an existing artifact so chunked runs accumulate.
     out: dict[str, dict] = {}
+    art_path = os.path.join(REPO, "BENCH_10X.json")
+    try:
+        with open(art_path) as f:
+            out = json.load(f).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        pass
     for name in names:
         fn, _ = ALL_QUERIES[name]
         best = None
@@ -79,8 +88,27 @@ def main() -> None:
             "sf01_s": full[name],
             "x10_s": round(best, 2),
             "growth": round(best / full[name], 2) if full[name] else None,
+            "runs": runs,
         }
         print(f"# {name}: {full[name]}s -> {best:.2f}s", file=sys.stderr)
+        # Flush after every query so an interrupted chunk keeps its
+        # completed measurements.
+        with open(art_path, "w") as f:
+            json.dump(
+                {
+                    "replica": "10x documents/embeddings/events,"
+                    " per-copy id offsets"
+                    " (duplicate-heavy worst case;"
+                    " replica_bench.build_replica)",
+                    "rule": f"{n_slowest} slowest BENCH_FULL.json entries"
+                    " excl. ref30k_*/tpch_*/analytics-on-unreplicated-tables",
+                    "runs_per_query": runs,
+                    "queries": out,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
 
     artifact = {
         "replica": "10x documents/embeddings/events, per-copy id offsets"
