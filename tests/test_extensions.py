@@ -441,6 +441,41 @@ def test_knn_ivf_pq_contract_and_l2_bruteforce_exact(spark):
     assert ref[2].neighbor_id == 3
 
 
+def test_learned_float_ops_partitioning_invariant(spark):
+    # THE reproducibility claim of the sorted-fold machinery: iterative
+    # float learning (Lloyd means) must produce BIT-IDENTICAL doubles
+    # no matter how the input is partitioned or ordered — shuffle
+    # reordering is exactly what breaks naive double accumulation.
+    from cir_duplicate_detector_spark.operators import kmeans, pq
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    variants = [
+        emb.repartition(1),
+        emb.repartition(13, "vec_id"),
+        emb.orderBy(F.col("vec_id").desc()),
+    ]
+
+    def km(df):
+        return sorted(
+            (r.cluster, tuple(r.c))
+            for r in kmeans.kmeans_centroids(df, k=4, iters=2).collect()
+        )
+
+    def cb(df):
+        return sorted(
+            (r.subspace, r.cid, tuple(r.csub))
+            for r in pq.pq_codebook_learned(
+                df, n_codewords=8, iters=2
+            ).collect()
+        )
+
+    base_km, base_cb = km(emb), cb(emb)
+    assert len(base_km) == 4 and len(base_cb) == pq.PQ_M * 8
+    for v in variants:
+        assert km(v) == base_km  # exact double equality, no tolerance
+        assert cb(v) == base_cb
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     text100 = " ".join(f"w{i}" for i in range(100))
     docs = spark.createDataFrame(
