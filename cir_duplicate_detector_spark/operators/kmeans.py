@@ -273,25 +273,46 @@ def kmeans_ivf_assign(
     coarse = kmeans_centroids(sample, k, iters, vec_col).select(
         F.col("cluster").alias("coarse"), "c"
     )
-    scored_c = e.crossJoin(F.broadcast(coarse)).select(
-        "vec_id", "e", "coarse", _sq_dist(F.col("e"), F.col("c")).alias("dc")
-    )
     # Both fine-stage branches (the fine-centroid table and the probe
     # side of the bucketed join) consume the coarse assignment;
     # materialize it once or the whole sample-Lloyd + scoring subplan
     # executes per branch (measured 11.4 s -> ~4 s at sf0.1). On a real
     # cluster pass a durable checkpoint via `cache.materialize` when
     # composing into longer pipelines.
-    assigned = materialize(
-        scored_c.groupBy("vec_id")
-        .agg(F.min(F.struct("dc", "coarse", "e")).alias("m"))
-        .select("vec_id", F.col("m.coarse").alias("coarse"), F.col("m.e").alias("e"))
-    )
+    assigned = materialize(_coarse_argmin(e, coarse))
     fine = assigned.where(F.col("vec_id") % fine_mod == 0).select(
         "coarse", F.col("vec_id").alias("fine_id"), F.col("e").alias("f")
     )
-    # The IVF bucketed join: fine candidates arrive by coarse-cell
-    # equi-join (shuffle/AQE-planned, NOT broadcast — the whole point).
+    return _fine_resolve(assigned, fine)
+
+
+def _coarse_argmin(e: DataFrame, coarse: DataFrame) -> DataFrame:
+    """(vec_id, coarse, e): nearest coarse centroid per vector —
+    broadcast argmin, ties to the lower cell id (the shared rule).
+    Shared by :func:`kmeans_ivf_assign` (self-assign) and
+    :func:`kmeans_ivf_assign_incoming` (new-batch assign against a
+    static quantizer) so the assignment rule cannot drift."""
+    scored = e.crossJoin(F.broadcast(coarse)).select(
+        "vec_id", "e", "coarse", _sq_dist(F.col("e"), F.col("c")).alias("dc")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dc", "coarse", "e")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.coarse").alias("coarse"),
+            F.col("m.e").alias("e"),
+        )
+    )
+
+
+def _fine_resolve(assigned: DataFrame, fine: DataFrame) -> DataFrame:
+    """(vec_id, coarse, fine, d): nearest fine centroid within the
+    assigned coarse cell — the IVF bucketed join: fine candidates
+    arrive by coarse-cell EQUI-join (shuffle/AQE-planned, NOT
+    broadcast — the whole point; the fine table scales with shuffle
+    capacity). ``fine = -1`` (NULL d) marks cells with no fine
+    sample."""
     scored_f = assigned.join(fine, "coarse", "left").select(
         "vec_id",
         "coarse",
@@ -310,3 +331,65 @@ def kmeans_ivf_assign(
             F.col("m.d").alias("d"),
         )
     )
+
+
+def ivf_quantizer(
+    base: DataFrame,
+    k: int | None = None,
+    iters: int = KM_ITERS,
+    sample_mod: int = KM_IVF_SAMPLE_MOD,
+    fine_mod: int = KM_IVF_FINE_MOD,
+    vec_col: str = "embedding",
+) -> "tuple[DataFrame, DataFrame]":
+    """Build the static two-level quantizer from a BASE corpus:
+    ``(coarse_centroids, fine_table)``, both materialized (each feeds
+    at least two consumers in any composition). This is the index half
+    of continuous ANN ingest: build once from the indexed corpus, then
+    assign arbitrarily many incoming batches/streams against it
+    without relearning (:func:`kmeans_ivf_assign_incoming`,
+    `streaming.windows.streaming_ivf_upsert_assign`)."""
+    from ..cache import materialize
+
+    e = base.select(
+        "vec_id", F.col(vec_col).cast("array<double>").alias("e")
+    )
+    sample = base.where(F.col("vec_id") % sample_mod == 0)
+    if k is None:
+        k = sqrt_sample_k(sample)
+    coarse = materialize(
+        kmeans_centroids(sample, k, iters, vec_col).select(
+            F.col("cluster").alias("coarse"), "c"
+        )
+    )
+    base_assigned = materialize(_coarse_argmin(e, coarse))
+    fine = base_assigned.where(F.col("vec_id") % fine_mod == 0).select(
+        "coarse", F.col("vec_id").alias("fine_id"), F.col("e").alias("f")
+    )
+    return coarse, fine
+
+
+def kmeans_ivf_assign_incoming(
+    base: DataFrame,
+    incoming: DataFrame,
+    k: int | None = None,
+    iters: int = KM_ITERS,
+    sample_mod: int = KM_IVF_SAMPLE_MOD,
+    fine_mod: int = KM_IVF_FINE_MOD,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index maintenance for continuous ANN ingest: assign an INCOMING
+    batch into the cell structure learned from a STATIC base corpus —
+    the quantizer (:func:`ivf_quantizer`: coarse Lloyd centroids on the
+    base sample + the base's fine table) is built once; each incoming
+    batch pays ONE broadcast argmin + ONE coarse-cell equi-join, never
+    a relearn. Returns ``(vec_id, coarse, fine, d)`` for the incoming
+    vectors only — the rows an upsert appends to the index. Periodic
+    re-training (drift) is a fresh :func:`ivf_quantizer` build, an
+    orthogonal schedule."""
+    coarse, fine = ivf_quantizer(
+        base, k, iters, sample_mod, fine_mod, vec_col
+    )
+    e_inc = incoming.select(
+        "vec_id", F.col(vec_col).cast("array<double>").alias("e")
+    )
+    return _fine_resolve(_coarse_argmin(e_inc, coarse), fine)

@@ -108,6 +108,7 @@ for _batch, _streaming in [
     ("dedup_lsh_screen", "dedup_lsh_screen_streaming"),
     ("events_attribution", "events_attribution_streaming"),
     ("corpus_upsert", "corpus_upsert_streaming"),
+    ("ivf_upsert_assign", "ivf_upsert_assign_streaming"),
     # salted_join is a physical-plan rewrite only — same answer, same
     # oracle string as the unsalted plan.
     ("tpch_q5", "tpch_q5_skewed"),

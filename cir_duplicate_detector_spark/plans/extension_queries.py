@@ -4477,6 +4477,94 @@ SELECT doc_id, version, text_hash FROM (
 """
 
 
+def q_ivf_upsert_assign(spark, sf_dir):
+    """Continuous-ANN index maintenance, batch form
+    (`kmeans.kmeans_ivf_assign_incoming`): the even-id half of the
+    embeddings table is the INDEXED base (quantizer = coarse Lloyd
+    centroids on its deterministic sample + its fine table, built once
+    and materialized); the odd-id half is the INCOMING batch, paying
+    one broadcast argmin + one coarse-cell equi-join — never a
+    relearn. Output rows are what an upsert appends to the index."""
+    from ..operators import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans.kmeans_ivf_assign_incoming(
+        emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1")
+    )
+
+
+def q_ivf_upsert_assign_streaming(spark, sf_dir):
+    """The same assignment as a stream (`streaming.windows.
+    streaming_ivf_upsert_assign`): incoming vectors on a file stream
+    resolve coarse cells against the static broadcast centroid table;
+    argmin state = (vec_id, dist, cell) only; fine cells resolve
+    batch-side post-drain through shared code. Shares the batch oracle
+    by the registry twin guard."""
+    from ..streaming.windows import streaming_ivf_upsert_assign
+
+    return streaming_ivf_upsert_assign(spark, sf_dir)
+
+
+def _sql_ivf_upsert_assign() -> str:
+    from ..operators import kmeans
+
+    iters, salts = kmeans.KM_ITERS, kmeans.KM_SALTS
+    smod, fmod = kmeans.KM_IVF_SAMPLE_MOD, kmeans.KM_IVF_FINE_MOD
+    k = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM s)"
+    dist_b = (
+        "list_sum(list_transform(range(1, 65),"
+        " j -> (b.e[j] - coarse.c[j]) * (b.e[j] - coarse.c[j])))"
+    )
+    dist_i = (
+        "list_sum(list_transform(range(1, 65),"
+        " j -> (i.e[j] - coarse.c[j]) * (i.e[j] - coarse.c[j])))"
+    )
+    dist_f = (
+        "list_sum(list_transform(range(1, 65),"
+        " j -> (a.e[j] - fi.f[j]) * (a.e[j] - fi.f[j])))"
+    )
+    return f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e FROM n WHERE vec_id % 2 = 0),
+inc AS (SELECT vec_id, e FROM n WHERE vec_id % 2 = 1),
+s AS (SELECT vec_id, e FROM b WHERE vec_id % {smod} = 0)
+{_sql_kmeans_lloyd('s', k, iters, salts)},
+coarse AS (SELECT cluster AS coarse, c FROM cent{iters}),
+bassigned AS (
+  SELECT vec_id, e, coarse FROM (
+    SELECT b.vec_id, b.e, coarse.coarse,
+           row_number() OVER (
+             PARTITION BY b.vec_id ORDER BY {dist_b}, coarse.coarse
+           ) AS rn
+    FROM b, coarse
+  ) WHERE rn = 1
+),
+fine AS (
+  SELECT coarse, vec_id AS fine_id, e AS f
+  FROM bassigned WHERE vec_id % {fmod} = 0
+),
+iassigned AS (
+  SELECT vec_id, e, coarse FROM (
+    SELECT i.vec_id, i.e, coarse.coarse,
+           row_number() OVER (
+             PARTITION BY i.vec_id ORDER BY {dist_i}, coarse.coarse
+           ) AS rn
+    FROM inc i, coarse
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id, a.coarse, fi.fine_id,
+         CASE WHEN fi.fine_id IS NULL THEN NULL ELSE {dist_f} END AS d
+  FROM iassigned a LEFT JOIN fine fi ON fi.coarse = a.coarse
+)
+SELECT vec_id, coarse, coalesce(fine_id, -1)::BIGINT AS fine, d FROM (
+  SELECT vec_id, coarse, fine_id, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, fine_id) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 def q_corpus_upsert_streaming(spark, sf_dir):
     """The latest-wins upsert as a stream (`streaming.windows.
     streaming_corpus_upsert`): re-crawls arrive on a file stream,
@@ -5059,6 +5147,11 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
     "corpus_upsert": (q_corpus_upsert, SQL_CORPUS_UPSERT),
     "corpus_upsert_streaming": (q_corpus_upsert_streaming, SQL_CORPUS_UPSERT),
+    "ivf_upsert_assign": (q_ivf_upsert_assign, _sql_ivf_upsert_assign()),
+    "ivf_upsert_assign_streaming": (
+        q_ivf_upsert_assign_streaming,
+        _sql_ivf_upsert_assign(),
+    ),
     "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "ann_recall_ivf": (q_ann_recall_ivf, SQL_ANN_RECALL_IVF),

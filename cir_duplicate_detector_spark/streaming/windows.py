@@ -392,6 +392,76 @@ def streaming_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_ivf_upsert_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ANN index maintenance AS A STREAM — the streaming
+    twin of `operators.kmeans.kmeans_ivf_assign_incoming`: the
+    two-level quantizer (coarse Lloyd centroids + the base corpus's
+    fine table) is built ONCE batch-side from the indexed half of the
+    embeddings table (`ivf_quantizer`, both tables materialized);
+    incoming vectors (the other half) arrive on a file stream and
+    resolve their coarse cell through a stream-static join against the
+    broadcast centroid table (constant-key equi-join — the supported
+    stream-static shape for a bounded scoring table) with per-vector
+    argmin state holding only (vec_id → (dist, cell)), never the
+    embedding. The drained coarse assignment then resolves fine cells
+    batch-side through the static fine table's coarse-cell equi-join
+    (`_fine_resolve` — shared code with the batch twin), re-joining
+    the embedding from the source relation instead of carrying it
+    through stream state. Output identical to the batch twin; one
+    oracle string by the registry guard.
+    """
+    from ..operators.kmeans import (
+        _fine_resolve,
+        _sq_dist,
+        ivf_quantizer,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    schema = spark.read.parquet(path).schema
+    emb = spark.read.parquet(path)
+    coarse, fine = ivf_quantizer(emb.where("vec_id % 2 = 0"))
+
+    stage = stage_source(path, "emb_ivf_stream_")
+    inc = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .where("vec_id % 2 = 1")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .withColumn("jk", F.lit(0))
+    )
+    scored = inc.join(
+        F.broadcast(coarse.withColumn("jk", F.lit(0))), "jk"
+    ).select(
+        "vec_id",
+        "coarse",
+        _sq_dist(F.col("e"), F.col("c")).alias("dc"),
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dc", "coarse")).alias("m"))
+        .select("vec_id", F.col("m.coarse").alias("coarse"))
+    )
+    name = f"stream_ivf_{uuid.uuid4().hex[:8]}"
+    query = (
+        best.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    assigned = spark.table(name).join(
+        emb.where("vec_id % 2 = 1").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        ),
+        "vec_id",
+    )
+    return _fine_resolve(assigned, fine)
+
+
 def streaming_dedup_to_parquet(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:

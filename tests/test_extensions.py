@@ -441,6 +441,36 @@ def test_knn_ivf_pq_contract_and_l2_bruteforce_exact(spark):
     assert ref[2].neighbor_id == 3
 
 
+def test_ivf_assign_incoming_uses_base_structure_only(spark):
+    # Incoming vectors must land in the BASE corpus's cell structure:
+    # every fine id comes from the base (or -1), and an incoming vector
+    # identical to a base fine centroid resolves to exactly that
+    # centroid at distance 0 — no relearning from incoming data.
+    from cir_duplicate_detector_spark.operators import kmeans
+
+    base = spark.createDataFrame(
+        [(i * 2, [float(i)] * 64) for i in range(20)],  # even ids 0..38
+        "vec_id long, embedding array<double>",
+    )
+    # incoming: odd ids; id 101 duplicates base vector 20 (a fine
+    # candidate: 20 % 10 == 0)
+    incoming = spark.createDataFrame(
+        [(101, [10.0] * 64), (103, [3.3] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in kmeans.kmeans_ivf_assign_incoming(
+            base, incoming, k=2, sample_mod=1, fine_mod=10
+        ).collect()
+    }
+    assert set(out) == {101, 103}
+    base_ids = {i * 2 for i in range(20)}
+    for r in out.values():
+        assert r.fine == -1 or r.fine in base_ids
+    assert out[101].fine == 20 and out[101].d == 0.0
+
+
 def test_learned_float_ops_partitioning_invariant(spark):
     # THE reproducibility claim of the sorted-fold machinery: iterative
     # float learning (Lloyd means) must produce BIT-IDENTICAL doubles
