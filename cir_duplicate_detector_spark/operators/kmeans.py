@@ -393,3 +393,44 @@ def kmeans_ivf_assign_incoming(
         "vec_id", F.col(vec_col).cast("array<double>").alias("e")
     )
     return _fine_resolve(_coarse_argmin(e_inc, coarse), fine)
+
+
+def ivf_upsert_drift(
+    base: DataFrame,
+    incoming: DataFrame,
+    k: int | None = None,
+    iters: int = KM_ITERS,
+    sample_mod: int = KM_IVF_SAMPLE_MOD,
+    fine_mod: int = KM_IVF_FINE_MOD,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-staleness diagnostic: per INCOMING vector, the fine-level
+    quantization distance under the STATIC base-built quantizer
+    (:func:`kmeans_ivf_assign_incoming` — what an upsert writes) vs
+    under a FULL relearn over base ∪ incoming
+    (:func:`kmeans_ivf_assign` — what retraining would give).
+    ``excess = d_upsert - d_relearn`` quantifies the error the upsert
+    tolerates; an index-ops schedule retrains when its distribution
+    drifts. Cell labels from the two quantizers live in different
+    label spaces, so only DISTANCES are compared (metric-valid across
+    quantizers). Per-row output — no float aggregation that could go
+    order-non-deterministic; roll up downstream with the sketch
+    operators if a scalar is wanted. NULL where either side's cell has
+    no fine sample."""
+    up = kmeans_ivf_assign_incoming(
+        base, incoming, k, iters, sample_mod, fine_mod, vec_col
+    ).select("vec_id", F.col("d").alias("d_upsert"))
+    relearn = (
+        kmeans_ivf_assign(
+            base.unionByName(incoming), k, iters, sample_mod, fine_mod,
+            vec_col,
+        )
+        .join(F.broadcast(incoming.select("vec_id")), "vec_id", "semi")
+        .select("vec_id", F.col("d").alias("d_relearn"))
+    )
+    return up.join(relearn, "vec_id").select(
+        "vec_id",
+        "d_upsert",
+        "d_relearn",
+        (F.col("d_upsert") - F.col("d_relearn")).alias("excess"),
+    )

@@ -4505,63 +4505,111 @@ def q_ivf_upsert_assign_streaming(spark, sf_dir):
     return streaming_ivf_upsert_assign(spark, sf_dir)
 
 
-def _sql_ivf_upsert_assign() -> str:
+def _sql_ivf_upsert_cells() -> str:
+    """CTE chain (appends to an open WITH providing ``b`` = base and
+    ``inc`` = incoming, both (vec_id, e)) ending in ``ucells`` =
+    (vec_id, coarse, fine, d) for the INCOMING vectors assigned against
+    the base-built static quantizer — the SQL twin of
+    `kmeans.kmeans_ivf_assign_incoming`. Every generated CTE is
+    u-prefixed (including the Lloyd chain) so the relearn chain
+    `_sql_kmeans_ivf_cells` can coexist in the same WITH (the
+    `ivf_upsert_drift` oracle runs both)."""
     from ..operators import kmeans
 
     iters, salts = kmeans.KM_ITERS, kmeans.KM_SALTS
     smod, fmod = kmeans.KM_IVF_SAMPLE_MOD, kmeans.KM_IVF_FINE_MOD
-    k = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM s)"
+    k = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM us)"
     dist_b = (
         "list_sum(list_transform(range(1, 65),"
-        " j -> (b.e[j] - coarse.c[j]) * (b.e[j] - coarse.c[j])))"
+        " j -> (b.e[j] - ucoarse.c[j]) * (b.e[j] - ucoarse.c[j])))"
     )
     dist_i = (
         "list_sum(list_transform(range(1, 65),"
-        " j -> (i.e[j] - coarse.c[j]) * (i.e[j] - coarse.c[j])))"
+        " j -> (i.e[j] - ucoarse.c[j]) * (i.e[j] - ucoarse.c[j])))"
     )
     dist_f = (
         "list_sum(list_transform(range(1, 65),"
         " j -> (a.e[j] - fi.f[j]) * (a.e[j] - fi.f[j])))"
     )
-    return f"""
-WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-b AS (SELECT vec_id, e FROM n WHERE vec_id % 2 = 0),
-inc AS (SELECT vec_id, e FROM n WHERE vec_id % 2 = 1),
-s AS (SELECT vec_id, e FROM b WHERE vec_id % {smod} = 0)
-{_sql_kmeans_lloyd('s', k, iters, salts)},
-coarse AS (SELECT cluster AS coarse, c FROM cent{iters}),
-bassigned AS (
+    return f""",
+us AS (SELECT vec_id, e FROM b WHERE vec_id % {smod} = 0)
+{_sql_kmeans_lloyd('us', k, iters, salts, prefix='u')},
+ucoarse AS (SELECT cluster AS coarse, c FROM ucent{iters}),
+ubassigned AS (
   SELECT vec_id, e, coarse FROM (
-    SELECT b.vec_id, b.e, coarse.coarse,
+    SELECT b.vec_id, b.e, ucoarse.coarse,
            row_number() OVER (
-             PARTITION BY b.vec_id ORDER BY {dist_b}, coarse.coarse
+             PARTITION BY b.vec_id ORDER BY {dist_b}, ucoarse.coarse
            ) AS rn
-    FROM b, coarse
+    FROM b, ucoarse
   ) WHERE rn = 1
 ),
-fine AS (
+ufine AS (
   SELECT coarse, vec_id AS fine_id, e AS f
-  FROM bassigned WHERE vec_id % {fmod} = 0
+  FROM ubassigned WHERE vec_id % {fmod} = 0
 ),
-iassigned AS (
+uiassigned AS (
   SELECT vec_id, e, coarse FROM (
-    SELECT i.vec_id, i.e, coarse.coarse,
+    SELECT i.vec_id, i.e, ucoarse.coarse,
            row_number() OVER (
-             PARTITION BY i.vec_id ORDER BY {dist_i}, coarse.coarse
+             PARTITION BY i.vec_id ORDER BY {dist_i}, ucoarse.coarse
            ) AS rn
-    FROM inc i, coarse
+    FROM inc i, ucoarse
   ) WHERE rn = 1
 ),
-scored AS (
+uscored AS (
   SELECT a.vec_id, a.coarse, fi.fine_id,
          CASE WHEN fi.fine_id IS NULL THEN NULL ELSE {dist_f} END AS d
-  FROM iassigned a LEFT JOIN fine fi ON fi.coarse = a.coarse
-)
-SELECT vec_id, coarse, coalesce(fine_id, -1)::BIGINT AS fine, d FROM (
-  SELECT vec_id, coarse, fine_id, d,
-         row_number() OVER (PARTITION BY vec_id ORDER BY d, fine_id) AS rn
-  FROM scored
-) WHERE rn = 1
+  FROM uiassigned a LEFT JOIN ufine fi ON fi.coarse = a.coarse
+),
+ucells AS (
+  SELECT vec_id, coarse, coalesce(fine_id, -1)::BIGINT AS fine, d FROM (
+    SELECT vec_id, coarse, fine_id, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, fine_id) AS rn
+    FROM uscored
+  ) WHERE rn = 1
+)"""
+
+
+_SQL_UPSERT_SPLIT = """
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e FROM n WHERE vec_id % 2 = 0),
+inc AS (SELECT vec_id, e FROM n WHERE vec_id % 2 = 1)"""
+
+
+def _sql_ivf_upsert_assign() -> str:
+    return f"""{_SQL_UPSERT_SPLIT}
+{_sql_ivf_upsert_cells()}
+SELECT vec_id, coarse, fine, d FROM ucells
+"""
+
+
+def q_ivf_upsert_drift(spark, sf_dir):
+    """Index-staleness diagnostic for the upsert path
+    (`kmeans.ivf_upsert_drift`): per incoming vector, the fine-level
+    quantization distance under the STATIC base-built quantizer (what
+    the upsert writes) vs under a FULL relearn over base+incoming (what
+    a retrain would give). ``excess = d_upsert - d_relearn`` is the
+    error the upsert tolerates — the number an index-ops schedule
+    watches to decide when retraining pays. Cell labels from the two
+    quantizers live in different label spaces, so only DISTANCES are
+    compared (metric-valid across quantizers); per-row output, no
+    float aggregation to go non-deterministic."""
+    from ..operators import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans.ivf_upsert_drift(
+        emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1")
+    )
+
+
+def _sql_ivf_upsert_drift() -> str:
+    return f"""{_SQL_UPSERT_SPLIT}
+{_sql_ivf_upsert_cells()}
+{_sql_kmeans_ivf_cells()}
+SELECT u.vec_id, u.d AS d_upsert, c.d AS d_relearn,
+       u.d - c.d AS excess
+FROM ucells u JOIN cells c USING (vec_id)
 """
 
 
@@ -4713,7 +4761,9 @@ _KM_DIST = (
 )
 
 
-def _sql_kmeans_lloyd(src: str, k: "int | str", iters: int, salts: int) -> str:
+def _sql_kmeans_lloyd(
+    src: str, k: "int | str", iters: int, salts: int, prefix: str = ""
+) -> str:
     """CTE chain ``cent0 .. cent{iters}`` learning ``k`` centroids with
     ``iters`` unrolled Lloyd rounds over CTE ``src`` (columns vec_id, e)
     — the SQL twin of `operators.kmeans.kmeans_centroids`, parametrized
@@ -4726,7 +4776,7 @@ def _sql_kmeans_lloyd(src: str, k: "int | str", iters: int, salts: int) -> str:
     h = hash60_sql("vec_id::VARCHAR", "'km'")
     parts = [
         f""",
-cent0 AS (
+{prefix}cent0 AS (
   SELECT (rn - 1)::BIGINT AS cluster, e AS c FROM (
     SELECT e, row_number() OVER (ORDER BY {h}, vec_id) AS rn FROM {src}
   ) WHERE rn <= ({k})
@@ -4735,36 +4785,36 @@ cent0 AS (
     for i in range(iters):
         parts.append(
             f""",
-score{i} AS (
-  SELECT vec_id, cluster, {_KM_DIST} AS d FROM {src}, cent{i}
+{prefix}score{i} AS (
+  SELECT vec_id, cluster, {_KM_DIST} AS d FROM {src}, {prefix}cent{i}
 ),
-best{i} AS (
+{prefix}best{i} AS (
   SELECT vec_id, cluster FROM (
     SELECT vec_id, cluster,
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-    FROM score{i}
+    FROM {prefix}score{i}
   ) WHERE rn = 1
 ),
-pe{i} AS (
+{prefix}pe{i} AS (
   SELECT s.vec_id, b.cluster, j.j AS pos, s.e[j.j] AS val
-  FROM {src} s JOIN best{i} b USING (vec_id)
+  FROM {src} s JOIN {prefix}best{i} b USING (vec_id)
   CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
 ),
-p1_{i} AS (
+{prefix}p1_{i} AS (
   SELECT cluster, pos, vec_id % {salts} AS salt,
          list_sum(list(val ORDER BY vec_id)) AS psum,
          count(*)::BIGINT AS pn
-  FROM pe{i} GROUP BY 1, 2, 3
+  FROM {prefix}pe{i} GROUP BY 1, 2, 3
 ),
-p2_{i} AS (
+{prefix}p2_{i} AS (
   SELECT cluster, pos,
          list_sum(list(psum ORDER BY salt)) AS s,
          sum(pn)::BIGINT AS cnt
-  FROM p1_{i} GROUP BY 1, 2
+  FROM {prefix}p1_{i} GROUP BY 1, 2
 ),
-cent{i + 1} AS (
+{prefix}cent{i + 1} AS (
   SELECT cluster, list(s / cnt ORDER BY pos) AS c
-  FROM p2_{i} GROUP BY cluster
+  FROM {prefix}p2_{i} GROUP BY cluster
 )"""
         )
     return "".join(parts)
@@ -5152,6 +5202,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         q_ivf_upsert_assign_streaming,
         _sql_ivf_upsert_assign(),
     ),
+    "ivf_upsert_drift": (q_ivf_upsert_drift, _sql_ivf_upsert_drift()),
     "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "ann_recall_ivf": (q_ann_recall_ivf, SQL_ANN_RECALL_IVF),
