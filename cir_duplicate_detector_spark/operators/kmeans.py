@@ -389,10 +389,26 @@ def kmeans_ivf_assign_incoming(
     coarse, fine = ivf_quantizer(
         base, k, iters, sample_mod, fine_mod, vec_col
     )
-    e_inc = incoming.select(
+    return ivf_assign_from_index(coarse, fine, incoming, vec_col)
+
+
+def ivf_assign_from_index(
+    coarse: DataFrame,
+    fine: DataFrame,
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign ``vectors`` against an ALREADY-BUILT quantizer — the
+    serving path: ``coarse`` (coarse, c) and ``fine`` (coarse,
+    fine_id, f) are ordinary relations, typically read back from the
+    parquet an earlier :func:`ivf_quantizer` job persisted, so any
+    later job assigns without relearning or holding builder state.
+    One broadcast argmin + one coarse-cell equi-join, the same shared
+    code as every other assignment path."""
+    e = vectors.select(
         "vec_id", F.col(vec_col).cast("array<double>").alias("e")
     )
-    return _fine_resolve(_coarse_argmin(e_inc, coarse), fine)
+    return _fine_resolve(_coarse_argmin(e, coarse), fine)
 
 
 def ivf_upsert_drift(

@@ -109,6 +109,9 @@ for _batch, _streaming in [
     ("events_attribution", "events_attribution_streaming"),
     ("corpus_upsert", "corpus_upsert_streaming"),
     ("ivf_upsert_assign", "ivf_upsert_assign_streaming"),
+    # index round-trip is identity: the persisted-and-reread quantizer
+    # must answer the same question as the in-session one.
+    ("ivf_upsert_assign", "ivf_index_roundtrip"),
     # salted_join is a physical-plan rewrite only — same answer, same
     # oracle string as the unsalted plan.
     ("tpch_q5", "tpch_q5_skewed"),

@@ -4584,6 +4584,32 @@ SELECT vec_id, coarse, fine, d FROM ucells
 """
 
 
+def q_ivf_index_roundtrip(spark, sf_dir):
+    """The quantizer AS A PERSISTED INDEX — the serving path: build
+    from the base half (`kmeans.ivf_quantizer`), WRITE both tables
+    (coarse centroids, fine table — arrays of double, lossless in
+    parquet) to disk, READ them back, and assign the incoming half
+    purely from the on-disk relations
+    (`kmeans.ivf_assign_from_index`). Proof the index is DATA, not
+    session state: build once, serve from any later job. Output is
+    identical to `ivf_upsert_assign` (round-trip identity) — one
+    oracle string by the registry guard."""
+    import tempfile
+
+    from ..operators import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse, fine = kmeans.ivf_quantizer(emb.where("vec_id % 2 = 0"))
+    d = tempfile.mkdtemp(prefix="ivf_index_")
+    coarse.write.mode("overwrite").parquet(f"{d}/coarse")
+    fine.write.mode("overwrite").parquet(f"{d}/fine")
+    return kmeans.ivf_assign_from_index(
+        spark.read.parquet(f"{d}/coarse"),
+        spark.read.parquet(f"{d}/fine"),
+        emb.where("vec_id % 2 = 1"),
+    )
+
+
 def q_ivf_upsert_drift(spark, sf_dir):
     """Index-staleness diagnostic for the upsert path
     (`kmeans.ivf_upsert_drift`): per incoming vector, the fine-level
@@ -5203,6 +5229,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         _sql_ivf_upsert_assign(),
     ),
     "ivf_upsert_drift": (q_ivf_upsert_drift, _sql_ivf_upsert_drift()),
+    "ivf_index_roundtrip": (q_ivf_index_roundtrip, _sql_ivf_upsert_assign()),
     "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "ann_recall_ivf": (q_ann_recall_ivf, SQL_ANN_RECALL_IVF),
