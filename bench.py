@@ -120,8 +120,10 @@ def main() -> None:
     # is swept between runs so no run pays for any predecessor.
     N_RUNS = 2
     timings: dict[str, float] = {}
+    builders: dict = {}  # name -> build thunk, for the recheck pass
 
     def timed(name: str, build, runs: int = N_RUNS) -> float:
+        builders[name] = build
         best = None
         for _ in range(runs):
             start = time.perf_counter()
@@ -161,42 +163,6 @@ def main() -> None:
             continue
         fn, _ = ALL_QUERIES[name]
         total += timed(name, lambda fn=fn: fn(spark, sf_dir))
-
-    # Outlier re-measure (round-5 forensics, scripts/bench_forensics.py):
-    # this microVM's host scheduler stalls the whole JVM for tens of
-    # seconds at a time — round 5 recorded dedup_exact_streaming at
-    # 13.1 s (both of min-of-2 inside one stall window) where a
-    # fresh-session replica AND a 112-query shared-session forensic
-    # re-run both measure ~1.2-1.9 s, with code cache at 135 MB of 2 GB
-    # and a quiet heap — environment, not engine or session state. Any
-    # query that regressed >2.5x (and >2 s absolute) vs the previous
-    # round's artifact gets one extra min-of-2 under a fresh GC; a real
-    # regression stays slow on the re-run, a stall-hit entry recovers.
-    # Queries with no previous-round entry (new this round) have no
-    # baseline to compare against — exactly the entries whose FIRST
-    # recorded number matters most (round-6 advice): fall back to an
-    # absolute trigger and re-measure any prev-less query over 12 s.
-    RECHECK_ABS_NEW = 12.0
-    RECHECK_CAP = 8
-    rechecked = 0
-    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
-        p = prev.get(name)
-        if p is None:
-            if t <= RECHECK_ABS_NEW:
-                continue
-        elif t <= max(2.5 * p, p + 2.0):
-            continue
-        if rechecked >= RECHECK_CAP:
-            print(f"# recheck cap hit; {name} kept at {t:.3f}s", file=sys.stderr)
-            continue
-        rechecked += 1
-        fn, _ = ALL_QUERIES[name]
-        old_total, old_t = total, t
-        prev_s = f"{p:.3f}s" if p is not None else "no prev entry"
-        print(f"# recheck {name}: {t:.3f}s vs {prev_s}", file=sys.stderr)
-        t2 = timed(name, lambda fn=fn: fn(spark, sf_dir))
-        timings[name] = round(min(old_t, t2), 3)
-        total = old_total - old_t + timings[name]
 
     # Reference-scale point (VERDICT r3 item 7): the reference's own
     # benchmark corpus is 30,225 PDQ hashes; the sf0.1-derived entries
@@ -282,6 +248,47 @@ def main() -> None:
     # query names alone exceed the window, so no one-line encoding can
     # carry them all). The stdout line stays the driver-parsed summary
     # and POINTS HERE via "queries_full".
+    # Outlier re-measure (round-5 forensics, scripts/bench_forensics.py):
+    # this microVM's host scheduler stalls the whole JVM for tens of
+    # seconds at a time — round 5 recorded dedup_exact_streaming at
+    # 13.1 s (both of min-of-2 inside one stall window) where a
+    # fresh-session replica AND a 112-query shared-session forensic
+    # re-run both measure ~1.2-1.9 s, with code cache at 135 MB of 2 GB
+    # and a quiet heap — environment, not engine or session state. Any
+    # query that regressed >2.5x (and >2 s absolute) vs the previous
+    # round's artifact gets one extra min-of-2 under a fresh GC; a real
+    # regression stays slow on the re-run, a stall-hit entry recovers.
+    # Runs AFTER the ref30k points so those are covered too (round 7:
+    # ref30k_naive logged 36 s — all three runs inside one sustained
+    # stall window — while the identical-scan t08 point right after
+    # measured 7 s; the pass re-times via the recorded build thunks,
+    # and ref30k names never adjust the per-sf total they were never
+    # part of). Queries with no previous-round entry (new this round)
+    # have no baseline to compare against — exactly the entries whose
+    # FIRST recorded number matters most (round-6 advice): fall back to
+    # an absolute trigger and re-measure any prev-less query over 12 s.
+    RECHECK_ABS_NEW = 12.0
+    RECHECK_CAP = 8
+    rechecked = 0
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        p = prev.get(name)
+        if p is None:
+            if t <= RECHECK_ABS_NEW:
+                continue
+        elif t <= max(2.5 * p, p + 2.0):
+            continue
+        if rechecked >= RECHECK_CAP:
+            print(f"# recheck cap hit; {name} kept at {t:.3f}s", file=sys.stderr)
+            continue
+        rechecked += 1
+        old_total, old_t = total, t
+        prev_s = f"{p:.3f}s" if p is not None else "no prev entry"
+        print(f"# recheck {name}: {t:.3f}s vs {prev_s}", file=sys.stderr)
+        t2 = timed(name, builders[name])
+        timings[name] = round(min(old_t, t2), 3)
+        if not name.startswith("ref30k_"):
+            total = old_total - old_t + timings[name]
+
     # Reconcile headline vs full map explicitly (r6 verdict item 3):
     # the ref30k_* points run at FIXED reference scale regardless of
     # SPARK_GRAFT_SF_DIR, so they are timed into the queries map but
