@@ -4610,6 +4610,76 @@ def q_ivf_index_roundtrip(spark, sf_dir):
     )
 
 
+def q_pq_codes_upsert(spark, sf_dir):
+    """PQ code-index maintenance, batch form: the per-subspace codebook
+    is Lloyd-learned once from the indexed (even-id) half's
+    deterministic sample (`pq.pq_codebook_learned(train_mod=4)`), and
+    the incoming (odd-id) half is ENCODED against it (`pq.pq_encode` —
+    one broadcast join + one argmin aggregate, M small ints per
+    vector). Together with `ivf_upsert_assign` this appends everything
+    IVF-ADC needs for new vectors without touching the learned
+    structures. Output (vec_id, subspace, code)."""
+    from ..cache import materialize
+    from ..operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = materialize(
+        pq.pq_codebook_learned(emb.where("vec_id % 2 = 0"), train_mod=4)
+    )
+    return pq.pq_encode(emb.where("vec_id % 2 = 1"), codebook).select(
+        "vec_id",
+        F.col("subspace").cast("bigint").alias("subspace"),
+        "code",
+    )
+
+
+def q_pq_codes_upsert_streaming(spark, sf_dir):
+    """The same encoding as a stream (`streaming.windows.
+    streaming_pq_encode`): incoming vectors explode to subvectors
+    stream-side, score against the static broadcast codebook, and hold
+    only per-(vec_id, subspace) argmin state. Shares the batch oracle
+    by the registry twin guard."""
+    from ..streaming.windows import streaming_pq_encode
+
+    return streaming_pq_encode(spark, sf_dir)
+
+
+def _sql_pq_codes_upsert() -> str:
+    from ..operators import kmeans, pq as _pq
+
+    m, sd, kcw = _pq.PQ_M, _pq.PQ_SUBDIM, _pq.PQ_CODEWORDS
+    cb_iters = _pq.PQ_LLOYD_ITERS
+    salts = kmeans.KM_SALTS
+    code_l2 = (
+        f"list_sum(list_transform(range(1, {sd + 1}),"
+        " j -> (v.sub[j] - c.csub[j]) * (v.sub[j] - c.csub[j])))"
+    )
+    return f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, e FROM n WHERE vec_id % 2 = 0 AND vec_id % 4 = 0),
+subspaces AS (SELECT unnest(range(0, {m})) AS m),
+tsub AS (
+  SELECT vec_id, sp.m AS subspace,
+         list_transform(range(1, {sd + 1}), j -> e[sp.m * {sd} + j]) AS sub
+  FROM s, subspaces sp
+)
+{_sql_pq_lloyd(cb_iters, salts, sd, kcw, sub_src='tsub', seed_src='s')},
+isub AS (
+  SELECT vec_id, sp.m AS subspace,
+         list_transform(range(1, {sd + 1}), j -> e[sp.m * {sd} + j]) AS sub
+  FROM n, subspaces sp
+  WHERE vec_id % 2 = 1
+)
+SELECT vec_id, subspace, cid AS code FROM (
+  SELECT v.vec_id, v.subspace, c.cid,
+         row_number() OVER (
+           PARTITION BY v.vec_id, v.subspace ORDER BY {code_l2}, c.cid
+         ) AS rn
+  FROM isub v JOIN pcent{cb_iters} c USING (subspace)
+) WHERE rn = 1
+"""
+
+
 def q_ivf_upsert_drift(spark, sf_dir):
     """Index-staleness diagnostic for the upsert path
     (`kmeans.ivf_upsert_drift`): per incoming vector, the fine-level
@@ -5230,6 +5300,11 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     ),
     "ivf_upsert_drift": (q_ivf_upsert_drift, _sql_ivf_upsert_drift()),
     "ivf_index_roundtrip": (q_ivf_index_roundtrip, _sql_ivf_upsert_assign()),
+    "pq_codes_upsert": (q_pq_codes_upsert, _sql_pq_codes_upsert()),
+    "pq_codes_upsert_streaming": (
+        q_pq_codes_upsert_streaming,
+        _sql_pq_codes_upsert(),
+    ),
     "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "ann_recall_ivf": (q_ann_recall_ivf, SQL_ANN_RECALL_IVF),
