@@ -196,3 +196,42 @@ def rolling_window(
         F.count("*").over(w).alias("n_events_1h"),
         (F.sum(cents).over(w) / F.lit(100.0)).alias("sum_value_1h"),
     )
+
+
+DAY_US = 86_400_000_000
+
+
+def retention_cohorts(events: DataFrame, day_us: int = DAY_US) -> DataFrame:
+    """Cohort retention matrix — the standard activation/retention
+    rollup over an event stream: users grouped by FIRST-ACTIVE day
+    (their cohort), counted per (cohort_day, age_days) where age is a
+    later day the user was active, in whole days since the cohort day.
+    All integer arithmetic (epoch-micros div day width) — engine-exact.
+
+    Shape: distinct (user, day) activity (one shuffle keyed on the
+    pair, map-side combined), per-user min day (agg on user_id), one
+    equi-join back on user_id, final count keyed (cohort, age) — every
+    stage shuffles on bounded keys; no window over the raw stream, so
+    a hot user costs their distinct-day count, not their event count.
+    Output (cohort_start_us, age_days, n_users); ``age_days = 0`` rows
+    are the cohort sizes.
+    """
+    act = events.select(
+        "user_id", F.expr(f"ts_us div {int(day_us)}").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("age_days"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            (F.col("cohort_day") * day_us).cast("bigint").alias(
+                "cohort_start_us"
+            ),
+            F.col("age_days").cast("bigint").alias("age_days"),
+            "n_users",
+        )
+    )

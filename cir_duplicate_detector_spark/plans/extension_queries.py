@@ -4439,6 +4439,28 @@ WINDOW w AS (
 """
 
 
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix (`events.retention_cohorts`): users
+    bucketed by first-active day, counted per (cohort, whole-day age)
+    they were active again — integer-exact day arithmetic, shuffles on
+    bounded keys (user/day pairs, then cohort/age), never a window over
+    the raw stream."""
+    return events.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_RETENTION = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {events.DAY_US} AS day FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+SELECT (f.cohort_day * {events.DAY_US})::BIGINT AS cohort_start_us,
+       (a.day - f.cohort_day)::BIGINT AS age_days,
+       count(*)::BIGINT AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_corpus_upsert(spark, sf_dir):
     """Latest-wins snapshot merge: the base corpus (version 1) merged
     with an update batch (every 5th doc re-crawled as version 2 with
@@ -5292,6 +5314,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "corpus_drift": (q_corpus_drift, SQL_CORPUS_DRIFT),
     "events_rolling": (q_events_rolling, SQL_EVENTS_ROLLING),
     "corpus_upsert": (q_corpus_upsert, SQL_CORPUS_UPSERT),
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "corpus_upsert_streaming": (q_corpus_upsert_streaming, SQL_CORPUS_UPSERT),
     "ivf_upsert_assign": (q_ivf_upsert_assign, _sql_ivf_upsert_assign()),
     "ivf_upsert_assign_streaming": (

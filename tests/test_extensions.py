@@ -441,6 +441,28 @@ def test_knn_ivf_pq_contract_and_l2_bruteforce_exact(spark):
     assert ref[2].neighbor_id == 3
 
 
+def test_retention_cohorts_ages_and_sizes(spark):
+    DAY = events.DAY_US
+    rows = [
+        # user 1: cohort day 0, active days 0/1/3 (two events day 0 —
+        # distinct-day dedup must count them once)
+        (1, 0), (1, DAY // 2), (1, DAY + 1), (1, 3 * DAY),
+        # user 2: cohort day 0, active days 0/1
+        (2, 5), (2, DAY + 7),
+        # user 3: first seen day 1 — a DIFFERENT cohort, age 0 only
+        (3, DAY + 9),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {
+        (r.cohort_start_us, r.age_days): r.n_users
+        for r in events.retention_cohorts(ev).collect()
+    }
+    assert got == {
+        (0, 0): 2, (0, 1): 2, (0, 3): 1,
+        (DAY, 0): 1,
+    }
+
+
 def test_ivf_assign_incoming_uses_base_structure_only(spark):
     # Incoming vectors must land in the BASE corpus's cell structure:
     # every fine id comes from the base (or -1), and an incoming vector
