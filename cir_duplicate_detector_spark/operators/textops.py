@@ -810,3 +810,198 @@ def corpus_drift(docs: DataFrame, k: int = 20) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("term", "cnt_a", "cnt_b", "score", "rank")
     )
+
+
+BOILER_TOKENS = 16  # non-overlapping window width (tokens)
+BOILER_MIN_DOCS = 3  # window content in >= this many docs is boilerplate
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    window: int = BOILER_TOKENS,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (CCNet / Wenzek et al.: hash
+    every paragraph, drop the ones repeated across documents; C4 did
+    the same at three-sentence spans): each document splits into
+    NON-overlapping ``window``-token spans, a span whose exact content
+    recurs in >= ``min_docs`` distinct documents is boilerplate, and
+    the document is REBUILT from its surviving spans — the output is a
+    cleaned corpus, not a report (the transform `chunk_dedup` only
+    diagnoses). Whitespace is token-normalized by the rebuild.
+
+    Returns ``(doc_id, n_tokens, n_kept_tokens, clean_text)`` — every
+    input document appears, fully-boilerplate documents with
+    ``n_kept_tokens = 0`` and ``clean_text = ''``.
+
+    Shape at scale (100 TB): span split is a pure scan (posexplode of
+    a sequence, zero shuffles); the document-frequency aggregate and
+    the anti-join both key on the 128-bit span digest (~48-byte shuffle
+    rows, never text); the rebuild is one per-document aggregation.
+    Nothing is broadcast and no stage touches pairs — DF-based removal
+    is linear where pairwise dedup is quadratic, which is why CCNet
+    runs it FIRST in the pipeline.
+    """
+    ws = tokens("text")
+    n = F.size(ws)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(window))
+    spans = (
+        docs.select(
+            "doc_id",
+            ws.alias("ws"),
+            F.posexplode(starts).alias("win_id", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("win_id").cast("bigint").alias("win_id"),
+            F.array_join(
+                F.slice("ws", F.col("start"), window), " "
+            ).alias("wtext"),
+            F.size(F.slice("ws", F.col("start"), window))
+            .cast("bigint")
+            .alias("wtok"),
+        )
+        .withColumn("whash", F.md5(F.col("wtext")))
+    )
+    common = (
+        spans.groupBy("whash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("whash")
+    )
+    kept = spans.join(common, "whash", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.sum("wtok").alias("n_kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("win_id", "wtext"))),
+                lambda s: s["wtext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select("doc_id", n.cast("bigint").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept_tokens"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+DSIR_BUCKETS = 1024  # hashed-feature dimensionality
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much its hashed-unigram profile looks like a small
+    TARGET corpus relative to the raw pool — the standard recipe for
+    tilting a web-scale crawl toward a quality domain before sampling.
+    ``target`` is a boolean Column selecting the target slice.
+
+    Departure from the paper, for engine-exact parity: the per-bucket
+    weight is the LIKELIHOOD RATIO ``p_target(b) / p_raw(b)`` (one
+    correctly-rounded IEEE division of exact integer products) rather
+    than its logarithm, and the document score is the count-weighted
+    SUM of ratios rather than of log-ratios — ``ln`` is only ~1-ulp
+    accurate and differs between java.lang.Math and libm, so a
+    value-hash-exact oracle cannot be built on it (same stance as
+    `tfidf_top_terms`'s linear idf). Both Laplace-smoothed:
+    ``p(b) = (c_b + 1) / (total + buckets)``. Monotonicity per bucket
+    is identical; the ranking tilts the same way.
+
+    Returns ``(doc_id, n_tokens, dsir_weight)``; token-less documents
+    carry weight 0.
+
+    Shape at scale: tokenize+explode is map-side; per-(doc, bucket)
+    counts are one hash aggregation; bucket-level raw/target counts
+    REUSE that relation (two ``buckets``-row aggregates — broadcast);
+    the final score is one per-document fold over its own buckets,
+    sorted-fold pinned (`kmeans._sorted_fold`) so the double sum is
+    order-deterministic under any partitioning.
+    """
+    from .kmeans import _sorted_fold
+
+    toks = docs.select(
+        "doc_id",
+        target.alias("is_target"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    ).select(
+        "doc_id",
+        "is_target",
+        F.pmod(hash60(F.col("term"), seed="dsir"), F.lit(buckets)).alias(
+            "bucket"
+        ),
+    )
+    doc_counts = toks.groupBy("doc_id", "is_target", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    raw = doc_counts.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    tgt = (
+        doc_counts.where("is_target")
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("tc"))
+    )
+    totals = doc_counts.agg(
+        F.sum("c").alias("R"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias(
+            "T"
+        ),
+    )
+    ratios = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                (
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                    * (F.col("R") + buckets)
+                ).cast("double")
+                / (
+                    (F.col("rc") + 1) * (F.col("T") + buckets)
+                ).cast("double")
+            ).alias("r"),
+        )
+    )
+    scored = (
+        doc_counts.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            _sorted_fold(
+                F.collect_list(
+                    F.struct(
+                        "bucket",
+                        (F.col("c").cast("double") * F.col("r")).alias(
+                            "val"
+                        ),
+                    )
+                ),
+                "val",
+            ).alias("dsir_weight"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce(F.col("dsir_weight"), F.lit(0.0)).alias(
+                "dsir_weight"
+            ),
+        )
+    )

@@ -5230,6 +5230,160 @@ FROM deliveries GROUP BY event_type
 """
 
 
+# ------------------------------------------------- round-8 pipeline ops
+
+def q_boilerplate_removal(spark, sf_dir):
+    """Cross-document boilerplate REMOVAL over the planted near-dup
+    corpus (`textops.boilerplate_removal`, CCNet-style): 16-token
+    non-overlapping spans whose exact content recurs in >= 2 distinct
+    documents are dropped and each document is rebuilt from its
+    surviving spans — exact copies and truncation mutants lose their
+    shared spans, organic documents pass through whole. The output is
+    the CLEANED corpus (doc_id, n_tokens, n_kept_tokens, clean_text),
+    every input document present."""
+    return textops.boilerplate_removal(_docs_nd(spark, sf_dir), min_docs=2)
+
+
+def _sql_boilerplate_removal() -> str:
+    w = textops.BOILER_TOKENS
+    return f"""
+WITH docs_nd AS ({_ND}),
+wd AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM docs_nd),
+st AS (
+  SELECT doc_id, ws,
+         unnest(range(1, greatest(len(ws), 1) + 1, {w})) AS start
+  FROM wd
+),
+sp AS (
+  SELECT doc_id, ((start - 1) // {w})::BIGINT AS win_id,
+         array_to_string(list_slice(ws, start, start + {w} - 1), ' ')
+           AS wtext,
+         len(list_slice(ws, start, start + {w} - 1))::BIGINT AS wtok
+  FROM st
+),
+common AS (
+  SELECT md5(wtext) AS whash FROM sp
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT * FROM sp WHERE md5(wtext) NOT IN (SELECT whash FROM common)),
+rb AS (
+  SELECT doc_id, sum(wtok)::BIGINT AS n_kept_tokens,
+         string_agg(wtext, ' ' ORDER BY win_id) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT wd.doc_id, len(wd.ws)::BIGINT AS n_tokens,
+       coalesce(rb.n_kept_tokens, 0)::BIGINT AS n_kept_tokens,
+       coalesce(rb.clean_text, '') AS clean_text
+FROM wd LEFT JOIN rb USING (doc_id)
+"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights over raw documents
+    (`textops.dsir_weights`): hashed-unigram likelihood ratios score
+    every document against the English slice as the TARGET corpus —
+    the tilt-a-crawl-toward-a-domain selection step. Ratio form (one
+    exact-integer-product division per bucket, sorted-fold sum), not
+    log form — `ln` is not bit-reproducible across engines (same
+    stance as tfidf's linear idf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.dsir_weights(docs, F.col("lang") == "en")
+
+
+def _sql_dsir_weights() -> str:
+    b = textops.DSIR_BUCKETS
+    h = hash60_sql("t", "'dsir'")
+    lw = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    return f"""
+WITH tk AS (
+  SELECT doc_id, it, {h} % {b} AS bucket
+  FROM (
+    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS it,
+           unnest({lw}) AS t
+    FROM documents
+  )
+),
+dc AS (
+  SELECT doc_id, bucket, max(it) AS it, count(*)::BIGINT AS c
+  FROM tk GROUP BY 1, 2
+),
+raw AS (SELECT bucket, sum(c)::BIGINT AS rc FROM dc GROUP BY 1),
+tgt AS (SELECT bucket, sum(c)::BIGINT AS tc FROM dc WHERE it = 1 GROUP BY 1),
+tot AS (
+  SELECT sum(c)::BIGINT AS r_total,
+         sum(CASE WHEN it = 1 THEN c ELSE 0 END)::BIGINT AS t_total
+  FROM dc
+),
+ratios AS (
+  SELECT raw.bucket,
+         ((coalesce(tgt.tc, 0) + 1) * (tot.r_total + {b}))::DOUBLE
+           / ((raw.rc + 1) * (tot.t_total + {b}))::DOUBLE AS r
+  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+),
+sc AS (
+  SELECT dc.doc_id, sum(dc.c)::BIGINT AS n_tokens,
+         list_sum(list(dc.c::DOUBLE * ratios.r ORDER BY dc.bucket))
+           AS dsir_weight
+  FROM dc JOIN ratios USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(sc.dsir_weight, 0.0) AS dsir_weight
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
+# Eval slice for the fuzzy decontamination screen (on the nd corpus,
+# so near-dup pairs straddle the split): doc_id % 13 == 7.
+_FUZZY_EVAL_MOD, _FUZZY_EVAL_REM = 13, 7
+
+
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """FUZZY decontamination (`dedup.cross_corpus_near_duplicates`):
+    training documents near-duplicating an eval document at 3-gram
+    Jaccard >= 0.5 via the cross-corpus MinHash band join — catches the
+    paraphrased/truncated contamination `decontaminate`'s exact-8-gram
+    screen misses (the nd corpus's truncation mutants ARE that case).
+    Split: doc_id % 13 == 7 is the eval side."""
+    docs = _docs_nd(spark, sf_dir)
+    pred = F.col("doc_id") % _FUZZY_EVAL_MOD == _FUZZY_EVAL_REM
+    return dedup.cross_corpus_near_duplicates(
+        docs.where(~pred), docs.where(pred), threshold=0.5
+    )
+
+
+SQL_DECONTAMINATE_FUZZY = f"""
+WITH {_DUCK_SHINGLE_SET},
+sigs AS (
+  SELECT doc_id, {_LANES}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+bt AS (
+  SELECT doc_id AS a, band_id, band_key FROM bands
+  WHERE doc_id % {_FUZZY_EVAL_MOD} <> {_FUZZY_EVAL_REM}
+),
+be AS (
+  SELECT doc_id AS b, band_id, band_key FROM bands
+  WHERE doc_id % {_FUZZY_EVAL_MOD} = {_FUZZY_EVAL_REM}
+),
+cand AS (SELECT DISTINCT a, b FROM bt JOIN be USING (band_id, band_key)),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
+  GROUP BY c.a, c.b
+)
+SELECT i2.a, i2.b, i2.i / (sa.n + sb.n - i2.i) AS jaccard
+FROM inter i2
+JOIN sizes sa ON sa.doc_id = i2.a
+JOIN sizes sb ON sb.doc_id = i2.b
+WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (
@@ -5331,6 +5485,12 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "token_budget_sample": (q_token_budget_sample, _sql_token_budget_sample()),
     "quality_band": (q_quality_band, _sql_quality_band()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "decontaminate_fuzzy": (q_decontaminate_fuzzy, SQL_DECONTAMINATE_FUZZY),
+    "boilerplate_removal": (
+        q_boilerplate_removal,
+        _sql_boilerplate_removal(),
+    ),
+    "dsir_weights": (q_dsir_weights, _sql_dsir_weights()),
     "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),

@@ -880,3 +880,114 @@ def test_dup_weighting_partitions_unit_mass_per_group(spark):
         assert len(ws) == 1  # equal weight within a family
         assert abs(sum(m.weight for m in members) - 1.0) < 1e-9
         assert all(m.group_size == len(members) for m in members)
+
+
+def test_boilerplate_removal_drops_shared_spans_keeps_unique(spark):
+    from cir_duplicate_detector_spark.operators import textops
+
+    shared = " ".join(f"b{i}" for i in range(16))  # one full shared span
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one tail"),
+            (2, shared + " different trailing words"),
+            (3, "entirely organic text with no repeats"),
+            (4, shared),  # fully boilerplate
+            (5, shared),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textops.boilerplate_removal(docs, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}  # every input doc present
+    # The shared 16-token span is df=4 -> dropped; unique tails survive.
+    assert out[1].clean_text == "unique one tail"
+    assert out[1].n_tokens == 19 and out[1].n_kept_tokens == 3
+    assert out[2].clean_text == "different trailing words"
+    # Organic doc passes through whole (token-normalized).
+    assert out[3].clean_text == "entirely organic text with no repeats"
+    assert out[3].n_kept_tokens == out[3].n_tokens == 6
+    # Fully-boilerplate docs come back empty, not missing.
+    assert out[4].clean_text == "" and out[4].n_kept_tokens == 0
+
+
+def test_boilerplate_removal_rebuild_preserves_span_order(spark):
+    from cir_duplicate_detector_spark.operators import textops
+
+    # 40 tokens -> spans [0:16], [16:32], [32:40]; drop the MIDDLE one
+    # (shared with doc 2); rebuild must keep spans 0 and 2 in order.
+    w = [f"w{i}" for i in range(16)]
+    mid = [f"m{i}" for i in range(16)]
+    tail = ["t0", "t1"]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(w + mid + tail)),
+            (2, " ".join(mid)),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textops.boilerplate_removal(docs, min_docs=2).collect()
+    }
+    assert out[1].clean_text == " ".join(w + tail)
+    assert out[1].n_kept_tokens == 18
+
+
+def test_dsir_weights_tilt_toward_target_profile(spark):
+    from pyspark.sql import functions as F
+
+    from cir_duplicate_detector_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha beta", "en"),
+            (2, "alpha alpha gamma gamma", "xx"),
+            (3, "gamma gamma gamma delta", "xx"),
+            (4, "", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textops.dsir_weights(
+            docs, F.col("lang") == "en"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # Target profile is alpha-heavy: the alpha-ish raw doc outscores
+    # the gamma-ish one (weights are mean likelihood-ratio per token
+    # scaled by count; compare per-token averages for size-fairness).
+    assert (
+        out[2].dsir_weight / out[2].n_tokens
+        > out[3].dsir_weight / out[3].n_tokens
+    )
+    assert out[4].n_tokens == 0 and out[4].dsir_weight == 0.0
+    assert out[1].n_tokens == 4
+
+
+def test_cross_corpus_near_duplicates_flags_straddling_pairs(spark):
+    from cir_duplicate_detector_spark.operators import dedup
+
+    base = " ".join(f"x{i}" for i in range(30))
+    train = spark.createDataFrame(
+        [
+            (1, base),  # exact copy of eval doc 100 -> jaccard 1.0
+            (2, " ".join(f"x{i}" for i in range(27))),  # truncated copy
+            (3, "totally unrelated content here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, base), (101, "other benchmark prompt words")],
+        "doc_id long, text string",
+    )
+    rows = dedup.cross_corpus_near_duplicates(
+        train, ev, threshold=0.5
+    ).collect()
+    got = {(r.a, r.b): r.jaccard for r in rows}
+    assert got[(1, 100)] == 1.0
+    assert (2, 100) in got and 0.5 <= got[(2, 100)] < 1.0
+    assert all(a != 3 for (a, _b) in got)  # unrelated doc not flagged
+    assert all(b != 101 for (_a, b) in got)
