@@ -293,16 +293,15 @@ def _query_partials(
 
 
 def _minus(a: Column, b: Column, dim: int) -> Column:
-    """Element-wise ``a − b`` over ``dim``-element array columns,
-    unrolled into a flat array expression (codegen-friendly, same
-    stance as :func:`_l2sq`). Element-wise double subtraction is
-    order-free, so it is bit-equal to DuckDB's ``list_transform``."""
-    return F.array(
-        *[
-            F.element_at(a, j + 1).cast("double")
-            - F.element_at(b, j + 1).cast("double")
-            for j in range(dim)
-        ]
+    """Element-wise ``a − b`` over ``dim``-element array columns via
+    ``zip_with`` — NOT unrolled: a 64-term flat expression tree blows
+    the JIT budget and falls back to interpreted evaluation (SCALE.md
+    round-7 negative result; `_l2sq`'s unroll wins only at 8 terms).
+    Element-wise double subtraction is order-free, so the HOF form is
+    bit-equal to DuckDB's ``list_transform``. ``dim`` kept for the
+    call-site contract."""
+    return F.zip_with(
+        a, b, lambda x, y: x.cast("double") - y.cast("double")
     )
 
 
