@@ -816,6 +816,89 @@ BOILER_TOKENS = 16  # non-overlapping window width (tokens)
 BOILER_MIN_DOCS = 3  # window content in >= this many docs is boilerplate
 
 
+def _doc_spans(docs: DataFrame, window: int = BOILER_TOKENS) -> DataFrame:
+    """(doc_id, win_id, wtext, wtok, whash): each document's
+    NON-overlapping ``window``-token spans — the span unit of the
+    boilerplate family. Pure per-row scan (posexplode of a sequence,
+    zero shuffles, streaming-safe); a token-less document yields one
+    empty span so every input doc stays represented."""
+    ws = tokens("text")
+    n = F.size(ws)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(window))
+    return (
+        docs.select(
+            "doc_id",
+            ws.alias("ws"),
+            F.posexplode(starts).alias("win_id", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("win_id").cast("bigint").alias("win_id"),
+            F.array_join(
+                F.slice("ws", F.col("start"), window), " "
+            ).alias("wtext"),
+            F.size(F.slice("ws", F.col("start"), window))
+            .cast("bigint")
+            .alias("wtok"),
+        )
+        .withColumn("whash", F.md5(F.col("wtext")))
+    )
+
+
+def boilerplate_index(
+    docs_indexed: DataFrame,
+    window: int = BOILER_TOKENS,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """(whash): distinct span digests whose content recurs in >=
+    ``min_docs`` distinct documents of the INDEXED corpus — the static
+    boilerplate index :func:`boilerplate_screen` (and its streaming
+    twin) probes. One digest-keyed aggregation; ~36-byte rows."""
+    return (
+        _doc_spans(docs_indexed, window)
+        .groupBy("whash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("whash")
+    )
+
+
+def boilerplate_screen(
+    docs_incoming: DataFrame,
+    index: DataFrame,
+    window: int = BOILER_TOKENS,
+) -> DataFrame:
+    """Boilerplate SCREEN for continuous ingest: incoming documents'
+    spans probe a static span-digest ``index``
+    (:func:`boilerplate_index`, built once from the existing corpus) —
+    the ingest-side analogue of :func:`boilerplate_removal`, which
+    recomputes document frequencies over the whole corpus. Returns
+    per-incoming-doc counts
+    ``(doc_id, n_spans, n_boiler_spans, n_tokens, n_boiler_tokens)``
+    — the decide-before-you-pay numbers an ingest pipeline thresholds
+    on. ONE aggregation after a stream-static equi-join, so the same
+    plan runs under Structured Streaming unchanged (the registered
+    streaming twin shares this code and the batch oracle)."""
+    sp = _doc_spans(docs_incoming, window)
+    hit = index.withColumn("hit", F.lit(1))
+    return (
+        sp.join(hit, "whash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler_spans"),
+            F.sum("wtok").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), F.col("wtok")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_boiler_tokens"),
+        )
+    )
+
+
 def boilerplate_removal(
     docs: DataFrame,
     window: int = BOILER_TOKENS,
@@ -842,27 +925,7 @@ def boilerplate_removal(
     is linear where pairwise dedup is quadratic, which is why CCNet
     runs it FIRST in the pipeline.
     """
-    ws = tokens("text")
-    n = F.size(ws)
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(window))
-    spans = (
-        docs.select(
-            "doc_id",
-            ws.alias("ws"),
-            F.posexplode(starts).alias("win_id", "start"),
-        )
-        .select(
-            "doc_id",
-            F.col("win_id").cast("bigint").alias("win_id"),
-            F.array_join(
-                F.slice("ws", F.col("start"), window), " "
-            ).alias("wtext"),
-            F.size(F.slice("ws", F.col("start"), window))
-            .cast("bigint")
-            .alias("wtok"),
-        )
-        .withColumn("whash", F.md5(F.col("wtext")))
-    )
+    spans = _doc_spans(docs, window)
     common = (
         spans.groupBy("whash")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
@@ -881,7 +944,10 @@ def boilerplate_removal(
         ).alias("clean_text"),
     )
     return (
-        docs.select("doc_id", n.cast("bigint").alias("n_tokens"))
+        docs.select(
+            "doc_id",
+            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        )
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
@@ -1004,4 +1070,100 @@ def dsir_weights(
                 "dsir_weight"
             ),
         )
+    )
+
+
+def dsir_bucket_ratios(
+    docs_indexed: DataFrame,
+    target,
+    buckets: int = DSIR_BUCKETS,
+) -> "tuple[DataFrame, DataFrame]":
+    """The STATIC half of ingest-time DSIR scoring: likelihood-ratio
+    table ``(bucket, r)`` learned once from the indexed corpus (same
+    Laplace-smoothed ratio form as :func:`dsir_weights`), plus a 1-row
+    ``(r_default)`` frame — the ratio an unseen bucket takes
+    (``tc = rc = 0``). Both bounded (≤ ``buckets`` rows / 1 row) and
+    broadcast by every consumer."""
+    tk = docs_indexed.select(
+        target.alias("is_target"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    ).select(
+        "is_target",
+        F.pmod(hash60(F.col("term"), seed="dsir"), F.lit(buckets)).alias(
+            "bucket"
+        ),
+    )
+    bc = tk.groupBy("bucket").agg(
+        F.count("*").alias("rc"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tc"),
+    )
+    totals = bc.agg(
+        F.sum("rc").alias("r_total"), F.sum("tc").alias("t_total")
+    )
+    ratios = bc.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            ((F.col("tc") + 1) * (F.col("r_total") + buckets)).cast(
+                "double"
+            )
+            / ((F.col("rc") + 1) * (F.col("t_total") + buckets)).cast(
+                "double"
+            )
+        ).alias("r"),
+    )
+    default = totals.select(
+        (
+            (F.col("r_total") + buckets).cast("double")
+            / (F.col("t_total") + buckets).cast("double")
+        ).alias("r_default")
+    )
+    return ratios, default
+
+
+def dsir_score(
+    docs_incoming: DataFrame,
+    ratios: DataFrame,
+    default: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Score INCOMING documents against a static DSIR ratio table
+    (:func:`dsir_bucket_ratios`) — the ingest-side analogue of
+    :func:`dsir_weights`, which learns ratios over the whole corpus.
+    Returns ``(doc_id, n_tokens, dsir_score)``.
+
+    The sum is TOKEN-level (one ratio lookup per token, folded in
+    token-position order) rather than bucket-count-level: a per-bucket
+    count needs a second aggregation, and Structured Streaming allows
+    only one — this shape runs unchanged as the registered streaming
+    twin, and the position-ordered fold keeps the double sum
+    order-deterministic on both engines. Only documents with ≥ 1 token
+    appear (raw corpus has none without)."""
+    from .kmeans import _sorted_fold
+
+    toks = docs_incoming.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "term"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.pmod(hash60(F.col("term"), seed="dsir"), F.lit(buckets)).alias(
+            "bucket"
+        ),
+    )
+    scored = (
+        toks.join(F.broadcast(ratios), "bucket", "left")
+        .crossJoin(F.broadcast(default))
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("r"), F.col("r_default")).alias("r"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        _sorted_fold(
+            F.collect_list(F.struct("pos", "r")), "r"
+        ).alias("dsir_score"),
     )

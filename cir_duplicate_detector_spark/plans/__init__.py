@@ -118,6 +118,8 @@ for _batch, _streaming in [
     # must answer the same question as the in-session one.
     ("ivf_upsert_assign", "ivf_index_roundtrip"),
     ("pq_codes_upsert", "pq_codes_upsert_streaming"),
+    ("boilerplate_screen", "boilerplate_screen_streaming"),
+    ("dsir_score", "dsir_score_streaming"),
     # salted_join is a physical-plan rewrite only — same answer, same
     # oracle string as the unsalted plan.
     ("tpch_q5", "tpch_q5_skewed"),

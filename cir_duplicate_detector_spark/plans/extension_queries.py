@@ -5384,6 +5384,241 @@ WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
 """
 
 
+def q_boilerplate_screen(spark, sf_dir):
+    """Boilerplate SCREEN for continuous ingest
+    (`textops.boilerplate_screen`): the existing split's span-digest
+    index (span DF >= 2 WITHIN the indexed split,
+    `textops.boilerplate_index`) probes incoming documents' spans
+    through one equi-join + one aggregation — the decide-before-you-pay
+    counts an ingest pipeline thresholds on, and the exact plan the
+    streaming twin runs."""
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(BLOOM_SPLIT_SPARK)
+    idx = textops.boilerplate_index(docs.where(split == 0), min_docs=2)
+    return textops.boilerplate_screen(docs.where(split == 1), idx)
+
+
+def q_boilerplate_screen_streaming(spark, sf_dir):
+    """`streaming.windows.streaming_boilerplate_screen`: the identical
+    span screen with the incoming split arriving on a file stream —
+    stateless span explode, stream-static index join, one aggregation.
+    Shares the batch oracle by the registry twin guard."""
+    from ..streaming.windows import streaming_boilerplate_screen
+
+    return streaming_boilerplate_screen(spark, sf_dir)
+
+
+def _sql_boilerplate_screen() -> str:
+    w = textops.BOILER_TOKENS
+    spans = f"""
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ws, start, start + {w} - 1), ' '))
+           AS whash,
+         len(list_slice(ws, start, start + {w} - 1))::BIGINT AS wtok
+  FROM (
+    SELECT doc_id, ws,
+           unnest(range(1, greatest(len(ws), 1) + 1, {w})) AS start
+    FROM wsrc
+  )"""
+    return f"""
+WITH docs_nd AS ({_ND}),
+wsrc AS (
+  SELECT doc_id, {_DUCK_WORDS} AS ws FROM docs_nd
+),
+isp AS ({spans.replace("FROM wsrc", f"FROM wsrc WHERE {BLOOM_SPLIT_DUCK} = 0")}),
+idx AS (
+  SELECT whash FROM isp GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+),
+osp AS ({spans.replace("FROM wsrc", f"FROM wsrc WHERE {BLOOM_SPLIT_DUCK} = 1")})
+SELECT osp.doc_id,
+       count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN idx.whash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_boiler_spans,
+       sum(osp.wtok)::BIGINT AS n_tokens,
+       sum(CASE WHEN idx.whash IS NOT NULL THEN osp.wtok ELSE 0 END)::BIGINT
+         AS n_boiler_tokens
+FROM osp LEFT JOIN idx USING (whash)
+GROUP BY osp.doc_id
+"""
+
+
+def q_dsir_score(spark, sf_dir):
+    """Ingest-time DSIR scoring (`textops.dsir_score`): the
+    likelihood-ratio table learns ONCE from the indexed half of the raw
+    corpus (target = the English slice), incoming documents resolve
+    per-token ratios through a broadcast join and fold in one
+    position-ordered aggregation — the single-aggregation shape the
+    streaming twin requires."""
+    docs = load_table(spark, sf_dir, "documents")
+    ratios, default = textops.dsir_bucket_ratios(
+        docs.where("doc_id % 2 = 0"), F.col("lang") == "en"
+    )
+    return textops.dsir_score(docs.where("doc_id % 2 = 1"), ratios, default)
+
+
+def q_dsir_score_streaming(spark, sf_dir):
+    """`streaming.windows.streaming_dsir_score`: identical scoring with
+    the incoming half on a file stream — static broadcast ratio table,
+    stateless token explode, one aggregation. Shares the batch oracle
+    by the registry twin guard."""
+    from ..streaming.windows import streaming_dsir_score
+
+    return streaming_dsir_score(spark, sf_dir)
+
+
+def _sql_dsir_score() -> str:
+    b = textops.DSIR_BUCKETS
+    h = hash60_sql("t", "'dsir'")
+    lw = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    return f"""
+WITH itk AS (
+  SELECT it, {h} % {b} AS bucket
+  FROM (
+    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS it,
+           unnest({lw}) AS t
+    FROM documents WHERE doc_id % 2 = 0
+  )
+),
+bc AS (
+  SELECT bucket, count(*)::BIGINT AS rc,
+         sum(it)::BIGINT AS tc
+  FROM itk GROUP BY 1
+),
+tot AS (SELECT sum(rc)::BIGINT AS r_total, sum(tc)::BIGINT AS t_total FROM bc),
+ratios AS (
+  SELECT bc.bucket,
+         ((bc.tc + 1) * (tot.r_total + {b}))::DOUBLE
+           / ((bc.rc + 1) * (tot.t_total + {b}))::DOUBLE AS r
+  FROM bc CROSS JOIN tot
+),
+dflt AS (
+  SELECT (r_total + {b})::DOUBLE / (t_total + {b})::DOUBLE AS r_default
+  FROM tot
+),
+otk AS (
+  SELECT doc_id, pos, {hash60_sql("lw[pos]", "'dsir'")} % {b} AS bucket
+  FROM (
+    SELECT doc_id, lw, unnest(range(1, len(lw) + 1)) AS pos
+    FROM (
+      SELECT doc_id, {lw} AS lw FROM documents WHERE doc_id % 2 = 1
+    )
+  )
+)
+SELECT otk.doc_id, count(*)::BIGINT AS n_tokens,
+       list_sum(list(coalesce(ratios.r, dflt.r_default) ORDER BY otk.pos))
+         AS dsir_score
+FROM otk LEFT JOIN ratios USING (bucket) CROSS JOIN dflt
+GROUP BY otk.doc_id
+"""
+
+
+def q_fuzzy_decon_recall(spark, sf_dir):
+    """Recall of the `decontaminate_fuzzy` banded screen vs EXACT
+    cross-corpus Jaccard truth — the self-measuring diagnostic every
+    approximate index in this repo ships (`minhash_recall` /
+    `ann_recall_*` / `pq_recall` pattern): truth = all (train, eval)
+    pairs at exact 3-gram Jaccard >= 0.5 via the shingle inverted-index
+    join (pairs sharing zero shingles have J = 0 and exit naturally);
+    found = the screen's band-candidate pairs. One row per eval doc
+    with >= 1 true contaminating pair:
+    (b, n_true, n_found, recall)."""
+    docs = _docs_nd(spark, sf_dir)
+    pred = F.col("doc_id") % _FUZZY_EVAL_MOD == _FUZZY_EVAL_REM
+    train, ev = docs.where(~pred), docs.where(pred)
+    ht = dedup.hashed_shingle_arrays(train)
+    he = dedup.hashed_shingle_arrays(ev)
+    st = ht.select(F.col("doc_id").alias("a"), F.explode("hs").alias("sh"))
+    se = he.select(F.col("doc_id").alias("b"), F.explode("hs").alias("sh"))
+    sa = ht.select(F.col("doc_id").alias("a"), F.size("hs").alias("na"))
+    sb = he.select(F.col("doc_id").alias("b"), F.size("hs").alias("nb"))
+    inter = st.join(se, "sh").groupBy("a", "b").agg(F.count("*").alias("i"))
+    truth = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .where(
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.5
+        )
+        .select("a", "b")
+    )
+    found = dedup.cross_corpus_near_duplicates(
+        train, ev, threshold=0.5
+    ).select("a", "b", F.lit(1).alias("hit"))
+    return (
+        truth.join(found, ["a", "b"], "left")
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_found"),
+        )
+        .select(
+            "b",
+            "n_true",
+            "n_found",
+            (F.col("n_found") / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
+SQL_FUZZY_DECON_RECALL = f"""
+WITH {_DUCK_SHINGLE_SET},
+sigs AS (
+  SELECT doc_id, {_LANES}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+bt AS (
+  SELECT doc_id AS a, band_id, band_key FROM bands
+  WHERE doc_id % {_FUZZY_EVAL_MOD} <> {_FUZZY_EVAL_REM}
+),
+be AS (
+  SELECT doc_id AS b, band_id, band_key FROM bands
+  WHERE doc_id % {_FUZZY_EVAL_MOD} = {_FUZZY_EVAL_REM}
+),
+cand AS (SELECT DISTINCT a, b FROM bt JOIN be USING (band_id, band_key)),
+finter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
+  GROUP BY c.a, c.b
+),
+found AS (
+  SELECT i2.a, i2.b
+  FROM finter i2
+  JOIN sizes sa ON sa.doc_id = i2.a
+  JOIN sizes sb ON sb.doc_id = i2.b
+  WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
+),
+tinter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM shh x
+  JOIN shh y ON y.sh_hash = x.sh_hash
+  WHERE x.doc_id % {_FUZZY_EVAL_MOD} <> {_FUZZY_EVAL_REM}
+    AND y.doc_id % {_FUZZY_EVAL_MOD} = {_FUZZY_EVAL_REM}
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT t.a, t.b
+  FROM tinter t
+  JOIN sizes sa ON sa.doc_id = t.a
+  JOIN sizes sb ON sb.doc_id = t.b
+  WHERE t.i / (sa.n + sb.n - t.i) >= 0.5
+)
+SELECT truth.b, count(*)::BIGINT AS n_true,
+       sum(CASE WHEN found.a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_found,
+       sum(CASE WHEN found.a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         / count(*) AS recall
+FROM truth
+LEFT JOIN found ON found.a = truth.a AND found.b = truth.b
+GROUP BY truth.b
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (
@@ -5486,11 +5721,19 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "quality_band": (q_quality_band, _sql_quality_band()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "decontaminate_fuzzy": (q_decontaminate_fuzzy, SQL_DECONTAMINATE_FUZZY),
+    "fuzzy_decon_recall": (q_fuzzy_decon_recall, SQL_FUZZY_DECON_RECALL),
     "boilerplate_removal": (
         q_boilerplate_removal,
         _sql_boilerplate_removal(),
     ),
+    "boilerplate_screen": (q_boilerplate_screen, _sql_boilerplate_screen()),
+    "boilerplate_screen_streaming": (
+        q_boilerplate_screen_streaming,
+        _sql_boilerplate_screen(),
+    ),
     "dsir_weights": (q_dsir_weights, _sql_dsir_weights()),
+    "dsir_score": (q_dsir_score, _sql_dsir_score()),
+    "dsir_score_streaming": (q_dsir_score_streaming, _sql_dsir_score()),
     "curation_pipeline": (q_curation_pipeline, _sql_curation_pipeline()),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "distinct_kmv": (q_distinct_kmv, SQL_DISTINCT_KMV),

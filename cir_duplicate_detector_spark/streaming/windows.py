@@ -711,3 +711,75 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def streaming_boilerplate_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate span screen AS A STREAM — the span-level sibling
+    of :func:`streaming_lsh_screen`: the existing split's boilerplate
+    span index (span digests with document frequency >= 2 WITHIN the
+    indexed split, `textops.boilerplate_index`) is built batch-side
+    ONCE; incoming documents arrive on a file stream, split into
+    non-overlapping spans per-row (posexplode — zero stream state
+    before the rollup) and probe the static index through a
+    stream-static equi-join, one aggregation. Output identical to the
+    batch `boilerplate_screen` entry — one oracle string by the
+    batch/streaming twin guard in ``plans/__init__``."""
+    from ..operators.textops import boilerplate_index, boilerplate_screen
+    from ..sources.derived import BLOOM_SPLIT_SPARK, derive_near_dup_corpus
+
+    docs_b = derive_near_dup_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    idx = boilerplate_index(
+        docs_b.where(F.expr(BLOOM_SPLIT_SPARK) == 0), min_docs=2
+    )
+    incoming = _stream_near_dup_corpus(
+        spark, sf_dir, "docs_boiler_stream_"
+    ).where(F.expr(BLOOM_SPLIT_SPARK) == 1)
+    probed = boilerplate_screen(incoming, idx)
+    name = f"stream_boiler_{uuid.uuid4().hex[:8]}"
+    query = (
+        probed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring AS A STREAM — importance scoring at ingest: the
+    likelihood-ratio table learns batch-side ONCE from the indexed half
+    of the raw documents (`textops.dsir_bucket_ratios`, target = the
+    English slice); incoming documents stream in, explode to
+    position-keyed token buckets (stateless), resolve ratios through a
+    broadcast stream-static join, and fold per document in ONE
+    aggregation (`textops.dsir_score` — the token-level shape exists
+    precisely because streaming allows a single aggregation). Output
+    identical to the batch `dsir_score` entry — one oracle string by
+    the twin guard."""
+    from ..operators.textops import dsir_bucket_ratios, dsir_score
+
+    path = f"{sf_dir}/documents.parquet"
+    docs_b = spark.read.parquet(path)
+    ratios, default = dsir_bucket_ratios(
+        docs_b.where("doc_id % 2 = 0"), F.col("lang") == "en"
+    )
+    schema = docs_b.schema
+    stage = stage_source(path, "docs_dsir_stream_")
+    incoming = (
+        spark.readStream.schema(schema).parquet(stage).where("doc_id % 2 = 1")
+    )
+    scored = dsir_score(incoming, ratios, default)
+    name = f"stream_dsir_{uuid.uuid4().hex[:8]}"
+    query = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -991,3 +991,82 @@ def test_cross_corpus_near_duplicates_flags_straddling_pairs(spark):
     assert (2, 100) in got and 0.5 <= got[(2, 100)] < 1.0
     assert all(a != 3 for (a, _b) in got)  # unrelated doc not flagged
     assert all(b != 101 for (_a, b) in got)
+
+
+def test_boilerplate_screen_counts_against_static_index(spark):
+    from cir_duplicate_detector_spark.operators import textops
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    indexed = spark.createDataFrame(
+        [
+            (1, shared + " idx one"),
+            (2, shared + " idx two"),
+            (3, "unrepeated indexed content"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, shared + " fresh tail"),  # first span hits the index
+            (11, "clean incoming document"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = textops.boilerplate_index(indexed, min_docs=2)
+    out = {
+        r.doc_id: r
+        for r in textops.boilerplate_screen(incoming, idx).collect()
+    }
+    assert out[10].n_spans == 2 and out[10].n_boiler_spans == 1
+    assert out[10].n_tokens == 18 and out[10].n_boiler_tokens == 16
+    assert out[11].n_boiler_spans == 0 and out[11].n_boiler_tokens == 0
+
+
+def test_dsir_score_uses_default_ratio_for_unseen_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from cir_duplicate_detector_spark.operators import textops
+
+    indexed = spark.createDataFrame(
+        [(1, "alpha alpha beta", "en"), (2, "beta gamma gamma", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "alpha alpha", "xx"),  # target-heavy profile
+            (11, "zzznovel zzznovel", "xx"),  # unseen buckets
+            (12, "gamma gamma", "xx"),  # raw-only profile
+        ],
+        "doc_id long, text string, lang string",
+    )
+    ratios, default = textops.dsir_bucket_ratios(
+        indexed, F.col("lang") == "en"
+    )
+    out = {
+        r.doc_id: r
+        for r in textops.dsir_score(incoming, ratios, default).collect()
+    }
+    # The unseen token takes exactly the default ratio (tc=rc=0
+    # Laplace smoothing: (0+1)/(0+1) factor == unseen).
+    rd = default.collect()[0].r_default
+    assert abs(out[11].dsir_score - 2 * rd) < 1e-12
+    # gamma is raw-heavy (rc=2, tc=0) -> ratio below default; alpha is
+    # target-exclusive (tc=rc=2) -> factor 1, equal to default. The
+    # ordering the sampler acts on: target-ish >= unseen > raw-only.
+    assert out[12].dsir_score < out[11].dsir_score
+    assert abs(out[10].dsir_score - out[11].dsir_score) < 1e-12
+    assert out[10].n_tokens == out[12].n_tokens == 2
+
+
+def test_fuzzy_decon_recall_counts_found_over_truth(spark):
+    # The recall diagnostic must be 1.0 when the banded screen finds
+    # every true pair (exact copies always share all bands).
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["fuzzy_decon_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "no eval doc with a true contaminating pair"
+    for r in rows:
+        assert r.n_true >= 1 and 0.0 <= r.recall <= 1.0
+        assert r.n_found <= r.n_true
