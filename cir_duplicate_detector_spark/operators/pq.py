@@ -119,7 +119,17 @@ def pq_encode(
     """(vec_id, subspace, code): nearest codeword per subspace.
 
     Ties break to the smallest cid on both engines (argmin over the
-    (dist, cid) pair). One broadcast join + one hash aggregate."""
+    (dist, cid) pair). One broadcast join + one hash aggregate.
+
+    The exploded side REPARTITIONS to cluster width first: this is the
+    ONE full-data O(N·M·K) pass of the index build, CPU-dense per byte
+    (each input row fans out to M·K scored rows inside the stage), and
+    its input is typically a small/materialized frame whose partition
+    count AQE has coalesced to ~1 — which serializes the whole encode
+    on one core (measured at the 10× replica: the encode stage alone
+    took 103 s single-task; the same repartition-before-CPU-dense-
+    pipeline posture as `pdq._grid_joined` / SCALE.md global posture)."""
+    slices = vectors.sparkSession.sparkContext.defaultParallelism * 2
     subs = F.array(
         *[
             F.struct(
@@ -129,8 +139,10 @@ def pq_encode(
             for i in range(m)
         ]
     )
-    exploded = vectors.select("vec_id", F.explode(subs).alias("s")).select(
-        "vec_id", "s.subspace", "s.sub"
+    exploded = (
+        vectors.repartition(slices)
+        .select("vec_id", F.explode(subs).alias("s"))
+        .select("vec_id", "s.subspace", "s.sub")
     )
     scored = exploded.join(F.broadcast(codebook), "subspace").withColumn(
         "d", _l2sq(F.col("sub"), F.col("csub"), subdim)
@@ -205,8 +217,15 @@ def pq_codebook_learned(
             for i in range(m)
         ]
     )
+    # Repartition to cluster width before the per-round scoring join:
+    # the training frame is a small sample whose partition count AQE
+    # coalesces to ~1, and each Lloyd round fans every subvector out to
+    # K scored rows inside the stage (same single-task finding as
+    # `pq_encode`, measured at the 10× replica).
+    slices = train.sparkSession.sparkContext.defaultParallelism * 2
     sub = (
-        train.select(
+        train.repartition(slices)
+        .select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
         .select("vec_id", F.explode(subs).alias("s"))
@@ -539,13 +558,16 @@ def knn_ivf_pq(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "coarse", "neighbor_id")
     )
+    # NOT force-broadcast: the per-cell ADC table is Q·nprobe·M·K rows
+    # and Q scales with the corpus under the `% 100` probe rule —
+    # forcing it measured 13.5 s → 127 s at the 10× replica (6.5M-row
+    # broadcast build) and is an OOM at 100×. Plain equi-join lets AQE
+    # broadcast exactly when the table is actually small.
     pd_rows = (
         cand.join(
             codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
         )
-        .join(
-            F.broadcast(partials), ["query_id", "coarse", "subspace", "code"]
-        )
+        .join(partials, ["query_id", "coarse", "subspace", "code"])
         .select("query_id", "neighbor_id", "subspace", "pd")
     )
     return _adc_topk(pd_rows, m, k)
