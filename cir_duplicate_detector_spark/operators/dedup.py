@@ -364,12 +364,33 @@ def lsh_screen(
     expressions stream-side against the static index and shares this
     operator's oracle by construction.
     """
-    idx = (
+    return lsh_screen_from_index(lsh_band_index(existing, bands), incoming, bands)
+
+
+def lsh_band_index(existing: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """The LSH membership index AS A RELATION: the existing corpus's
+    distinct ``(band_id, band_key)`` set — what :func:`lsh_screen`
+    builds in-session and what `lsh_index_roundtrip` persists to
+    parquet (two small deterministic columns, lossless on disk). At
+    most ``bands × |corpus|`` rows, shrinking with duplication; the
+    only structure continuous NEAR-dup ingest needs to keep."""
+    return (
         banded_keys(minhash_signatures(hashed_shingle_arrays(existing)), bands)
         .select("band_id", "band_key")
         .dropDuplicates(["band_id", "band_key"])
-        .withColumn("hit", F.lit(1))
     )
+
+
+def lsh_screen_from_index(
+    index: DataFrame, incoming: DataFrame, bands: int = LSH_BANDS
+) -> DataFrame:
+    """Probe half of :func:`lsh_screen`, serving from a prebuilt
+    ``(band_id, band_key)`` index relation — in-session
+    (:func:`lsh_band_index`) or read back from disk
+    (`lsh_index_roundtrip`'s serving path). Incoming signatures stay a
+    pure per-row projection; the probe is one equi-join, nothing
+    broadcast by construction."""
+    idx = index.select("band_id", "band_key").withColumn("hit", F.lit(1))
     inc = banded_keys(
         minhash_signatures(hashed_shingle_arrays(incoming)), bands
     )

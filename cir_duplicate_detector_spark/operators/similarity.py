@@ -645,3 +645,79 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def semantic_cross_decontaminate(
+    vectors: DataFrame,
+    eval_pred,
+    threshold: float = 0.9,
+    k: int | None = None,
+    iters: int | None = None,
+    sample_mod: int | None = None,
+    fine_mod: int | None = None,
+) -> DataFrame:
+    """SEMANTIC decontamination — the third screen of the matrix
+    (`decontaminate`: exact word-8-grams; `decontaminate_fuzzy`:
+    MinHash/Jaccard; this: embedding cosine): TRAIN documents whose
+    embedding is near an EVAL document's, catching the reworded
+    contamination that shares meaning but few surface n-grams.
+    ``eval_pred`` is a Column predicate over ``vec_id`` splitting one
+    corpus frame; output is ``(train_id, eval_id, coarse, fine,
+    cosine)`` for cross-split pairs with cosine >= ``threshold``.
+
+    REALISTIC INDEX DIRECTION: the two-level quantizer
+    (`kmeans.ivf_quantizer`) is learned from the TRAIN side only —
+    eval sets are small and arrive late, so production builds the
+    index once from the training corpus and probes eval through it
+    (`kmeans.ivf_assign_from_index`, the same serving path as
+    `ivf_index_roundtrip`). Both sides assign through the shared
+    argmin/equi-join code, then pairs form WITHIN each (coarse, fine)
+    cell with the eval restriction pushed BELOW the join — per-cell
+    work is |cell∩train|·|cell∩eval|, never |cell|². Like every
+    cell-restricted screen, a cross-cell near-pair is invisible by
+    construction; the blindness is the SemDeDup trade
+    `semantic_recall_learned` measures on the same cell machinery.
+    """
+    from ..cache import materialize
+    from .kmeans import ivf_assign_from_index, ivf_quantizer
+
+    kwargs = {}
+    if k is not None:
+        kwargs["k"] = k
+    if iters is not None:
+        kwargs["iters"] = iters
+    if sample_mod is not None:
+        kwargs["sample_mod"] = sample_mod
+    if fine_mod is not None:
+        kwargs["fine_mod"] = fine_mod
+    coarse, fine = ivf_quantizer(vectors.where(~eval_pred), **kwargs)
+    cells = ivf_assign_from_index(coarse, fine, vectors).select(
+        "vec_id", "coarse", "fine"
+    )
+    base = vectors.select(
+        "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
+    )
+    member = materialize(base.join(cells, "vec_id"))
+    t = member.where(~eval_pred).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("t_emb"),
+        F.col("nrm").alias("t_nrm"),
+        "coarse",
+        "fine",
+    )
+    v = member.where(eval_pred).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_nrm"),
+        "coarse",
+        "fine",
+    )
+    cos = dot64(F.col("t_emb"), F.col("v_emb")) / (
+        F.col("t_nrm") * F.col("v_nrm")
+    )
+    return (
+        t.join(v, ["coarse", "fine"])
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("train_id", "eval_id", "coarse", "fine", "cosine")
+    )

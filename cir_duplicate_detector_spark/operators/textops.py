@@ -1167,3 +1167,133 @@ def dsir_score(
             F.collect_list(F.struct("pos", "r")), "r"
         ).alias("dsir_score"),
     )
+
+
+# ------------------------------------------------------------- BM25
+# Fixed deterministic keyword panel for the registered `bm25_search`
+# query — terms drawn from the synthetic corpus vocabulary so every
+# query matches documents. A literal panel (not a derived frame) keeps
+# the Spark plan and the DuckDB oracle trivially identical.
+BM25_PANEL: list[tuple[int, str]] = [
+    (1, "spark"),
+    (1, "join"),
+    (2, "window"),
+    (2, "filter"),
+    (2, "sort"),
+    (3, "customer"),
+    (3, "order"),
+    (4, "hash"),
+    (4, "merge"),
+    (4, "stream"),
+]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    topk: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Keyword retrieval over the corpus — BM25-shaped scoring of an
+    inverted index, the search capability that sits NEXT TO the
+    similarity family (ANN answers "documents like this vector"; this
+    answers "documents matching these terms"). ``queries`` carries
+    ``(query_id, term)`` rows; output is the per-query top-``topk``
+    ``(query_id, doc_id, rank, n_terms_hit, score)``, rank by
+    (score desc, doc_id asc).
+
+    SCORING — BM25's tf-saturation and length normalization with a
+    RATIONAL idf, ``(N - df + 0.5) / (df + 0.5)``, i.e. the classic
+    Robertson-Spärck-Jones idf minus the ``ln``: `ln` is only ~1-ulp
+    and java.lang.Math vs libm diverge in the last bit (the same
+    stance as tfidf's linear idf and DSIR's ratio form), while the
+    rational form is one correctly-rounded division of two exactly-
+    representable halves — bit-reproducible across engines. Ranking
+    WITHIN a term is unchanged (the map is monotone); across terms
+    rare terms weigh relatively more than under the log — documented,
+    deliberate. Every other float in the score is a fixed expression
+    tree of correctly-rounded ops over exact integers
+    (tf, dl, N, Σdl), and the per-(query, doc) sum folds in term
+    order (`kmeans._sorted_fold`), so scores hash identically on both
+    engines.
+
+    SCALE SHAPE — one corpus scan builds the token relation; document
+    lengths and the two corpus scalars (N, Σdl) are bounded
+    aggregations; the panel-terms filter BROADCASTS onto the explode
+    (the inverted index is built only for queried terms — at serving
+    scale the tf relation is the precomputed posting list this
+    pipeline would persist); df is a per-term count over that
+    restricted relation; scoring is equi-joins plus one broadcast of
+    the 1-row scalar frame; top-k is a window partitioned by query_id
+    — per-query work, never a corpus sort.
+    """
+    from pyspark.sql import Window
+
+    from .kmeans import _sorted_fold
+
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    terms = queries.select("term").dropDuplicates()
+    tf = (
+        toks.join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    # (doc_id, term) is unique in tf, so df is a plain count.
+    df_rel = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    idf = ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tfnorm = (F.col("tf") * F.lit(k1p1)) / (
+        F.col("tf")
+        + (
+            F.lit(k1)
+            * (
+                F.lit(one_minus_b)
+                + (
+                    (F.lit(b) * F.col("dl"))
+                    / (F.col("total_tokens") / F.col("n_docs"))
+                )
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_rel), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", (idf * tfnorm).alias("s"))
+    )
+    per = (
+        F.broadcast(queries)
+        .join(scored, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+            _sorted_fold(
+                F.collect_list(F.struct("term", "s")), "s"
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "rank", "n_terms_hit", "score")
+    )

@@ -117,6 +117,7 @@ for _batch, _streaming in [
     # index round-trip is identity: the persisted-and-reread quantizer
     # must answer the same question as the in-session one.
     ("ivf_upsert_assign", "ivf_index_roundtrip"),
+    ("dedup_lsh_screen", "lsh_index_roundtrip"),
     ("pq_codes_upsert", "pq_codes_upsert_streaming"),
     ("boilerplate_screen", "boilerplate_screen_streaming"),
     ("dsir_score", "dsir_score_streaming"),

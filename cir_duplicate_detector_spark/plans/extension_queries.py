@@ -3834,6 +3834,30 @@ def q_dedup_lsh_screen_streaming(spark, sf_dir):
     return streaming_lsh_screen(spark, sf_dir)
 
 
+def q_lsh_index_roundtrip(spark, sf_dir):
+    """The LSH band index AS A PERSISTED INDEX — the near-dup serving
+    path, completing the persisted-index story `ivf_index_roundtrip`
+    tells for the vector family: build the existing split's distinct
+    ``(band_id, band_key)`` relation (`dedup.lsh_band_index`), WRITE it
+    to parquet (two small deterministic columns, lossless), READ it
+    back, and screen the incoming split purely from the on-disk
+    relation (`dedup.lsh_screen_from_index`). Proof the index is DATA,
+    not session state: a 100 TB ingest fleet builds it once and every
+    later admission job probes parquet. Output identical to
+    `dedup_lsh_screen` (round-trip identity) — one oracle string by
+    the registry guard."""
+    import tempfile
+
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(_BLOOM_SPLIT_SPARK)
+    idx = dedup.lsh_band_index(docs.where(split == 0))
+    d = tempfile.mkdtemp(prefix="lsh_index_")
+    idx.write.mode("overwrite").parquet(f"{d}/bands")
+    return dedup.lsh_screen_from_index(
+        spark.read.parquet(f"{d}/bands"), docs.where(split == 1)
+    )
+
+
 _LSH_HITS = "sum(CASE WHEN idx.band_id IS NOT NULL THEN 1 ELSE 0 END)"
 
 SQL_DEDUP_LSH_SCREEN = f"""
@@ -5031,15 +5055,24 @@ def q_kmeans_ivf_assign(spark, sf_dir):
     return kmeans.kmeans_ivf_assign(load_table(spark, sf_dir, "embeddings"))
 
 
-def _sql_kmeans_ivf_cells() -> str:
+def _sql_kmeans_ivf_cells(idx_pred: str = "TRUE") -> str:
     """CTE chain (starts with a comma, appends to an open WITH whose
     ``n`` CTE provides ``vec_id, e`` double arrays) ending in ``cells``
     = ``(vec_id, coarse, fine, d)`` — the SQL twin of
     `operators.kmeans.kmeans_ivf_assign`, shared by the plain
-    `kmeans_ivf_assign` oracle and `semantic_dedup_learned`."""
+    `kmeans_ivf_assign` oracle and `semantic_dedup_learned`.
+
+    ``idx_pred`` restricts the INDEX-BUILD inputs (the Lloyd sample
+    and the fine table) to a sub-corpus while still assigning ALL of
+    ``n`` through the result — the twin of building
+    `kmeans.ivf_quantizer` from one split and serving the whole frame
+    via `ivf_assign_from_index` (`decontaminate_semantic` learns from
+    the train side only). The default emits the exact historical
+    string, so existing oracles are byte-unchanged."""
     from ..operators import kmeans
 
     iters, salts = kmeans.KM_ITERS, kmeans.KM_SALTS
+    idx = "" if idx_pred == "TRUE" else f" AND ({idx_pred})"
     # sqrt-scaled coarse k derived from the sample -- the twin of
     # kmeans.sqrt_sample_k (isqrt == floor(sqrt) at any testable N).
     k = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM s)"
@@ -5051,7 +5084,7 @@ def _sql_kmeans_ivf_cells() -> str:
         " j -> (a.e[j] - fi.f[j]) * (a.e[j] - fi.f[j])))"
     )
     return f""",
-s AS (SELECT vec_id, e FROM n WHERE vec_id % {smod} = 0)
+s AS (SELECT vec_id, e FROM n WHERE vec_id % {smod} = 0{idx})
 {_sql_kmeans_lloyd('s', k, iters, salts)},
 coarse AS (SELECT cluster AS coarse, c FROM cent{iters}),
 assigned AS (
@@ -5065,7 +5098,7 @@ assigned AS (
 ),
 fine AS (
   SELECT coarse, vec_id AS fine_id, e AS f
-  FROM assigned WHERE vec_id % {fmod} = 0
+  FROM assigned WHERE vec_id % {fmod} = 0{idx}
 ),
 scored AS (
   SELECT a.vec_id, a.coarse, fi.fine_id,
@@ -5332,6 +5365,63 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_bm25_search(spark, sf_dir):
+    """Keyword retrieval (`textops.bm25_search`): the fixed 4-query
+    term panel against the documents corpus, BM25-shaped scoring with
+    the RATIONAL idf ``(N - df + 0.5)/(df + 0.5)`` (the log dropped
+    for cross-engine bit-reproducibility — the tfidf linear-idf
+    stance), per-query top-10 by (score desc, doc_id). The search
+    capability next to the ANN family: terms in, ranked documents
+    out."""
+    panel = spark.createDataFrame(
+        textops.BM25_PANEL, "query_id bigint, term string"
+    )
+    return textops.bm25_search(load_table(spark, sf_dir, "documents"), panel)
+
+
+def _sql_bm25_search() -> str:
+    k1 = textops.BM25_K1
+    vals = ", ".join(f"({q}, '{t}')" for q, t in textops.BM25_PANEL)
+    # Float literals forced to DOUBLE: DuckDB parses bare decimals as
+    # DECIMAL, and exact-decimal arithmetic before the cast rounds
+    # differently than double-from-the-start (tf * 2.2 diverges at
+    # tf=3). repr() round-trips the exact doubles Spark uses.
+    idf = "(((stats.n_docs - dfr.df) + 0.5::DOUBLE) / (dfr.df + 0.5::DOUBLE))"
+    tfnorm = (
+        f"((tf.tf * {k1 + 1.0!r}::DOUBLE) / (tf.tf + ({k1!r}::DOUBLE"
+        f" * ({1.0 - textops.BM25_B!r}::DOUBLE + (({textops.BM25_B!r}::DOUBLE"
+        " * dl.dl) / (stats.total_tokens / stats.n_docs))))))"
+    )
+    return f"""
+WITH panel(query_id, term) AS (VALUES {vals}),
+tk AS (SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tk GROUP BY 1),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk
+  WHERE term IN (SELECT term FROM panel) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, tf.term, {idf} * {tfnorm} AS s
+  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+agg AS (
+  SELECT panel.query_id, sc.doc_id, count(*)::BIGINT AS n_terms_hit,
+         list_sum(list(sc.s ORDER BY sc.term)) AS score
+  FROM panel JOIN sc USING (term) GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank, n_terms_hit, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id
+  )::BIGINT AS rank FROM agg
+) WHERE rank <= {textops.BM25_TOPK}
+"""
+
+
 # Eval slice for the fuzzy decontamination screen (on the nd corpus,
 # so near-dup pairs straddle the split): doc_id % 13 == 7.
 _FUZZY_EVAL_MOD, _FUZZY_EVAL_REM = 13, 7
@@ -5509,6 +5599,176 @@ SELECT otk.doc_id, count(*)::BIGINT AS n_tokens,
          AS dsir_score
 FROM otk LEFT JOIN ratios USING (bucket) CROSS JOIN dflt
 GROUP BY otk.doc_id
+"""
+
+
+# Eval slice for the SEMANTIC decontamination screen, on the nd
+# embedding corpus. Modulus 11 (not the fuzzy screen's 13): the
+# planted offsets are +1000000 (≡1 mod 11) for exact copies and
+# +2000000 (≡2 mod 11) for perturbations, so BOTH planted pair kinds
+# straddle this split (under mod 13 the +2000000 offset is ≡2 with
+# originals ≡0 — perturbed pairs would never cross).
+_SEM_EVAL_MOD, _SEM_EVAL_REM = 11, 3
+
+
+def q_decontaminate_semantic(spark, sf_dir):
+    """SEMANTIC decontamination (`similarity.semantic_cross_
+    decontaminate`): train docs whose EMBEDDING is near an eval doc's
+    (cosine >= 0.9 within the learned (coarse, fine) cells), closing
+    the decontamination matrix — exact 8-grams (`decontaminate`),
+    fuzzy Jaccard (`decontaminate_fuzzy`), and now meaning-level
+    similarity for reworded contamination. The quantizer learns from
+    the TRAIN side only and eval probes it through the serving path —
+    the realistic index direction. Split: vec_id % 11 == 3 is eval."""
+    corpus = derive_near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    pred = F.col("vec_id") % _SEM_EVAL_MOD == _SEM_EVAL_REM
+    return similarity.semantic_cross_decontaminate(
+        corpus, pred, threshold=0.9
+    )
+
+
+def _sql_decontaminate_semantic() -> str:
+    not_eval = f"vec_id % {_SEM_EVAL_MOD} <> {_SEM_EVAL_REM}"
+    cos = (
+        "list_sum(list_transform(range(1, 65), j -> t.e[j] * v.e[j]))"
+        " / (t.nrm * v.nrm)"
+    )
+    return f"""
+WITH emb_nd AS ({_ND_EMB}),
+n AS (SELECT vec_id, embedding AS e FROM emb_nd)
+{_sql_kmeans_ivf_cells(not_eval)},
+m AS (
+  SELECT n.vec_id, n.e,
+         sqrt(list_sum(list_transform(n.e, x -> x * x))) AS nrm,
+         c.coarse, c.fine
+  FROM n JOIN cells c USING (vec_id)
+)
+SELECT t.vec_id AS train_id, v.vec_id AS eval_id, t.coarse, t.fine,
+       {cos} AS cosine
+FROM m t JOIN m v ON t.coarse = v.coarse AND t.fine = v.fine
+WHERE t.vec_id % {_SEM_EVAL_MOD} <> {_SEM_EVAL_REM}
+  AND v.vec_id % {_SEM_EVAL_MOD} = {_SEM_EVAL_REM}
+  AND {cos} >= 0.9
+"""
+
+
+def q_semantic_decon_recall(spark, sf_dir):
+    """Recall of the `decontaminate_semantic` cell-restricted screen vs
+    EXACT cross-corpus cosine truth — the same self-measuring rule as
+    `fuzzy_decon_recall`: a miss is a (train, eval) pair split across
+    (coarse, fine) cells, the SemDeDup blindness, now measured for the
+    cross-corpus direction. Truth is exact cosine >= 0.9 over train ×
+    a FIXED 32-doc eval panel (smallest seeded-hash eval vec_ids —
+    the `pq_recall` discipline; truth over the full eval side would
+    grow |train|·|eval|, quadratic at scale). One row per panel doc
+    with >= 1 true contaminating pair: (eval_id, n_true, n_found,
+    recall); found ⊆ truth by construction (the screen computes the
+    same cosine, within cells), so recall is the only loss axis."""
+    from ..functions.text import hash60
+    from ..operators.similarity import dot64, norm64
+
+    corpus = derive_near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    pred = F.col("vec_id") % _SEM_EVAL_MOD == _SEM_EVAL_REM
+    nn = corpus.select(
+        "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
+    )
+    panel = (
+        nn.where(pred)
+        .select(
+            "vec_id",
+            hash60(F.col("vec_id").cast("string"), seed="sdr").alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(32)
+        .select("vec_id")
+    )
+    pv = nn.join(panel, "vec_id").select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("nrm").alias("v_nrm"),
+    )
+    t = nn.where(~pred).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("t_emb"),
+        F.col("nrm").alias("t_nrm"),
+    )
+    cos = dot64(F.col("t_emb"), F.col("v_emb")) / (
+        F.col("t_nrm") * F.col("v_nrm")
+    )
+    truth = (
+        t.crossJoin(F.broadcast(pv))
+        .where(cos >= 0.9)
+        .select("train_id", "eval_id")
+    )
+    found = (
+        similarity.semantic_cross_decontaminate(corpus, pred, threshold=0.9)
+        .join(panel.withColumnRenamed("vec_id", "eval_id"), "eval_id", "semi")
+        .select("train_id", "eval_id", F.lit(1).alias("hit"))
+    )
+    return (
+        truth.join(found, ["train_id", "eval_id"], "left")
+        .groupBy("eval_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_found"),
+        )
+        .select(
+            "eval_id",
+            "n_true",
+            "n_found",
+            (F.col("n_found") / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
+def _sql_semantic_decon_recall() -> str:
+    not_eval = f"vec_id % {_SEM_EVAL_MOD} <> {_SEM_EVAL_REM}"
+    h = hash60_sql("vec_id::VARCHAR", "'sdr'")
+    cell_cos = (
+        "list_sum(list_transform(range(1, 65), j -> t.e[j] * v.e[j]))"
+        " / (t.nrm * v.nrm)"
+    )
+    return f"""
+WITH emb_nd AS ({_ND_EMB}),
+n AS (SELECT vec_id, embedding AS e FROM emb_nd)
+{_sql_kmeans_ivf_cells(not_eval)},
+nn AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM n
+),
+m AS (
+  SELECT nn.vec_id, nn.e, nn.nrm, c.coarse, c.fine
+  FROM nn JOIN cells c USING (vec_id)
+),
+found AS (
+  SELECT t.vec_id AS train_id, v.vec_id AS eval_id
+  FROM m t JOIN m v ON t.coarse = v.coarse AND t.fine = v.fine
+  WHERE t.vec_id % {_SEM_EVAL_MOD} <> {_SEM_EVAL_REM}
+    AND v.vec_id % {_SEM_EVAL_MOD} = {_SEM_EVAL_REM}
+    AND {cell_cos} >= 0.9
+),
+panel AS (
+  SELECT vec_id FROM n
+  WHERE vec_id % {_SEM_EVAL_MOD} = {_SEM_EVAL_REM}
+  ORDER BY {h}, vec_id LIMIT 32
+),
+truth AS (
+  SELECT t.vec_id AS train_id, v.vec_id AS eval_id
+  FROM nn t, nn v
+  WHERE t.vec_id % {_SEM_EVAL_MOD} <> {_SEM_EVAL_REM}
+    AND v.vec_id IN (SELECT vec_id FROM panel)
+    AND {cell_cos} >= 0.9
+)
+SELECT truth.eval_id, count(*)::BIGINT AS n_true,
+       sum(CASE WHEN found.train_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_found,
+       sum(CASE WHEN found.train_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         / count(*) AS recall
+FROM truth LEFT JOIN found USING (train_id, eval_id)
+GROUP BY truth.eval_id
 """
 
 
@@ -5722,6 +5982,14 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "decontaminate_fuzzy": (q_decontaminate_fuzzy, SQL_DECONTAMINATE_FUZZY),
     "fuzzy_decon_recall": (q_fuzzy_decon_recall, SQL_FUZZY_DECON_RECALL),
+    "decontaminate_semantic": (
+        q_decontaminate_semantic,
+        _sql_decontaminate_semantic(),
+    ),
+    "semantic_decon_recall": (
+        q_semantic_decon_recall,
+        _sql_semantic_decon_recall(),
+    ),
     "boilerplate_removal": (
         q_boilerplate_removal,
         _sql_boilerplate_removal(),
@@ -5744,6 +6012,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
         q_dedup_lsh_screen_streaming,
         SQL_DEDUP_LSH_SCREEN,
     ),
+    "lsh_index_roundtrip": (q_lsh_index_roundtrip, SQL_DEDUP_LSH_SCREEN),
     "dup_overlap": (q_dup_overlap, _sql_dup_overlap()),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "corpus_stats_cube": (q_corpus_stats_cube, SQL_CORPUS_STATS_CUBE),
@@ -5758,6 +6027,7 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     ),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
+    "bm25_search": (q_bm25_search, _sql_bm25_search()),
     "events_quantiles_hist": (
         q_events_quantiles_hist,
         SQL_EVENTS_QUANTILES_HIST,

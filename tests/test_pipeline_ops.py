@@ -638,3 +638,122 @@ def test_kmeans_ivf_default_k_is_sqrt_scaled(spark):
     coarse_ids = {r.coarse for r in out}
     assert len(out) == 64
     assert coarse_ids <= set(range(8)), "coarse ids must come from k=isqrt(N) seeds"
+
+
+# -------------------------------------------------------------- BM25
+
+def test_bm25_rational_idf_rare_term_outranks(spark):
+    # d3 matches BOTH query terms (and the rarer one twice); docs
+    # matching only the common term 'a' score below it.
+    docs = _docs(
+        spark,
+        [(1, "a b"), (2, "a"), (3, "a c c"), (4, "b b")],
+    )
+    panel = spark.createDataFrame(
+        [(1, "a"), (1, "c")], "query_id long, term string"
+    )
+    out = textops.bm25_search(docs, panel, topk=10).collect()
+    by_rank = {r.rank: r for r in out}
+    assert by_rank[1].doc_id == 3 and by_rank[1].n_terms_hit == 2
+    assert all(r.score > 0 for r in out)
+    assert sorted(r.rank for r in out) == list(range(1, len(out) + 1))
+
+
+def test_bm25_score_matches_hand_formula(spark):
+    # One query term, hand-replicated expression tree: the engine
+    # score must equal the Python float EXACTLY (the bit-reproducible
+    # claim of the rational-idf form).
+    docs = _docs(spark, [(1, "a a b"), (2, "b c")])
+    panel = spark.createDataFrame([(7, "a")], "query_id long, term string")
+    out = {r.doc_id: r for r in textops.bm25_search(docs, panel).collect()}
+    n_docs, total = 2, 5
+    tf, dl, df_ = 2, 3, 1
+    k1, b = textops.BM25_K1, textops.BM25_B
+    idf = ((n_docs - df_) + 0.5) / (df_ + 0.5)
+    tfnorm = (tf * (k1 + 1.0)) / (
+        tf + (k1 * ((1.0 - b) + ((b * dl) / (total / n_docs))))
+    )
+    assert out[1].score == idf * tfnorm
+    assert out[1].rank == 1 and out[1].n_terms_hit == 1
+    assert 2 not in out  # no query term -> absent, not zero-scored
+
+
+# ------------------------------------------- LSH index round-trip
+
+def test_lsh_index_roundtrip_identity(spark, tmp_path):
+    # The screen served from the parquet-persisted band index must
+    # answer byte-identically to the in-session screen.
+    existing = _docs(
+        spark,
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely different content about spark partitions")],
+    )
+    incoming = _docs(
+        spark,
+        [(10, "the quick brown fox jumps over the lazy dog today"),
+         (11, "unrelated third text with novel words entirely here")],
+    )
+    live = {
+        r.doc_id: (r.n_bands_hit, r.lsh_hit)
+        for r in dedup.lsh_screen(existing, incoming).collect()
+    }
+    idx = dedup.lsh_band_index(existing)
+    d = str(tmp_path / "bands")
+    idx.write.mode("overwrite").parquet(d)
+    served = {
+        r.doc_id: (r.n_bands_hit, r.lsh_hit)
+        for r in dedup.lsh_screen_from_index(
+            spark.read.parquet(d), incoming
+        ).collect()
+    }
+    assert served == live
+    assert live[10][1] and not live[11][1]  # exact copy hits, novel text misses
+
+
+# -------------------------------------- semantic decontamination
+
+def test_semantic_cross_decontaminate_planted(spark):
+    # Two orthogonal directions; eval doc 103 is a near-copy of train
+    # doc 1 (cosine ~ 1), eval doc 58 is orthogonal to everything in
+    # its cell's train side. Quantizer learns from train only.
+    def vec(axis, eps=0.0):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[(axis + 1) % 64] = eps
+        return v
+
+    # eval split: vec_id % 11 == 3 -> 58 % 11 == 3, 103 % 11 == 4? No:
+    # choose ids explicitly below.
+    rows = [
+        (1, vec(0)),          # train, direction e0
+        (2, vec(0, 0.01)),    # train, direction e0
+        (7, vec(32)),         # train, direction e32
+        (9, vec(32, 0.01)),   # train, direction e32
+        (14, vec(0, 0.02)),   # eval (14 % 11 == 3): near train docs 1,2
+        (25, vec(16)),        # eval (25 % 11 == 3): orthogonal to all
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    pred = F.col("vec_id") % 11 == 3
+    # fine_mod > |train|: no fine sample, cells pair at the coarse
+    # level (fine = -1). With fine_mod=1 every train vector becomes a
+    # fine centroid and (1, 14) splits across fine cells — the
+    # SemDeDup blindness `semantic_decon_recall` measures, exercised
+    # deliberately in the second half below.
+    out = similarity.semantic_cross_decontaminate(
+        emb, pred, threshold=0.9, k=2, iters=1, sample_mod=1, fine_mod=1000
+    ).collect()
+    pairs = {(r.train_id, r.eval_id) for r in out}
+    assert (1, 14) in pairs and (2, 14) in pairs
+    assert all(e == 14 for _, e in pairs)  # 25 contaminates nothing
+    assert all(r.cosine >= 0.9 for r in out)
+    assert all(r.train_id % 11 != 3 for r in out)
+    # fine_mod=1: every train vector is a fine centroid, eval 14
+    # resolves to doc 2's cell — (1, 14) is now split across fine
+    # cells and invisible to the screen (the measured trade).
+    fine_out = similarity.semantic_cross_decontaminate(
+        emb, pred, threshold=0.9, k=2, iters=1, sample_mod=1, fine_mod=1
+    ).collect()
+    fine_pairs = {(r.train_id, r.eval_id) for r in fine_out}
+    assert fine_pairs == {(2, 14)}
