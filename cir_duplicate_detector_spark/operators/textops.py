@@ -1297,3 +1297,131 @@ def bm25_search(
         .where(F.col("rank") <= topk)
         .select("query_id", "doc_id", "rank", "n_terms_hit", "score")
     )
+
+
+def bm25_index_stats(
+    docs_index: DataFrame, terms: DataFrame
+) -> "tuple[DataFrame, DataFrame]":
+    """The static half of BM25-at-ingest (:func:`bm25_route`): from the
+    INDEXED corpus, the 1-row scalar frame ``(n_docs, total_tokens)``
+    and the per-panel-term document frequencies ``(term, df)``. Built
+    once; every incoming batch/stream joins these as broadcast
+    relations — the percolation service's precomputed background
+    statistics."""
+    toks = docs_index.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    df_rel = (
+        toks.join(F.broadcast(terms.select("term").dropDuplicates()), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+    )
+    return stats, df_rel
+
+
+def bm25_route(
+    docs_incoming: DataFrame,
+    queries: DataFrame,
+    stats: DataFrame,
+    df_rel: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Route INCOMING documents against STANDING keyword queries — the
+    percolation/alerting direction of :func:`bm25_search` (there: query
+    arrives, corpus is indexed; here: queries stand, documents arrive —
+    the shape a crawl pipeline uses to tag incoming docs by topic).
+    Returns ``(doc_id, query_id, n_terms_hit, score)`` for every
+    incoming doc matching >= 1 of a query's terms.
+
+    SINGLE-AGGREGATION SHAPE (the `dsir_score` discipline): per-term
+    tf comes from a stateless array-filter PROJECTION over the doc's
+    own token array (``size(filter(toks, t -> t = term))``) after a
+    1-key broadcast join against the tiny panel — never a
+    (doc, term) aggregation, which would be a second agg upstream and
+    ILLEGAL under Structured Streaming. The one aggregation is the
+    per-(doc, query) term-ordered score fold, so this exact code runs
+    as the registered streaming twin. Corpus statistics (N, Σdl, df)
+    come from the static index side (:func:`bm25_index_stats`) —
+    incoming docs are scored against the BACKGROUND corpus, their own
+    text contributing only tf and dl. A panel term absent from the
+    index takes df = 0 (maximum-rarity idf (N+0.5)/0.5 — still one
+    exact division). Score expression tree and fold order are
+    byte-identical to :func:`bm25_search`'s."""
+    from .kmeans import _sorted_fold
+
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    panel = (
+        queries.join(df_rel, "term", "left")
+        .crossJoin(stats)
+        .select(
+            "query_id",
+            "term",
+            F.coalesce(F.col("df"), F.lit(0)).alias("df"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+    per_term = (
+        docs_incoming.select(
+            "doc_id",
+            tokens("text").alias("toks"),
+            F.lit(1).alias("one"),
+        )
+        .join(F.broadcast(panel.withColumn("one", F.lit(1))), "one")
+        .select(
+            "doc_id",
+            "query_id",
+            "term",
+            "df",
+            "n_docs",
+            "total_tokens",
+            # tf = occurrences of `term` in the doc's token array.
+            # NOT a filter-lambda with an outer column reference —
+            # Catalyst's projection collapse pushes the lambda below
+            # the panel join and fails resolution at runtime
+            # (ATTRIBUTE_NOT_FOUND on `term`); array_remove takes the
+            # column as a plain argument and survives pushdown.
+            (
+                F.size("toks")
+                - F.size(F.array_remove(F.col("toks"), F.col("term")))
+            )
+            .cast("bigint")
+            .alias("tf"),
+            F.size("toks").cast("bigint").alias("dl"),
+        )
+        .where(F.col("tf") > 0)
+    )
+    idf = ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tfnorm = (F.col("tf") * F.lit(k1p1)) / (
+        F.col("tf")
+        + (
+            F.lit(k1)
+            * (
+                F.lit(one_minus_b)
+                + (
+                    (F.lit(b) * F.col("dl"))
+                    / (F.col("total_tokens") / F.col("n_docs"))
+                )
+            )
+        )
+    )
+    scored = per_term.select(
+        "doc_id", "query_id", "term", (idf * tfnorm).alias("s")
+    )
+    return scored.groupBy("doc_id", "query_id").agg(
+        F.count("*").cast("bigint").alias("n_terms_hit"),
+        _sorted_fold(F.collect_list(F.struct("term", "s")), "s").alias(
+            "score"
+        ),
+    )

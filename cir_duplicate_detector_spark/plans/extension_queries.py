@@ -5422,6 +5422,83 @@ SELECT query_id, doc_id, rank, n_terms_hit, score FROM (
 """
 
 
+def q_bm25_route(spark, sf_dir):
+    """BM25 percolation, batch form (`textops.bm25_route`): the fixed
+    term panel STANDS as queries and documents arrive — the crawl-side
+    topic-tagging direction of `bm25_search`. Corpus statistics come
+    from the indexed half (doc_id % 2 == 0, `textops.bm25_index_
+    stats`); the incoming half scores against them with per-term tf
+    from a stateless array-filter projection and ONE per-(doc, query)
+    fold — the single-aggregation shape the streaming twin runs
+    unchanged."""
+    panel = spark.createDataFrame(
+        textops.BM25_PANEL, "query_id bigint, term string"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    stats, df_rel = textops.bm25_index_stats(
+        docs.where("doc_id % 2 = 0"), panel
+    )
+    return textops.bm25_route(
+        docs.where("doc_id % 2 = 1"), panel, stats, df_rel
+    )
+
+
+def q_bm25_route_streaming(spark, sf_dir):
+    """`streaming.windows.streaming_bm25_route`: the identical
+    expressions with the incoming half arriving on a file stream —
+    stateless tf projection, broadcast static panel/stats, one
+    complete-mode aggregation."""
+    from ..streaming.windows import streaming_bm25_route
+
+    return streaming_bm25_route(spark, sf_dir)
+
+
+def _sql_bm25_route() -> str:
+    k1, b = textops.BM25_K1, textops.BM25_B
+    vals = ", ".join(f"({q}, '{t}')" for q, t in textops.BM25_PANEL)
+    idf = "(((n_docs - df) + 0.5::DOUBLE) / (df + 0.5::DOUBLE))"
+    tfnorm = (
+        f"((tf * {k1 + 1.0!r}::DOUBLE) / (tf + ({k1!r}::DOUBLE"
+        f" * ({1.0 - b!r}::DOUBLE + (({b!r}::DOUBLE"
+        " * dl) / (total_tokens / n_docs))))))"
+    )
+    return f"""
+WITH panel(query_id, term) AS (VALUES {vals}),
+itk AS (
+  SELECT doc_id, unnest({_DUCK_WORDS}) AS term FROM documents
+  WHERE doc_id % 2 = 0
+),
+dli AS (SELECT doc_id, count(*)::BIGINT AS dl FROM itk GROUP BY 1),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens
+  FROM dli
+),
+dfr AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM itk
+  WHERE term IN (SELECT term FROM panel) GROUP BY 1
+),
+inc AS (
+  SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents WHERE doc_id % 2 = 1
+),
+pt AS (
+  SELECT inc.doc_id, p.query_id, p.term,
+         coalesce(dfr.df, 0)::BIGINT AS df,
+         stats.n_docs, stats.total_tokens,
+         len(list_filter(inc.ws, t -> t = p.term))::BIGINT AS tf,
+         len(inc.ws)::BIGINT AS dl
+  FROM inc CROSS JOIN panel p
+  LEFT JOIN dfr ON dfr.term = p.term CROSS JOIN stats
+),
+sc AS (
+  SELECT doc_id, query_id, term, {idf} * {tfnorm} AS s
+  FROM pt WHERE tf > 0
+)
+SELECT doc_id, query_id, count(*)::BIGINT AS n_terms_hit,
+       list_sum(list(s ORDER BY term)) AS score
+FROM sc GROUP BY 1, 2
+"""
+
+
 # Eval slice for the fuzzy decontamination screen (on the nd corpus,
 # so near-dup pairs straddle the split): doc_id % 13 == 7.
 _FUZZY_EVAL_MOD, _FUZZY_EVAL_REM = 13, 7
@@ -6028,6 +6105,8 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "tfidf_topterms": (q_tfidf_topterms, SQL_TFIDF_TOPTERMS),
     "bm25_search": (q_bm25_search, _sql_bm25_search()),
+    "bm25_route": (q_bm25_route, _sql_bm25_route()),
+    "bm25_route_streaming": (q_bm25_route_streaming, _sql_bm25_route()),
     "events_quantiles_hist": (
         q_events_quantiles_hist,
         SQL_EVENTS_QUANTILES_HIST,

@@ -783,3 +783,40 @@ def streaming_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def streaming_bm25_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 percolation AS A STREAM — standing keyword queries, arriving
+    documents: corpus statistics (N, Σdl, per-term df) build batch-side
+    ONCE from the indexed half (`textops.bm25_index_stats`); incoming
+    documents stream in, take per-term tf from a stateless array-filter
+    projection after the broadcast panel join, and fold per (doc,
+    query) in ONE aggregation (`textops.bm25_route` — the
+    single-aggregation shape exists precisely so this twin can run it
+    unchanged). Output identical to the batch `bm25_route` entry — one
+    oracle string by the twin guard."""
+    from ..operators import textops
+    from ..operators.textops import bm25_index_stats, bm25_route
+
+    path = f"{sf_dir}/documents.parquet"
+    docs_b = spark.read.parquet(path)
+    panel = spark.createDataFrame(
+        textops.BM25_PANEL, "query_id bigint, term string"
+    )
+    stats, df_rel = bm25_index_stats(docs_b.where("doc_id % 2 = 0"), panel)
+    schema = docs_b.schema
+    stage = stage_source(path, "docs_bm25_stream_")
+    incoming = (
+        spark.readStream.schema(schema).parquet(stage).where("doc_id % 2 = 1")
+    )
+    routed = bm25_route(incoming, panel, stats, df_rel)
+    name = f"stream_bm25_{uuid.uuid4().hex[:8]}"
+    query = (
+        routed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -757,3 +757,31 @@ def test_semantic_cross_decontaminate_planted(spark):
     ).collect()
     fine_pairs = {(r.train_id, r.eval_id) for r in fine_out}
     assert fine_pairs == {(2, 14)}
+
+
+def test_bm25_route_static_stats_and_df0(spark):
+    # Index side: 2 docs, term 'a' in one of them, 'q' in neither.
+    # Incoming doc matches both panel terms; 'q' takes the df=0
+    # maximum-rarity idf. Scores must equal the hand formula exactly.
+    index = _docs(spark, [(2, "a b b"), (4, "b c")])
+    incoming = _docs(spark, [(1, "a q q")])
+    panel = spark.createDataFrame(
+        [(1, "a"), (1, "q")], "query_id long, term string"
+    )
+    stats, df_rel = textops.bm25_index_stats(index, panel)
+    out = textops.bm25_route(incoming, panel, stats, df_rel).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id, r.query_id, r.n_terms_hit) == (1, 1, 2)
+    k1, b = textops.BM25_K1, textops.BM25_B
+    n_docs, total = 2, 5  # index side only
+    dl = 3  # incoming doc's own length
+
+    def s(tf, df):
+        idf = ((n_docs - df) + 0.5) / (df + 0.5)
+        return idf * (
+            (tf * (k1 + 1.0))
+            / (tf + (k1 * ((1.0 - b) + ((b * dl) / (total / n_docs)))))
+        )
+
+    assert r.score == s(1, 1) + s(2, 0)  # term order: 'a' then 'q'
