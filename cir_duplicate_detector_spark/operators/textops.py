@@ -1425,3 +1425,92 @@ def bm25_route(
             "score"
         ),
     )
+
+
+def eval_span_index(
+    docs_eval: DataFrame, window: int = BOILER_TOKENS
+) -> DataFrame:
+    """(whash): distinct digests of every OVERLAPPING ``window``-token
+    span of the EVAL corpus — the index :func:`decontaminate_scrub`
+    probes. Overlapping (stride 1) on the eval side so a train span
+    matches at ANY alignment within an eval document; the eval corpus
+    is small by assumption (that is what makes it an eval set), so the
+    ~|tokens| spans per eval doc are cheap. Documents shorter than
+    ``window`` contribute their whole text as one span."""
+    ws = tokens("text")
+    n = F.size(ws)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(1)
+    )
+    return (
+        docs_eval.select(
+            ws.alias("ws"), F.explode(starts).alias("start")
+        )
+        .select(
+            F.md5(
+                F.array_join(F.slice("ws", F.col("start"), window), " ")
+            ).alias("whash")
+        )
+        .dropDuplicates()
+    )
+
+
+def decontaminate_scrub(
+    docs_train: DataFrame,
+    docs_eval: DataFrame,
+    window: int = BOILER_TOKENS,
+) -> DataFrame:
+    """SURGICAL decontamination — remove the contaminated SPANS and
+    keep the document, where `decontaminate`/`decontaminate_fuzzy`/
+    `decontaminate_semantic` only DETECT: each train document splits
+    into non-overlapping ``window``-token spans (`_doc_spans` — the
+    boilerplate-removal span unit), a span whose exact content occurs
+    ANYWHERE in the eval corpus (any alignment — the eval side indexes
+    overlapping spans, :func:`eval_span_index`) is dropped, and the
+    document is REBUILT from its surviving spans. The fix a pipeline
+    applies when dropping whole documents would cost too much data —
+    the span-removal counterpart of C4/CCNet-style boilerplate
+    removal, pointed across corpora.
+
+    Returns ``(doc_id, n_tokens, n_kept_tokens, clean_text)`` for
+    every train document (fully-contaminated docs keep
+    ``n_kept_tokens = 0``). Caveat, documented: a train document's
+    TRAILING span can be shorter than ``window`` and then matches only
+    a short eval document's whole-text span — scrub at the span
+    granularity, not a guarantee of zero residual n-gram overlap
+    (`decontaminate` measures what remains).
+
+    Scale shape: train side is the linear `_doc_spans` scan + one
+    digest anti-join + one per-doc rebuild aggregation (the
+    `boilerplate_removal` profile); the eval index is |eval tokens|
+    digest rows, distinct-ed once — nothing pairwise, nothing
+    broadcast by construction (AQE broadcasts the index exactly when
+    it is small)."""
+    idx = eval_span_index(docs_eval, window)
+    spans = _doc_spans(docs_train, window)
+    kept = spans.join(idx, "whash", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.sum("wtok").alias("n_kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("win_id", "wtext"))),
+                lambda s: s["wtext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        docs_train.select(
+            "doc_id",
+            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        )
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept_tokens"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -122,6 +122,7 @@ for _batch, _streaming in [
     ("boilerplate_screen", "boilerplate_screen_streaming"),
     ("dsir_score", "dsir_score_streaming"),
     ("bm25_route", "bm25_route_streaming"),
+    ("bm25_route", "bm25_index_roundtrip"),
     # salted_join is a physical-plan rewrite only — same answer, same
     # oracle string as the unsalted plan.
     ("tpch_q5", "tpch_q5_skewed"),

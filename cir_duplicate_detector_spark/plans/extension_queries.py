@@ -5499,9 +5499,92 @@ FROM sc GROUP BY 1, 2
 """
 
 
+def q_bm25_index_roundtrip(spark, sf_dir):
+    """The BM25 background statistics AS A PERSISTED INDEX: the scalar
+    frame (N, Σdl) and the per-term document frequencies write to
+    parquet and the incoming half routes purely from the re-read
+    relations — the percolation service's restart path, completing the
+    persisted-index rule (`ivf_index_roundtrip`, `lsh_index_roundtrip`)
+    for the retrieval family. Output identical to `bm25_route`
+    (round-trip identity) — one oracle string by the registry guard."""
+    import tempfile
+
+    panel = spark.createDataFrame(
+        textops.BM25_PANEL, "query_id bigint, term string"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    stats, df_rel = textops.bm25_index_stats(
+        docs.where("doc_id % 2 = 0"), panel
+    )
+    d = tempfile.mkdtemp(prefix="bm25_index_")
+    stats.write.mode("overwrite").parquet(f"{d}/stats")
+    df_rel.write.mode("overwrite").parquet(f"{d}/df")
+    return textops.bm25_route(
+        docs.where("doc_id % 2 = 1"),
+        panel,
+        spark.read.parquet(f"{d}/stats"),
+        spark.read.parquet(f"{d}/df"),
+    )
+
+
 # Eval slice for the fuzzy decontamination screen (on the nd corpus,
 # so near-dup pairs straddle the split): doc_id % 13 == 7.
 _FUZZY_EVAL_MOD, _FUZZY_EVAL_REM = 13, 7
+
+
+def q_decontaminate_scrub(spark, sf_dir):
+    """SURGICAL decontamination (`textops.decontaminate_scrub`): train
+    documents REBUILT with their eval-contaminated spans removed — the
+    fix, where the three decontamination screens only detect. Train
+    spans are the boilerplate family's non-overlapping 16-token
+    windows; the eval side indexes OVERLAPPING spans so any alignment
+    matches. Same nd corpus and % 13 == 7 eval split as
+    `decontaminate_fuzzy`, so the planted exact copies and truncation
+    mutants straddling the split ARE the contamination scrubbed."""
+    docs = _docs_nd(spark, sf_dir)
+    pred = F.col("doc_id") % _FUZZY_EVAL_MOD == _FUZZY_EVAL_REM
+    return textops.decontaminate_scrub(docs.where(~pred), docs.where(pred))
+
+
+def _sql_decontaminate_scrub() -> str:
+    w = textops.BOILER_TOKENS
+    ev = f"doc_id % {_FUZZY_EVAL_MOD} = {_FUZZY_EVAL_REM}"
+    return f"""
+WITH docs_nd AS ({_ND}),
+wd AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM docs_nd),
+evsp AS (
+  SELECT DISTINCT md5(array_to_string(
+           list_slice(ws, start, start + {w} - 1), ' ')) AS whash
+  FROM (
+    SELECT ws,
+           unnest(range(1, greatest(len(ws) - {w} + 1, 1) + 1)) AS start
+    FROM wd WHERE {ev}
+  )
+),
+st AS (
+  SELECT doc_id, ws,
+         unnest(range(1, greatest(len(ws), 1) + 1, {w})) AS start
+  FROM wd WHERE NOT ({ev})
+),
+sp AS (
+  SELECT doc_id, ((start - 1) // {w})::BIGINT AS win_id,
+         array_to_string(list_slice(ws, start, start + {w} - 1), ' ')
+           AS wtext,
+         len(list_slice(ws, start, start + {w} - 1))::BIGINT AS wtok
+  FROM st
+),
+kept AS (SELECT * FROM sp WHERE md5(wtext) NOT IN (SELECT whash FROM evsp)),
+rb AS (
+  SELECT doc_id, sum(wtok)::BIGINT AS n_kept_tokens,
+         string_agg(wtext, ' ' ORDER BY win_id) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT wd.doc_id, len(wd.ws)::BIGINT AS n_tokens,
+       coalesce(rb.n_kept_tokens, 0)::BIGINT AS n_kept_tokens,
+       coalesce(rb.clean_text, '') AS clean_text
+FROM wd LEFT JOIN rb USING (doc_id)
+WHERE NOT ({ev})
+"""
 
 
 def q_decontaminate_fuzzy(spark, sf_dir):
@@ -6107,6 +6190,11 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "bm25_search": (q_bm25_search, _sql_bm25_search()),
     "bm25_route": (q_bm25_route, _sql_bm25_route()),
     "bm25_route_streaming": (q_bm25_route_streaming, _sql_bm25_route()),
+    "bm25_index_roundtrip": (q_bm25_index_roundtrip, _sql_bm25_route()),
+    "decontaminate_scrub": (
+        q_decontaminate_scrub,
+        _sql_decontaminate_scrub(),
+    ),
     "events_quantiles_hist": (
         q_events_quantiles_hist,
         SQL_EVENTS_QUANTILES_HIST,

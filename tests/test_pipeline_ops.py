@@ -785,3 +785,34 @@ def test_bm25_route_static_stats_and_df0(spark):
         )
 
     assert r.score == s(1, 1) + s(2, 0)  # term order: 'a' then 'q'
+
+
+def test_decontaminate_scrub_removes_aligned_and_offset_spans(spark):
+    # Train doc 1's FIRST 4-token span appears verbatim inside the eval
+    # doc at an OFFSET alignment (eval side indexes overlapping spans);
+    # its second span is clean and survives. Doc 2 is untouched.
+    train = _docs(
+        spark,
+        [
+            (1, "w x y z keep these four words"),
+            (2, "totally clean text here"),
+        ],
+    )
+    ev = _docs(spark, [(100, "lead-in w x y z trailing")])
+    out = {
+        r.doc_id: r
+        for r in textops.decontaminate_scrub(train, ev, window=4).collect()
+    }
+    assert out[1].n_tokens == 8 and out[1].n_kept_tokens == 4
+    assert out[1].clean_text == "keep these four words"
+    assert out[2].n_kept_tokens == out[2].n_tokens == 4
+    assert out[2].clean_text == "totally clean text here"
+
+
+def test_decontaminate_scrub_fully_contaminated_doc_kept_empty(spark):
+    train = _docs(spark, [(1, "a b c d")])
+    ev = _docs(spark, [(100, "a b c d")])
+    out = textops.decontaminate_scrub(train, ev, window=4).collect()
+    assert [(r.doc_id, r.n_kept_tokens, r.clean_text) for r in out] == [
+        (1, 0, "")
+    ]
