@@ -1481,36 +1481,43 @@ def decontaminate_scrub(
     (`decontaminate` measures what remains).
 
     Scale shape: train side is the linear `_doc_spans` scan + one
-    digest anti-join + one per-doc rebuild aggregation (the
-    `boilerplate_removal` profile); the eval index is |eval tokens|
-    digest rows, distinct-ed once — nothing pairwise, nothing
-    broadcast by construction (AQE broadcasts the index exactly when
-    it is small)."""
-    idx = eval_span_index(docs_eval, window)
+    digest left join + ONE per-doc rebuild aggregation — no anti-join
+    followed by a back-join to re-admit fully-contaminated docs: the
+    hit FLAG rides into the fold instead, so every doc is represented
+    by its own span rows (non-overlapping spans partition the tokens,
+    so Σ wtok IS n_tokens) and the whole operator is a
+    single-aggregation plan that runs unchanged under Structured
+    Streaming (`streaming.windows.streaming_decontaminate_scrub` — the
+    scrub-at-ingest twin). The eval index is |eval tokens| digest
+    rows, distinct-ed once — nothing pairwise, nothing broadcast by
+    construction (AQE broadcasts the index exactly when it is
+    small)."""
+    idx = eval_span_index(docs_eval, window).withColumn("hit", F.lit(1))
     spans = _doc_spans(docs_train, window)
-    kept = spans.join(idx, "whash", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.sum("wtok").alias("n_kept_tokens"),
+    flagged = spans.join(idx, "whash", "left").select(
+        "doc_id",
+        "win_id",
+        "wtext",
+        "wtok",
+        F.col("hit").isNotNull().alias("contaminated"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("wtok").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("contaminated"), 0).otherwise(F.col("wtok")))
+        .cast("bigint")
+        .alias("n_kept_tokens"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("win_id", "wtext"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("win_id", "contaminated", "wtext")
+                        )
+                    ),
+                    lambda s: ~s["contaminated"],
+                ),
                 lambda s: s["wtext"],
             ),
             " ",
         ).alias("clean_text"),
-    )
-    return (
-        docs_train.select(
-            "doc_id",
-            F.size(tokens("text")).cast("bigint").alias("n_tokens"),
-        )
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("n_kept_tokens"), F.lit(0))
-            .cast("bigint")
-            .alias("n_kept_tokens"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
     )

@@ -123,6 +123,7 @@ for _batch, _streaming in [
     ("dsir_score", "dsir_score_streaming"),
     ("bm25_route", "bm25_route_streaming"),
     ("bm25_route", "bm25_index_roundtrip"),
+    ("decontaminate_scrub", "decontaminate_scrub_streaming"),
     # salted_join is a physical-plan rewrite only — same answer, same
     # oracle string as the unsalted plan.
     ("tpch_q5", "tpch_q5_skewed"),

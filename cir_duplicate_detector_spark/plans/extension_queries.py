@@ -5546,6 +5546,17 @@ def q_decontaminate_scrub(spark, sf_dir):
     return textops.decontaminate_scrub(docs.where(~pred), docs.where(pred))
 
 
+def q_decontaminate_scrub_streaming(spark, sf_dir):
+    """`streaming.windows.streaming_decontaminate_scrub`: scrub at
+    INGEST — the identical single-aggregation expressions with the
+    train side arriving on a file stream; the eval span index is
+    static, contamination flags ride a stream-static digest join into
+    the one per-doc rebuild aggregation."""
+    from ..streaming.windows import streaming_decontaminate_scrub
+
+    return streaming_decontaminate_scrub(spark, sf_dir)
+
+
 def _sql_decontaminate_scrub() -> str:
     w = textops.BOILER_TOKENS
     ev = f"doc_id % {_FUZZY_EVAL_MOD} = {_FUZZY_EVAL_REM}"
@@ -6193,6 +6204,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "bm25_index_roundtrip": (q_bm25_index_roundtrip, _sql_bm25_route()),
     "decontaminate_scrub": (
         q_decontaminate_scrub,
+        _sql_decontaminate_scrub(),
+    ),
+    "decontaminate_scrub_streaming": (
+        q_decontaminate_scrub_streaming,
         _sql_decontaminate_scrub(),
     ),
     "events_quantiles_hist": (

@@ -820,3 +820,40 @@ def streaming_bm25_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def streaming_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination AS A STREAM — scrub-at-ingest: the eval
+    corpus's overlapping-span digest index builds batch-side ONCE
+    (`textops.eval_span_index`); incoming train documents stream in,
+    split to non-overlapping spans (stateless posexplode), flag
+    contaminated spans through one stream-static digest join, and
+    rebuild per document in ONE aggregation — the single-aggregation
+    shape `textops.decontaminate_scrub` was written in precisely so
+    this twin runs it unchanged. Output identical to the batch
+    `decontaminate_scrub` entry — one oracle string by the twin
+    guard."""
+    from ..operators.textops import decontaminate_scrub
+    from ..sources.derived import derive_near_dup_corpus
+
+    # Static side: the eval split's overlapping-span digest index input
+    # (the derived nd corpus, so planted near-dups straddle the split).
+    nd_b = derive_near_dup_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    ev = nd_b.where("doc_id % 13 = 7")
+    # Stream side: the same derived-corpus branches applied stream-side.
+    incoming = _stream_near_dup_corpus(
+        spark, sf_dir, "docs_scrub_stream_"
+    ).where("doc_id % 13 <> 7")
+    scrubbed = decontaminate_scrub(incoming, ev)
+    name = f"stream_scrub_{uuid.uuid4().hex[:8]}"
+    query = (
+        scrubbed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
