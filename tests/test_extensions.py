@@ -1070,3 +1070,30 @@ def test_fuzzy_decon_recall_counts_found_over_truth(spark):
     for r in rows:
         assert r.n_true >= 1 and 0.0 <= r.recall <= 1.0
         assert r.n_found <= r.n_true
+
+
+def test_bm25_scores_partitioning_invariant(spark):
+    # The term-ordered fold claim for the retrieval family: BM25 scores
+    # must be BIT-IDENTICAL no matter how the corpus is partitioned or
+    # ordered (shuffle reordering is what breaks naive double sums).
+    from cir_duplicate_detector_spark.operators import textops
+
+    docs = load_table(spark, SF_DIR, "documents")
+    panel = spark.createDataFrame(
+        textops.BM25_PANEL, "query_id bigint, term string"
+    )
+
+    def run(df):
+        return sorted(
+            (r.query_id, r.doc_id, r.rank, r.n_terms_hit, r.score)
+            for r in textops.bm25_search(df, panel).collect()
+        )
+
+    base = run(docs)
+    assert base  # non-empty at any sf
+    for v in (
+        docs.repartition(1),
+        docs.repartition(13, "doc_id"),
+        docs.orderBy(F.col("doc_id").desc()),
+    ):
+        assert run(v) == base  # exact double equality, no tolerance
