@@ -803,3 +803,42 @@ def cross_corpus_near_duplicates(
     return jaccard_pairs(
         hashed_t.unionByName(hashed_e), cand, threshold
     )
+
+
+def cross_corpus_near_duplicates_canonical(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """:func:`cross_corpus_near_duplicates` behind an exact-dedup
+    pre-pass — the `dedup_containment_canonical` pipeline-ordering
+    lever pointed at decontamination: only one REPRESENTATIVE per
+    distinct train text (smallest doc_id) runs the banded screen and
+    the exact-Jaccard verify, and verdicts propagate back to every
+    train doc sharing the digest through one md5 equi-join. Output is
+    IDENTICAL to the unscreened form (same text ⇒ same shingle set ⇒
+    same signature, bands, candidates and jaccard), which the registry
+    identity guard pins by sharing its oracle string.
+
+    Why it matters at scale: the screen's verify stage prices banded
+    CANDIDATE PAIRS, and on a duplicate-heavy corpus (exactly the
+    corpus a decontamination pass meets first) candidates grow
+    superlinearly — the 10× replica measured 18.1 s for the raw screen
+    (SCALE.md round-8). Exact dedup collapses each duplicate family to one
+    representative BEFORE pairs form; the propagation join is linear
+    digest traffic."""
+    rep_docs = canonicalize_exact(train)
+    pairs = cross_corpus_near_duplicates(
+        rep_docs, eval_docs, threshold, n, bands
+    )
+    rep_th = rep_docs.select(
+        F.col("doc_id").alias("rep"), F.md5("text").alias("th")
+    )
+    members = train.select("doc_id", F.md5("text").alias("th"))
+    return (
+        pairs.join(rep_th, pairs["a"] == rep_th["rep"])
+        .join(members, "th")
+        .select(F.col("doc_id").alias("a"), "b", "jaccard")
+    )

@@ -126,6 +126,7 @@ for _batch, _streaming in [
     ("bm25_route", "bm25_route_streaming"),
     ("bm25_route", "bm25_index_roundtrip"),
     ("decontaminate_scrub", "decontaminate_scrub_streaming"),
+    ("decontaminate_fuzzy", "decontaminate_fuzzy_canonical"),
     # salted_join is a physical-plan rewrite only — same answer, same
     # oracle string as the unsalted plan.
     ("tpch_q5", "tpch_q5_skewed"),

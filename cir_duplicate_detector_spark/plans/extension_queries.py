@@ -5546,6 +5546,24 @@ def q_decontaminate_scrub(spark, sf_dir):
     return textops.decontaminate_scrub(docs.where(~pred), docs.where(pred))
 
 
+def q_decontaminate_fuzzy_canonical(spark, sf_dir):
+    """`dedup.cross_corpus_near_duplicates_canonical`: the fuzzy screen
+    behind an exact-dedup pre-pass — one representative per distinct
+    train text runs the banded screen + exact verify, verdicts
+    propagate back through the md5 digest join. Output identical to
+    `decontaminate_fuzzy` (same text, same shingles, same jaccard) —
+    one oracle string by the registry identity guard. The pipeline-
+    ordering lever for the duplicate-heavy corpora decontamination
+    meets first: the raw screen's verify prices candidate PAIRS, which
+    grow superlinearly with duplication (18.1 s at the 10x replica);
+    the pre-pass collapses duplicate families before pairs form."""
+    docs = _docs_nd(spark, sf_dir)
+    pred = F.col("doc_id") % _FUZZY_EVAL_MOD == _FUZZY_EVAL_REM
+    return dedup.cross_corpus_near_duplicates_canonical(
+        docs.where(~pred), docs.where(pred), threshold=0.5
+    )
+
+
 def q_decontaminate_scrub_streaming(spark, sf_dir):
     """`streaming.windows.streaming_decontaminate_scrub`: scrub at
     INGEST — the identical single-aggregation expressions with the
@@ -6152,6 +6170,10 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "quality_band": (q_quality_band, _sql_quality_band()),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "decontaminate_fuzzy": (q_decontaminate_fuzzy, SQL_DECONTAMINATE_FUZZY),
+    "decontaminate_fuzzy_canonical": (
+        q_decontaminate_fuzzy_canonical,
+        SQL_DECONTAMINATE_FUZZY,
+    ),
     "fuzzy_decon_recall": (q_fuzzy_decon_recall, SQL_FUZZY_DECON_RECALL),
     "decontaminate_semantic": (
         q_decontaminate_semantic,
