@@ -46,22 +46,33 @@ PQ_CODEWORDS = 256
 # The COMPOSED IVF-ADC index (`knn_ivf_pq`) runs a recall-tuned
 # configuration, independent of the flat-PQ constants above (which stay
 # the 16×-compression demo `knn_pq_adc` / `pq_codes_upsert` ship).
-# Chosen by a measured sweep on the sf0.1 corpus (round 8; recall@5 vs
-# exact L2, 64-query panel) — the corpus is ~uniform random unit
+# Chosen by measured sweeps on the sf0.1 corpus (rounds 8–9; recall@5
+# vs exact L2, fixed probe panel) — the corpus is ~uniform random unit
 # vectors, so the coarse cells capture little structure and BOTH levers
 # matter:
 #   M=8  SD=8 nprobe=3 (round-7 raw):      ADC 0.19, refined 0.33
 #   M=8  SD=8 nprobe=3 residual:           ADC 0.22, refined 0.32
 #   M=8  SD=8 nprobe=8 residual:           ADC 0.27, refined 0.44
-#   M=16 SD=4 nprobe=8 residual (SHIPPED): ADC 0.40, refined 0.65
-# nprobe=8 lifts the candidate ceiling (3 of ~√N cells probed only 14%
-# of this small corpus; the 8/√N fraction SHRINKS as N grows, so the
-# knob is scale-safe), and SD=4 halves per-subspace quantization error
-# where the residual distribution is near-isotropic. Codes are 16 bytes
-# per vector — still 16× smaller than the float32 original.
+#   M=16 SD=4 nprobe=8 residual (round 8): ADC 0.40, refined 0.65
+# Round-9 sweep over the r8 verdict's binding constraint — the
+# candidate ceiling (nprobe × ADC shortlist), 32-query panel, min wall
+# time per point ~11–17 s (flat; the Lloyd build dominates):
+#   nprobe=8  refine=20 (round 8):   ADC 0.41, refined 0.62
+#   nprobe=8  refine=64:             ADC 0.41, refined 0.68
+#   nprobe=12 refine=64:             ADC 0.43, refined 0.78
+#   nprobe=16 refine=64 (SHIPPED):   ADC 0.46, refined 0.91
+#   nprobe=16 refine=128:            ADC 0.46, refined 0.93
+#   nprobe=24 refine=128:            ADC 0.49, refined 1.00
+# nprobe=16 of ~√N cells probes 36% of THIS 2k-vector corpus but a
+# vanishing fraction as N grows (16/√N), and candidate volume stays
+# linear in N at fixed nprobe — the knob is scale-safe; refine=64 per
+# probe is a constant re-rank cost. Past (16, 64) the curve flattens
+# (+0.013 for 2× the shortlist), so that is the shipped point. Codes
+# are 16 bytes per vector — still 16× smaller than the float32
+# original.
 IVFPQ_M = 16
 IVFPQ_SUBDIM = 4
-IVFPQ_NPROBE = 8
+IVFPQ_NPROBE = 16
 
 
 def _sub(col, m: int, subdim: int = PQ_SUBDIM) -> Column:

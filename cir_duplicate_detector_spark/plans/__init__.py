@@ -50,22 +50,22 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Queries whose ROUND-8 edits change results (not just physical plans),
-# so their existing driver rows are void regardless of age (round 7's
-# multimodal entries were verified in r7 and cleared):
-# * knn_ivf_pq / knn_ivf_pq_refined / pq_recall — IVF-ADC switched to
-#   RESIDUAL encoding (PQ quantizes v − coarse_centroid(v); the query's
-#   ADC lookup table is now per probed cell), changing every adc_dist
-#   and shortlist.
-# * multimodal_features — `_fake_decode` retired: the query now runs a
-#   MIXED corpus (even doc_ids as real PPMs → perceptual ahash feature
-#   over decoded pixels, odd doc_ids opaque → md5 content-address),
-#   dispatched on media_type.
+# Queries whose ROUND-9 edits change results (not just physical plans),
+# so their existing driver rows are void regardless of age (round 8's
+# entries — the residual-encoding rewrite and the `_fake_decode`
+# retirement — were verified in r8 and cleared):
+# * knn_ivf_pq / knn_ivf_pq_refined / pq_recall — candidate-ceiling
+#   lift: IVFPQ_NPROBE 8 → 16 and the re-rank shortlist PQ_REFINE
+#   20 → 64 (refined recall@5 0.62 → 0.91, sweep in `pq.IVFPQ_M`'s
+#   comment), changing probed cells, shortlists, and every recall row.
+# * fuzzy_decon_recall — truth side switched from the full eval slice
+#   to the fixed 32-doc panel (`semantic_decon_recall` discipline), so
+#   the recall denominator and rows change.
 _PLAN_CHANGED = [
     "knn_ivf_pq",
     "knn_ivf_pq_refined",
     "pq_recall",
-    "multimodal_features",
+    "fuzzy_decon_recall",
 ]
 
 

@@ -1208,14 +1208,14 @@ ivfpq AS (
 def q_knn_ivf_pq(spark, sf_dir):
     """IVF-ADC in one query (`operators.pq.knn_ivf_pq`): Lloyd coarse
     quantizer (√-scaled k on the deterministic 1/4 sample) restricts
-    candidates to the 8 nearest inverted lists per probe; a Lloyd-
+    candidates to the 16 nearest inverted lists per probe; a Lloyd-
     LEARNED per-subspace PQ codebook (16 subspaces × 256 codewords, 2
     grouped Lloyd rounds over the `pq_codebook` seeds) scores them by
     asymmetric distance over RESIDUALS (v − cell centroid — the
     standard IVF-ADC formulation; round 8) — the composed learned
     index real 100 TB ANN ships, with its measured recall registered
-    alongside as `pq_recall` (config chosen by the measured sweep in
-    `pq.IVFPQ_M`'s comment: ADC recall 0.19 → 0.40)."""
+    alongside as `pq_recall` (config chosen by the measured sweeps in
+    `pq.IVFPQ_M`'s comment: ADC recall 0.19 → 0.46)."""
     from ..operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1231,17 +1231,24 @@ SELECT query_id, neighbor_id, rank, adc_dist FROM ivfpq
 """
 
 
-PQ_REFINE = 20  # ADC shortlist size feeding the exact re-rank
+# ADC shortlist size feeding the exact re-rank. 20 → 64 in round 9: the
+# r8 verdict's sweep showed the candidate ceiling (not the encoding)
+# bound refined recall at 0.62; with nprobe=16 the (16, 64) point
+# measures refined recall@5 = 0.91 at flat latency (curve in
+# `pq.IVFPQ_M`'s comment and COVERAGE.md).
+PQ_REFINE = 64
 
 
 def q_knn_ivf_pq_refined(spark, sf_dir):
     """Two-stage IVF-ADC retrieval (`operators.pq.knn_ivf_pq_refined`):
-    the composed learned index shortlists 20 candidates per probe by
+    the composed learned index shortlists 64 candidates per probe by
     asymmetric distance (codes only), then an exact re-rank over just
     those refine·|probes| original vectors keeps the final 5 — the
     production recipe that recovers most quantization loss without
-    touching vectors at scan time. Same corpus-scaled probes as
-    `knn_ivf_pq`; `pq_recall` measures both stages."""
+    touching vectors at scan time (measured refined recall@5 0.91 vs
+    0.46 raw ADC at the shipped nprobe=16/refine=64 point). Same
+    corpus-scaled probes as `knn_ivf_pq`; `pq_recall` measures both
+    stages."""
     from ..operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
