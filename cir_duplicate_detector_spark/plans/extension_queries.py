@@ -5972,17 +5972,36 @@ def q_fuzzy_decon_recall(spark, sf_dir):
     """Recall of the `decontaminate_fuzzy` banded screen vs EXACT
     cross-corpus Jaccard truth — the self-measuring diagnostic every
     approximate index in this repo ships (`minhash_recall` /
-    `ann_recall_*` / `pq_recall` pattern): truth = all (train, eval)
-    pairs at exact 3-gram Jaccard >= 0.5 via the shingle inverted-index
-    join (pairs sharing zero shingles have J = 0 and exit naturally);
-    found = the screen's band-candidate pairs. One row per eval doc
-    with >= 1 true contaminating pair:
+    `ann_recall_*` / `pq_recall` pattern): truth = exact 3-gram
+    Jaccard >= 0.5 pairs via the shingle inverted-index join (pairs
+    sharing zero shingles have J = 0 and exit naturally) over train ×
+    a FIXED 32-doc eval panel (smallest seeded-hash eval doc_ids —
+    the `semantic_decon_recall` / `pq_recall` discipline, round 9:
+    truth over the FULL eval side grew with |eval|, measured 3.2× at
+    the 10× replica; the panel bounds the exact side to a constant
+    number of probe documents at any corpus size). The found side is
+    the SHIPPED full screen, restricted to the panel after the fact,
+    so the diagnostic measures exactly the production operator. One
+    row per panel doc with >= 1 true contaminating pair:
     (b, n_true, n_found, recall)."""
+    from ..functions.text import hash60
+
     docs = _docs_nd(spark, sf_dir)
     pred = F.col("doc_id") % _FUZZY_EVAL_MOD == _FUZZY_EVAL_REM
     train, ev = docs.where(~pred), docs.where(pred)
+    panel = (
+        ev.select(
+            "doc_id",
+            hash60(F.col("doc_id").cast("string"), seed="fdr").alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(32)
+        .select("doc_id")
+    )
     ht = dedup.hashed_shingle_arrays(train)
-    he = dedup.hashed_shingle_arrays(ev)
+    # Truth's eval side restricted BELOW the shingle explode: only the
+    # 32 panel documents pay the exact inverted-index join.
+    he = dedup.hashed_shingle_arrays(ev.join(F.broadcast(panel), "doc_id"))
     st = ht.select(F.col("doc_id").alias("a"), F.explode("hs").alias("sh"))
     se = he.select(F.col("doc_id").alias("b"), F.explode("hs").alias("sh"))
     sa = ht.select(F.col("doc_id").alias("a"), F.size("hs").alias("na"))
@@ -5996,9 +6015,11 @@ def q_fuzzy_decon_recall(spark, sf_dir):
         )
         .select("a", "b")
     )
-    found = dedup.cross_corpus_near_duplicates(
-        train, ev, threshold=0.5
-    ).select("a", "b", F.lit(1).alias("hit"))
+    found = (
+        dedup.cross_corpus_near_duplicates(train, ev, threshold=0.5)
+        .join(F.broadcast(panel.withColumnRenamed("doc_id", "b")), "b", "semi")
+        .select("a", "b", F.lit(1).alias("hit"))
+    )
     return (
         truth.join(found, ["a", "b"], "left")
         .groupBy("b")
@@ -6019,6 +6040,11 @@ def q_fuzzy_decon_recall(spark, sf_dir):
 
 SQL_FUZZY_DECON_RECALL = f"""
 WITH {_DUCK_SHINGLE_SET},
+panel AS (
+  SELECT doc_id FROM docs_nd
+  WHERE doc_id % {_FUZZY_EVAL_MOD} = {_FUZZY_EVAL_REM}
+  ORDER BY {hash60_sql("doc_id::VARCHAR", "'fdr'")}, doc_id LIMIT 32
+),
 sigs AS (
   SELECT doc_id, {_LANES}
   FROM shh GROUP BY doc_id
@@ -6054,7 +6080,7 @@ tinter AS (
   FROM shh x
   JOIN shh y ON y.sh_hash = x.sh_hash
   WHERE x.doc_id % {_FUZZY_EVAL_MOD} <> {_FUZZY_EVAL_REM}
-    AND y.doc_id % {_FUZZY_EVAL_MOD} = {_FUZZY_EVAL_REM}
+    AND y.doc_id IN (SELECT doc_id FROM panel)
   GROUP BY 1, 2
 ),
 truth AS (
