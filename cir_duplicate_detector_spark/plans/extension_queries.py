@@ -6101,7 +6101,57 @@ GROUP BY truth.b
 """
 
 
+def q_corpus_bucketed_join(spark, sf_dir):
+    """Bucketed-table join elimination — the 100 TB posture for every
+    REPEATEDLY-joined relation (`sources.sinks.write_bucketed`): the
+    documents projection and the per-doc shingle statistics are both
+    written as parquet tables hash-bucketed (and sorted) by doc_id, so
+    the doc_id join between them reads co-located buckets and runs with
+    ZERO exchanges — the shuffle is paid once at write time instead of
+    once per downstream join (`tests/test_plans.py::
+    test_corpus_bucketed_join_is_shuffle_free` pins the executed plan).
+    Output one row per document: (doc_id, text_len, n_shingles). The
+    oracle computes the same statistics straight from the parquet view
+    — bucketing is a physical layout, never a semantic change."""
+    import hashlib
+
+    from ..sources import sinks
+
+    docs = load_table(spark, sf_dir, "documents")
+    left = docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("text_len")
+    )
+    right = dedup.hashed_shingle_arrays(docs).select(
+        "doc_id", F.size("hs").cast("bigint").alias("n_shingles")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = f"/tmp/corpus_bucketed_{tag}"
+    tables = {f"corpus_docs_bkt_{tag}": left,
+              f"corpus_shingles_bkt_{tag}": right}
+    for name, df in tables.items():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        sinks.write_bucketed(
+            df, name, f"{stage}/{name}", ("doc_id",), 16,
+            sort_cols=("doc_id",),
+        )
+    l, r = (sinks.read_table(spark, n) for n in tables)
+    return l.join(r, "doc_id").select("doc_id", "text_len", "n_shingles")
+
+
+SQL_CORPUS_BUCKETED_JOIN = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents
+  )
+),
+stats AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY 1)
+SELECT d.doc_id, len(d.text)::BIGINT AS text_len, s.n_shingles
+FROM documents d JOIN stats s USING (doc_id)
+"""
+
+
 EXTENSION_QUERIES: dict[str, tuple] = {
+    "corpus_bucketed_join": (q_corpus_bucketed_join, SQL_CORPUS_BUCKETED_JOIN),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (
         q_dedup_exact_normalized,

@@ -555,6 +555,23 @@ def _stale_untracked_artifacts(on_disk: list[str], tracked: set[str]) -> list[st
     ]
 
 
+def test_corpus_bucketed_join_is_shuffle_free(spark):
+    # The whole payoff of write_bucketed: both sides of the doc_id join
+    # are bucketed (and sorted) by doc_id with the same bucket count, so
+    # the executed plan must contain NO exchange at all — the shuffle
+    # was paid once at write time. With auto-broadcast disabled
+    # (emulating two 100 TB relations) the join must still be
+    # exchange-free, i.e. a sort-merge over co-located buckets.
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "corpus_bucketed_join")
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
 def test_rotation_artifacts_are_git_tracked():
     # The driver-window rotation is COMPUTED from the committed
     # CORRECTNESS_r*.json artifacts (plans/__init__._last_verified_round
