@@ -389,8 +389,18 @@ def lsh_screen_from_index(
     (:func:`lsh_band_index`) or read back from disk
     (`lsh_index_roundtrip`'s serving path). Incoming signatures stay a
     pure per-row projection; the probe is one equi-join, nothing
-    broadcast by construction."""
-    idx = index.select("band_id", "band_key").withColumn("hit", F.lit(1))
+    broadcast by construction.
+
+    The index is re-deduplicated defensively (round-9 advice): a
+    hand-built or multiply-appended parquet with repeated
+    ``(band_id, band_key)`` rows would otherwise multiply join rows
+    and silently inflate ``n_bands_hit``. A no-op on well-formed
+    :func:`lsh_band_index` output (already distinct)."""
+    idx = (
+        index.select("band_id", "band_key")
+        .dropDuplicates(["band_id", "band_key"])
+        .withColumn("hit", F.lit(1))
+    )
     inc = banded_keys(
         minhash_signatures(hashed_shingle_arrays(incoming)), bands
     )

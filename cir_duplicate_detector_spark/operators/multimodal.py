@@ -73,11 +73,13 @@ def _image_feature60(payload: bytes, doc_id) -> int:
 
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column,
-    dispatched on the typed ``media_type`` metadata: image payloads
-    (:data:`PPM_MEDIA_TYPE`, or anything PIL reads when the optional
-    extra is installed) are DECODED and perceptually hashed
-    (:func:`_image_feature60`); everything else gets the md5
-    content-address (:func:`_opaque_feature60`).
+    dispatched on the typed ``media_type`` metadata: ANY ``image/*``
+    payload is DECODED and perceptually hashed (:func:`_image_feature60`
+    via :func:`decode_image` — pure-numpy for P6 PPM, PIL for every
+    other image format when the optional extra is installed; a non-PPM
+    image without PIL raises decode_image's named ValueError rather
+    than silently degrading to a byte hash); everything else gets the
+    md5 content-address (:func:`_opaque_feature60`).
 
     mapInPandas streams record batches through Python once — the decode
     path is the only place this engine leaves the JVM, and it is
@@ -90,7 +92,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             payloads = pdf["payload"]
             feats = [
                 _image_feature60(bytes(p), d)
-                if mt == PPM_MEDIA_TYPE
+                if str(mt).startswith("image/")
                 else _opaque_feature60(bytes(p))
                 for d, mt, p in zip(
                     pdf["doc_id"], pdf["media_type"], payloads

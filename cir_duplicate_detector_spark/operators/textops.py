@@ -853,9 +853,16 @@ def boilerplate_index(
     """(whash): distinct span digests whose content recurs in >=
     ``min_docs`` distinct documents of the INDEXED corpus — the static
     boilerplate index :func:`boilerplate_screen` (and its streaming
-    twin) probes. One digest-keyed aggregation; ~36-byte rows."""
+    twin) probes. One digest-keyed aggregation; ~36-byte rows.
+
+    Zero-token spans are EXCLUDED (round-9 advice): `_doc_spans` emits
+    one empty span per token-less document so screens can count every
+    input doc, but md5('') in the INDEX would brand every future empty
+    doc "boilerplate" — an artifact of representation, not recurrence
+    of content."""
     return (
         _doc_spans(docs_indexed, window)
+        .where(F.col("wtok") > 0)
         .groupBy("whash")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
@@ -1436,14 +1443,17 @@ def eval_span_index(
     matches at ANY alignment within an eval document; the eval corpus
     is small by assumption (that is what makes it an eval set), so the
     ~|tokens| spans per eval doc are cheap. Documents shorter than
-    ``window`` contribute their whole text as one span."""
+    ``window`` contribute their whole text as one span; TOKEN-LESS
+    eval documents contribute nothing (round-9 advice: md5('') in the
+    index would flag every empty train doc as "contaminated")."""
     ws = tokens("text")
     n = F.size(ws)
     starts = F.sequence(
         F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(1)
     )
     return (
-        docs_eval.select(
+        docs_eval.where(F.size(tokens("text")) > 0)
+        .select(
             ws.alias("ws"), F.explode(starts).alias("start")
         )
         .select(

@@ -5592,9 +5592,10 @@ evsp AS (
   SELECT DISTINCT md5(array_to_string(
            list_slice(ws, start, start + {w} - 1), ' ')) AS whash
   FROM (
+    -- token-less eval docs contribute nothing (textops.eval_span_index)
     SELECT ws,
            unnest(range(1, greatest(len(ws) - {w} + 1, 1) + 1)) AS start
-    FROM wd WHERE {ev}
+    FROM wd WHERE {ev} AND len(ws) > 0
   )
 ),
 st AS (
@@ -5713,7 +5714,9 @@ wsrc AS (
 ),
 isp AS ({spans.replace("FROM wsrc", f"FROM wsrc WHERE {BLOOM_SPLIT_DUCK} = 0")}),
 idx AS (
-  SELECT whash FROM isp GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+  -- zero-token spans excluded from the index (textops.boilerplate_index)
+  SELECT whash FROM isp WHERE wtok > 0
+  GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
 ),
 osp AS ({spans.replace("FROM wsrc", f"FROM wsrc WHERE {BLOOM_SPLIT_DUCK} = 1")})
 SELECT osp.doc_id,

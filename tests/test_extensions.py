@@ -711,6 +711,35 @@ def test_decode_ppm_parses_header_comments_and_raster():
         decode_ppm(b"P5\n1 1\n255\n\x00")
 
 
+def test_extract_features_dispatches_any_image_media_type(spark):
+    # Round-9 advice: the dispatch is media_type.startswith("image/"),
+    # not an exact PPM-type match — the SAME PPM payload tagged with
+    # any image/* subtype decodes to the same perceptual feature, while
+    # a non-image type stays content-addressed (md5 of the bytes).
+    import hashlib
+
+    from cir_duplicate_detector_spark.operators import multimodal
+
+    px = [(i * 3 % 256, i % 256, (i * 7) % 256) for i in range(64)]
+    payload = _ppm(8, 8, px)
+    media = spark.createDataFrame(
+        [
+            (1, multimodal.PPM_MEDIA_TYPE, bytearray(payload)),
+            (2, "image/x-anything", bytearray(payload)),
+            (3, "application/octet-stream", bytearray(payload)),
+        ],
+        "doc_id bigint, media_type string, payload binary",
+    ).withColumn("n_bytes", F.lit(len(payload)).cast("bigint"))
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(media).collect()
+    }
+    opaque = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    assert rows[3]["feature60"] == opaque
+    assert rows[1]["feature60"] == rows[2]["feature60"]
+    assert rows[1]["feature60"] != opaque
+
+
 def test_image_ahash_is_content_addressed_not_byte_addressed(spark):
     # Two byte-DIFFERENT payloads (one carries a header comment) with
     # identical pixels must produce identical hashes — proof the path
@@ -1020,6 +1049,52 @@ def test_boilerplate_screen_counts_against_static_index(spark):
     assert out[10].n_spans == 2 and out[10].n_boiler_spans == 1
     assert out[10].n_tokens == 18 and out[10].n_boiler_tokens == 16
     assert out[11].n_boiler_spans == 0 and out[11].n_boiler_tokens == 0
+
+
+def test_zero_token_docs_never_poison_span_indexes(spark):
+    # Round-9 advice: _doc_spans emits one empty span per token-less
+    # doc (so screens count every input), but md5('') must NOT enter
+    # boilerplate_index or eval_span_index — three empty indexed docs
+    # would otherwise brand every future empty doc "boilerplate" and
+    # every empty train doc "contaminated".
+    from cir_duplicate_detector_spark.operators import textops
+
+    empties = [(i, "   ") for i in range(1, 4)]  # >= min_docs empty docs
+    indexed = spark.createDataFrame(
+        empties + [(4, "real indexed content")], "doc_id long, text string"
+    )
+    assert textops.boilerplate_index(indexed, min_docs=3).count() == 0
+    assert textops.eval_span_index(indexed).where(
+        F.col("whash") == F.md5(F.lit(""))
+    ).count() == 0
+    # An empty incoming doc still gets a screen row, with zero hits.
+    incoming = spark.createDataFrame([(10, "")], "doc_id long, text string")
+    idx = textops.boilerplate_index(indexed, min_docs=3)
+    row = textops.boilerplate_screen(incoming, idx).collect()[0]
+    assert row.n_spans == 1 and row.n_boiler_spans == 0
+
+
+def test_lsh_screen_from_index_dedupes_malformed_index(spark):
+    # Round-9 advice: the serving path must tolerate a hand-built /
+    # multiply-appended index with repeated (band_id, band_key) rows —
+    # duplicates would multiply join rows and inflate n_bands_hit.
+    from cir_duplicate_detector_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    idx = dedup.lsh_band_index(corpus)
+    doubled = idx.unionAll(idx)
+    clean = {
+        r.doc_id: r.n_bands_hit
+        for r in dedup.lsh_screen_from_index(idx, corpus).collect()
+    }
+    dirty = {
+        r.doc_id: r.n_bands_hit
+        for r in dedup.lsh_screen_from_index(doubled, corpus).collect()
+    }
+    assert clean == dirty
 
 
 def test_dsir_score_uses_default_ratio_for_unseen_buckets(spark):
