@@ -68,6 +68,51 @@ _PLAN_CHANGED = [
     "fuzzy_decon_recall",
 ]
 
+# Per-round edit declarations (round-9 lint, verdict item 6): every
+# package file changed since the latest COMMITTED round artifact must
+# be declared here — either as the tuple of queries whose RESULTS the
+# edit changes (each must then be in _PLAN_CHANGED, or be brand-new and
+# therefore lead the rotation anyway), or as a written reason why the
+# edit cannot change any registered result. `tests/test_plans.py::
+# test_round_edits_are_declared` enforces the mapping, so a
+# result-affecting edit can no longer silently skip the driver window.
+# Stale entries (files no longer in the diff after the driver commits
+# the round's artifacts) are harmless and cleared opportunistically.
+_PKG = "cir_duplicate_detector_spark"
+_ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
+    f"{_PKG}/operators/pq.py": (
+        "knn_ivf_pq",
+        "knn_ivf_pq_refined",
+        "pq_recall",
+    ),
+    f"{_PKG}/plans/extension_queries.py": (
+        # IVFPQ_NPROBE/PQ_REFINE lift + fuzzy recall panel; the other
+        # edits register the brand-new corpus_bucketed_join (leads the
+        # rotation as never-verified) and align oracle twins with the
+        # zero-token-span fixes (no result change on this corpus —
+        # parity re-run green for all eight touched queries).
+        "knn_ivf_pq",
+        "knn_ivf_pq_refined",
+        "pq_recall",
+        "fuzzy_decon_recall",
+        "corpus_bucketed_join",
+    ),
+    f"{_PKG}/plans/__init__.py": "rotation metadata only"
+    " (_PLAN_CHANGED/_ROUND_EDITS); no query plan or result touched",
+    f"{_PKG}/operators/multimodal.py": "image/* dispatch widening —"
+    " registered corpora use only the exact PPM type and text/plain,"
+    " so every registered result is byte-identical (parity re-run"
+    " green); pinned by test_extract_features_dispatches_any_image_"
+    "media_type",
+    f"{_PKG}/operators/textops.py": "zero-token spans excluded from"
+    " boilerplate_index/eval_span_index — testdata has no zero-token"
+    " docs (measured), results identical; parity re-run green for the"
+    " four boilerplate/scrub queries",
+    f"{_PKG}/operators/dedup.py": "defensive dropDuplicates on the"
+    " served LSH index — a no-op on well-formed lsh_band_index output;"
+    " parity re-run green for dedup_lsh_screen/lsh_index_roundtrip",
+}
+
 
 def _last_verified_round() -> dict[str, int]:
     """name -> latest round with a driver row, from the committed

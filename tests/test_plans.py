@@ -555,6 +555,73 @@ def _stale_untracked_artifacts(on_disk: list[str], tracked: set[str]) -> list[st
     ]
 
 
+def test_round_edits_are_declared():
+    # The driver's 50-query correctness window orders by staleness plus
+    # the hand-kept _PLAN_CHANGED list; the failure mode is an edit
+    # that changes a query's RESULTS without a _PLAN_CHANGED entry, so
+    # the stale driver row keeps vouching for a result that no longer
+    # exists. This lint closes the gap: every package file changed
+    # since the latest COMMITTED round artifact must be declared in
+    # plans._ROUND_EDITS — either naming the result-changed queries
+    # (which must then be queued via _PLAN_CHANGED, or be brand-new and
+    # lead the rotation as never-verified) or carrying a written
+    # results-unchanged rationale.
+    import subprocess
+    from pathlib import Path
+
+    from cir_duplicate_detector_spark import plans
+
+    root = Path(__file__).resolve().parents[1]
+
+    def _git(*args):
+        return subprocess.run(
+            ["git", *args], cwd=root, capture_output=True, text=True
+        )
+
+    tracked = _git("ls-files").stdout.splitlines()
+    rounds = sorted(
+        (_artifact_round(n), n)
+        for n in tracked
+        if n.startswith("CORRECTNESS_r") and n.endswith(".json")
+    )
+    if not rounds:
+        return  # round 1 / artifact-less clone: nothing to diff against
+    base_commit = _git(
+        "log", "--diff-filter=A", "--format=%H", "-n", "1", "--",
+        rounds[-1][1],
+    ).stdout.strip()
+    if not base_commit:
+        return  # shallow clone without the artifact's history
+    changed = [
+        f
+        # Diff base → working tree (not base..HEAD), so uncommitted
+        # edits are linted BEFORE they are committed undeclared.
+        for f in _git(
+            "diff", "--name-only", base_commit, "--",
+            "cir_duplicate_detector_spark",
+        ).stdout.splitlines()
+        if f.endswith(".py")
+    ]
+    undeclared = [f for f in changed if f not in plans._ROUND_EDITS]
+    assert not undeclared, (
+        f"package files changed since {rounds[-1][1]} without a "
+        f"plans._ROUND_EDITS declaration: {undeclared} — name the "
+        "result-changed queries (and add them to _PLAN_CHANGED) or "
+        "record why results are unchanged"
+    )
+    for f, decl in plans._ROUND_EDITS.items():
+        if isinstance(decl, str):
+            assert decl.strip(), f"{f}: empty results-unchanged rationale"
+            continue
+        for q in decl:
+            assert q in plans.ALL_QUERIES, (f, q, "unknown query")
+            assert q in plans._PLAN_CHANGED or q not in plans._LAST, (
+                f"{f} declares result change for {q!r} but it is "
+                "neither in _PLAN_CHANGED nor brand-new — the driver "
+                "window may keep a stale row"
+            )
+
+
 def test_corpus_bucketed_join_is_shuffle_free(spark):
     # The whole payoff of write_bucketed: both sides of the doc_id join
     # are bucketed (and sorted) by doc_id with the same bucket count, so
