@@ -235,3 +235,49 @@ def retention_cohorts(events: DataFrame, day_us: int = DAY_US) -> DataFrame:
             "n_users",
         )
     )
+
+
+def rate_anomalies(events: DataFrame, width_us: int = HOUR_US) -> DataFrame:
+    """Per-type event-rate anomaly windows — the monitoring rollup an
+    ingest pipeline alerts on: hourly counts per event type, flagged
+    where the count deviates from the type's mean by more than two
+    standard deviations. The two-sigma rule is evaluated in EXACT
+    integer arithmetic — ``(cnt·n − Σcnt)² > 4·(n·Σcnt² − (Σcnt)²)``
+    is ``(cnt − mean)² > 4·σ²`` with both sides multiplied by ``n²`` —
+    so the flag (and every output column) is bigint-exact and the
+    oracle comparison cannot wobble on float rounding.
+
+    Scale shape: one map-side-combined count shuffle keyed
+    (type, window), one bounded per-type stats aggregate (rows =
+    #types), broadcast back onto the counts. Sketch-sized state at any
+    corpus size — the window table never sorts and the raw stream is
+    touched once.
+    """
+    bucket = F.expr(f"ts_us div {width_us}")
+    counts = (
+        events.withColumn(
+            "window_start_us", (bucket * width_us).cast("bigint")
+        )
+        .groupBy("event_type", "window_start_us")
+        .agg(F.count("*").alias("n_events"))
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("n_events").alias("sum_cnt"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sum_sq"),
+    )
+    j = counts.join(F.broadcast(stats), "event_type")
+    dev = F.col("n_events") * F.col("n_windows") - F.col("sum_cnt")
+    var4 = F.lit(4) * (
+        F.col("n_windows") * F.col("sum_sq")
+        - F.col("sum_cnt") * F.col("sum_cnt")
+    )
+    return j.where(dev * dev > var4).select(
+        "event_type",
+        "window_start_us",
+        "n_events",
+        "n_windows",
+        "sum_cnt",
+        (dev * dev).cast("bigint").alias("dev_sq"),
+        var4.cast("bigint").alias("var4"),
+    )

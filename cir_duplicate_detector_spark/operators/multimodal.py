@@ -427,3 +427,84 @@ def audio_energy_windows(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(energies, AUDIO_SCHEMA)
+
+
+IMG_HAMMING_MAX = 6  # near-dup threshold over the 64-bit average hash
+IMG_BANDS = 8  # 8 bands x 8 bits: pigeonhole-exact for distance <= 7
+
+
+def image_near_duplicates(
+    media: DataFrame,
+    max_bits: int = IMG_HAMMING_MAX,
+    bands: int = IMG_BANDS,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs, end to end: raw payload bytes →
+    decode (:func:`decode_image`) → 8×8 perceptual average hash
+    (:func:`image_ahash_features`) → BANDED Hamming join — the full
+    pipeline the reference's PDQ workload assumes already happened
+    upstream (it consumes precomputed perceptual hashes; reference
+    ``cir_duplicate_detector/pdq_dup_detection.py`` starts at hex
+    strings), run here from image bytes in one query. Returns
+    ``(a, b, hamming)`` with ``a < b`` and ``hamming <= max_bits``.
+
+    Scale shape, same as the PDQ banded backend (`operators.pdq`):
+    the hash's 64 bits split into ``bands`` equal substrings; pairs
+    must agree exactly on >= 1 band to become candidates (pigeonhole:
+    exact for ``max_bits < bands``), so candidates arrive by a
+    shuffle equi-join on ``(band_id, band_key)`` — never an all-pairs
+    scan — and the verify is two 32-bit ``bit_count(xor)`` terms in
+    whole-stage codegen. Decode is the one Python (Arrow) boundary.
+    """
+    if max_bits >= bands:
+        raise ValueError(
+            f"banded layout is exact only for max_bits < bands "
+            f"({max_bits} >= {bands})"
+        )
+    width = 64 // bands
+    feats = image_ahash_features(media).select("doc_id", "ahash_bits")
+    banded = feats.select(
+        "doc_id",
+        "ahash_bits",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("ahash_bits", i * width + 1, width)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            on=[
+                F.col("x.band_id") == F.col("y.band_id"),
+                F.col("x.band_key") == F.col("y.band_key"),
+                F.col("x.doc_id") < F.col("y.doc_id"),
+            ],
+        )
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.ahash_bits").alias("ba"),
+            F.col("y.ahash_bits").alias("bb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+
+    def _half(col, start: int):
+        # 32 bits per conv: unsigned-safe in a signed 64-bit long.
+        return F.conv(F.substring(col, start, 32), 2, 10).cast("bigint")
+
+    ham = (
+        F.bit_count(_half(F.col("ba"), 1).bitwiseXOR(_half(F.col("bb"), 1)))
+        + F.bit_count(
+            _half(F.col("ba"), 33).bitwiseXOR(_half(F.col("bb"), 33))
+        )
+    ).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_bits)
+        .select("a", "b", "hamming")
+    )

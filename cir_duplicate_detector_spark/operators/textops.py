@@ -1531,3 +1531,134 @@ def decontaminate_scrub(
             " ",
         ).alias("clean_text"),
     )
+
+
+# Sentence regex shared with the DuckDB oracle: runs of non-terminators
+# plus an optional trailing terminator. No lookarounds (RE2-safe), so
+# Java regex and DuckDB's RE2 tokenize identically.
+SENTENCE_PATTERN = "[^.!?]+[.!?]?"
+SENT_MIN_DOCS = 2  # a sentence in >= this many docs is removed
+
+
+def _doc_sentences(docs: DataFrame) -> DataFrame:
+    """(doc_id, sent_id, stext, stok): each document's sentences in
+    order — trimmed, empty ones dropped. Pure per-row scan (regex
+    extract + posexplode), zero shuffles at any corpus size."""
+    sents = F.regexp_extract_all(
+        F.col("text"), F.lit(SENTENCE_PATTERN), F.lit(0)
+    )
+    return (
+        docs.select(
+            "doc_id", F.posexplode(sents).alias("sent_id", "raw")
+        )
+        .select(
+            "doc_id",
+            F.col("sent_id").cast("bigint").alias("sent_id"),
+            F.trim(F.col("raw")).alias("stext"),
+        )
+        .where(F.col("stext") != "")
+        .withColumn("stok", F.size(tokens(F.col("stext"))).cast("bigint"))
+    )
+
+
+def sentence_dedup(
+    docs: DataFrame, min_docs: int = SENT_MIN_DOCS
+) -> DataFrame:
+    """C4-style cross-document SENTENCE dedup (Raffel et al. C4 §2.2
+    removed any three-sentence span occurring more than once; CCNet
+    does the same at paragraph granularity — `boilerplate_removal` is
+    the fixed-token-window sibling): a sentence whose exact trimmed
+    content appears in >= ``min_docs`` DISTINCT documents is dropped,
+    and every document is REBUILT from its surviving sentences in
+    order. Returns ``(doc_id, n_sentences, n_kept_sentences,
+    clean_text)`` for every input document (fully-boilerplate docs keep
+    ``n_kept_sentences = 0`` and ``clean_text = ''``).
+
+    Scale shape, same as the boilerplate family: sentence split is a
+    pure scan; document frequency keys on the 128-bit sentence digest
+    (~48-byte shuffle rows, never text); the drop decision rides into
+    ONE per-document rebuild aggregation as a flag (no anti-join +
+    back-join) — linear end-to-end where pairwise dedup is quadratic.
+    """
+    sp = _doc_sentences(docs).withColumn("shash", F.md5("stext"))
+    common = (
+        sp.groupBy("shash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("shash")
+        .withColumn("drop", F.lit(True))
+    )
+    flagged = sp.join(common, "shash", "left").withColumn(
+        "dropped", F.coalesce(F.col("drop"), F.lit(False))
+    )
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum(F.when(F.col("dropped"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_kept_sentences"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("sent_id", "dropped", "stext")
+                        )
+                    ),
+                    lambda s: ~s["dropped"],
+                ),
+                lambda s: s["stext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_sentences"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sentences"),
+            F.coalesce(F.col("n_kept_sentences"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept_sentences"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+QC_WEIGHT_MOD = 2001  # weights span [-1000, 1000]
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """Deterministic hashed LINEAR quality scorer — the engine's
+    bit-reproducible stand-in for a fastText-style model-scored
+    quality filter (the real deployment swaps the hash-derived weight
+    for a learned one; the Spark-side shape — per-token weight lookup
+    folded per document — is identical): each lower-cased token maps to
+    an integer weight ``hash60(tok) % 2001 - 1000``, a document's raw
+    score is the exact bigint SUM of its token weights (order-free, so
+    the identical expression runs under Structured Streaming), and the
+    per-token mean is ONE final IEEE division.
+
+    Pure per-row projection — tokenize, transform, aggregate inside the
+    row — so it costs a scan with ZERO shuffles at any corpus size and
+    whole-stage-codegens alongside the other per-row quality signals.
+    Returns ``(doc_id, n_tokens, score_sum, quality_lr)`` for every
+    document (token-less docs score 0.0)."""
+    ws = tokens("text")
+    weight = lambda t: (
+        hash60(F.lower(t), seed="qcw") % QC_WEIGHT_MOD - 1000
+    )
+    ssum = F.aggregate(
+        F.transform(ws, weight), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    n = F.size(ws).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ssum.alias("score_sum"),
+        F.when(n > 0, ssum.cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("quality_lr"),
+    )

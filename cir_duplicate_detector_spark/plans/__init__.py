@@ -103,14 +103,21 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " registered corpora use only the exact PPM type and text/plain,"
     " so every registered result is byte-identical (parity re-run"
     " green); pinned by test_extract_features_dispatches_any_image_"
-    "media_type",
+    "media_type. Plus the NEW image_near_duplicates operator (new"
+    " query leads the rotation as never-verified)",
     f"{_PKG}/operators/textops.py": "zero-token spans excluded from"
     " boilerplate_index/eval_span_index — testdata has no zero-token"
     " docs (measured), results identical; parity re-run green for the"
-    " four boilerplate/scrub queries",
+    " four boilerplate/scrub queries. Plus the NEW sentence_dedup and"
+    " quality_classifier operators (new queries lead the rotation)",
     f"{_PKG}/operators/dedup.py": "defensive dropDuplicates on the"
     " served LSH index — a no-op on well-formed lsh_band_index output;"
     " parity re-run green for dedup_lsh_screen/lsh_index_roundtrip",
+    f"{_PKG}/operators/events.py": "NEW rate_anomalies operator only;"
+    " no existing query touched (new events_anomaly query leads the"
+    " rotation as never-verified)",
+    f"{_PKG}/streaming/windows.py": "NEW streaming_quality_classifier"
+    " twin only; no existing streaming query touched",
 }
 
 
@@ -165,6 +172,9 @@ for _batch, _streaming in [
     # must answer the same question as the in-session one.
     ("ivf_upsert_assign", "ivf_index_roundtrip"),
     ("dedup_lsh_screen", "lsh_index_roundtrip"),
+    # merged index shards == the one-shot index (distinct-of-union):
+    ("dedup_lsh_screen", "lsh_index_merge"),
+    ("quality_classifier", "quality_classifier_streaming"),
     ("pq_codes_upsert", "pq_codes_upsert_streaming"),
     ("boilerplate_screen", "boilerplate_screen_streaming"),
     ("dsir_score", "dsir_score_streaming"),

@@ -6104,6 +6104,357 @@ GROUP BY truth.b
 """
 
 
+# ---------------------------------------------------------- round-9 wave
+
+def q_sentence_dedup(spark, sf_dir):
+    """C4-style cross-document SENTENCE dedup
+    (`textops.sentence_dedup`): sentences whose exact trimmed content
+    recurs in >= 2 distinct documents are dropped and every document is
+    rebuilt from its surviving sentences in order — the
+    sentence-granularity sibling of `boilerplate_removal`'s fixed
+    16-token windows (C4 removed repeated three-sentence spans; CCNet
+    repeated paragraphs). Linear: digest-keyed document frequency, the
+    drop flag rides into one per-doc rebuild aggregation."""
+    return textops.sentence_dedup(_docs_nd(spark, sf_dir))
+
+
+# Sentence regex twin; trim both sides, drop empties. Rebuild joins
+# surviving sentences with ' ' in original order.
+SQL_SENTENCE_DEDUP = f"""
+WITH docs_nd AS ({_ND}),
+sp AS (
+  SELECT doc_id, sent_id, trim(s[sent_id]) AS stext
+  FROM (
+    SELECT doc_id, s, unnest(range(1, len(s) + 1)) AS sent_id
+    FROM (
+      SELECT doc_id,
+             regexp_extract_all(text, '{textops.SENTENCE_PATTERN}') AS s
+      FROM docs_nd
+    )
+  )
+  WHERE trim(s[sent_id]) <> ''
+),
+common AS (
+  SELECT md5(stext) AS shash FROM sp
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {textops.SENT_MIN_DOCS}
+),
+fl AS (
+  SELECT sp.doc_id, sp.sent_id, sp.stext,
+         (common.shash IS NOT NULL) AS dropped
+  FROM sp LEFT JOIN common ON common.shash = md5(sp.stext)
+),
+rb AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_sentences,
+         sum(CASE WHEN dropped THEN 0 ELSE 1 END)::BIGINT
+           AS n_kept_sentences,
+         string_agg(CASE WHEN dropped THEN NULL ELSE stext END,
+                    ' ' ORDER BY sent_id) AS clean_text
+  FROM fl GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(rb.n_sentences, 0)::BIGINT AS n_sentences,
+       coalesce(rb.n_kept_sentences, 0)::BIGINT AS n_kept_sentences,
+       coalesce(rb.clean_text, '') AS clean_text
+FROM docs_nd d LEFT JOIN rb USING (doc_id)
+"""
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Deterministic hashed LINEAR quality scorer
+    (`textops.quality_classifier`) — the bit-reproducible stand-in for
+    a fastText-style model-scored quality filter: per-token integer
+    weight `hash60(lower(tok)) % 2001 - 1000`, per-doc exact bigint
+    sum folded IN THE ROW (zero shuffles), one final IEEE division.
+    Scores the odd-doc_id half so the streaming twin (which scores at
+    ingest) answers the identical question."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.quality_classifier(docs.where("doc_id % 2 = 1"))
+
+
+def q_quality_classifier_streaming(spark, sf_dir):
+    """`streaming.windows.streaming_quality_classifier`: the identical
+    per-row fold on a file stream — append mode, NO state, no
+    aggregation (the reason the scorer is an in-row fold). One oracle
+    by the registry twin guard."""
+    from ..streaming.windows import streaming_quality_classifier
+
+    return streaming_quality_classifier(spark, sf_dir)
+
+
+def _sql_quality_classifier() -> str:
+    w = f"({hash60_sql('t', chr(39) + 'qcw' + chr(39))}) % {textops.QC_WEIGHT_MOD} - 1000"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_WORDS.replace('text', 'lower(text)')} AS ws
+  FROM documents WHERE doc_id % 2 = 1
+),
+s AS (
+  SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+         coalesce(list_sum(list_transform(ws, t -> {w})), 0)::BIGINT
+           AS score_sum
+  FROM d
+)
+SELECT doc_id, n_tokens, score_sum,
+       CASE WHEN n_tokens > 0 THEN score_sum / n_tokens ELSE 0.0 END
+         AS quality_lr
+FROM s
+"""
+
+
+def q_image_near_dup(spark, sf_dir):
+    """Near-duplicate IMAGE pairs end to end
+    (`multimodal.image_near_duplicates`): payload bytes → pure-numpy
+    PPM decode → 8×8 perceptual average hash → BANDED Hamming join
+    (8 bands × 8 bits, pigeonhole-exact at the ≤ 6-bit threshold) —
+    the full pipeline the reference's PDQ workload assumes happened
+    upstream (it consumes precomputed perceptual hashes; reference
+    ``pdq_dup_detection.py`` starts at hex strings), run here from
+    image bytes in one query over the nd corpus's mutant frames."""
+    return multimodal.image_near_duplicates(
+        _ppm_media(_docs_nd(spark, sf_dir))
+    )
+
+
+# Reuses the char-indexed ahash oracle (same ASCII assertion), then
+# pairs by banded candidate generation + exact char-wise Hamming.
+SQL_IMAGE_NEAR_DUP = f"""
+WITH docs_nd AS ({_ND}),
+b AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = len(text)
+              THEN rpad(substr(text, 1, 192), 192, ' ')
+              ELSE error('SQL_IMAGE_NEAR_DUP: non-ASCII text (doc_id '
+                         || doc_id || '); char-indexed oracle diverges '
+                         || 'from the byte-decoding operator')
+         END AS raster
+  FROM docs_nd
+),
+px AS (
+  SELECT doc_id, i,
+         (ascii(substr(raster, 3 * i + 1, 1))
+          + ascii(substr(raster, 3 * i + 2, 1))
+          + ascii(substr(raster, 3 * i + 3, 1))) // 3 AS gray
+  FROM b CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+),
+tot AS (SELECT doc_id, sum(gray)::BIGINT AS sg FROM px GROUP BY doc_id),
+ah AS (
+  SELECT px.doc_id,
+         string_agg(CASE WHEN gray * 64 > sg THEN '1' ELSE '0' END,
+                    '' ORDER BY i) AS bits
+  FROM px JOIN tot ON tot.doc_id = px.doc_id
+  GROUP BY px.doc_id
+),
+bands AS (
+  SELECT doc_id, k AS band_id, substr(bits, k * 8 + 1, 8) AS band_key,
+         bits
+  FROM ah CROSS JOIN (SELECT unnest(range(0, 8)) AS k) kk
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.bits AS ba, y.bits AS bb
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT a, b,
+         list_sum(list_transform(range(1, 65),
+           i -> CASE WHEN substr(ba, i, 1) <> substr(bb, i, 1)
+                     THEN 1 ELSE 0 END))::BIGINT AS hamming
+  FROM cand
+)
+SELECT a, b, hamming FROM scored
+WHERE hamming <= {multimodal.IMG_HAMMING_MAX}
+"""
+
+
+def q_lsh_index_merge(spark, sf_dir):
+    """LSH index COMPACTION for continuous ingest: two crawl waves of
+    the indexed split are indexed SEPARATELY (`dedup.lsh_band_index`
+    per wave — what a fleet produces when admission jobs can't wait
+    for a global rebuild) and merged by union + distinct; the incoming
+    split screens against the merged relation. Because band keys are
+    per-document and deterministic, distinct-of-union equals
+    index-of-union, so the output is IDENTICAL to `dedup_lsh_screen`
+    (one oracle string by the registry twin guard) — merging persisted
+    index shards is a metadata operation, never a corpus recompute."""
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(_BLOOM_SPLIT_SPARK)
+    indexed = docs.where(split == 0)
+    i1 = dedup.lsh_band_index(indexed.where("doc_id % 2 = 0"))
+    i2 = dedup.lsh_band_index(indexed.where("doc_id % 2 = 1"))
+    merged = i1.unionAll(i2).dropDuplicates(["band_id", "band_key"])
+    return dedup.lsh_screen_from_index(merged, docs.where(split == 1))
+
+
+def q_events_anomaly(spark, sf_dir):
+    """Per-type event-rate anomaly windows (`events.rate_anomalies`):
+    hourly counts per type flagged beyond two standard deviations,
+    with the two-sigma rule evaluated in EXACT integer arithmetic
+    ((cnt·n − Σ)² > 4·(n·Σsq − Σ²) — both sides of the float rule
+    multiplied by n²) so the flag cannot wobble on rounding. One
+    count shuffle + one #types-row stats broadcast."""
+    return events.rate_anomalies(load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_ANOMALY = f"""
+WITH c AS (
+  SELECT event_type,
+         (epoch_us(ts) // {events.HOUR_US}) * {events.HOUR_US}
+           AS window_start_us,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*)::BIGINT AS n_windows,
+         sum(n_events)::BIGINT AS sum_cnt,
+         sum(n_events * n_events)::BIGINT AS sum_sq
+  FROM c GROUP BY 1
+)
+SELECT c.event_type, c.window_start_us, c.n_events, s.n_windows, s.sum_cnt,
+       ((c.n_events * s.n_windows - s.sum_cnt)
+        * (c.n_events * s.n_windows - s.sum_cnt))::BIGINT AS dev_sq,
+       (4 * (s.n_windows * s.sum_sq - s.sum_cnt * s.sum_cnt))::BIGINT
+         AS var4
+FROM c JOIN s USING (event_type)
+WHERE (c.n_events * s.n_windows - s.sum_cnt)
+      * (c.n_events * s.n_windows - s.sum_cnt)
+      > 4 * (s.n_windows * s.sum_sq - s.sum_cnt * s.sum_cnt)
+"""
+
+
+def q_decontamination_report(spark, sf_dir):
+    """The decontamination MATRIX as one per-train-doc report — the
+    artifact a curation pipeline actually consumes before shipping a
+    corpus: for every train document, the exact-8-gram screen's shared
+    gram count (`textops.decontaminate`), the fuzzy MinHash screen's
+    verdict (`dedup.cross_corpus_near_duplicates`), and the span
+    scrub's token accounting (`textops.decontaminate_scrub`), all on
+    the SAME eval split (doc_id % 13 == 7). Three screens, one left
+    join each onto the scrub's every-doc spine — composition of
+    registered operators, no new machinery."""
+    docs = _docs_nd(spark, sf_dir)
+    pred = F.col("doc_id") % _FUZZY_EVAL_MOD == _FUZZY_EVAL_REM
+    train, ev = docs.where(~pred), docs.where(pred)
+    ex = textops.decontaminate(train, ev).select(
+        "doc_id", "n_shared_grams"
+    )
+    fz = (
+        dedup.cross_corpus_near_duplicates(train, ev, threshold=0.5)
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("fz", F.lit(True))
+    )
+    sc = textops.decontaminate_scrub(train, ev)
+    return (
+        sc.join(ex, "doc_id", "left")
+        .join(fz, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_kept_tokens",
+            F.coalesce(F.col("n_shared_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_grams"),
+            F.coalesce(F.col("fz"), F.lit(False)).alias("fuzzy_hit"),
+        )
+    )
+
+
+def _sql_decontamination_report() -> str:
+    from ..operators import textops as _t
+
+    w = _t.BOILER_TOKENS
+    ev = f"doc_id % {_FUZZY_EVAL_MOD} = {_FUZZY_EVAL_REM}"
+    return f"""
+WITH {_DUCK_SHINGLE_SET},
+-- exact 8-gram screen (SQL_DECONTAMINATE shape on the fuzzy split)
+trg AS (
+  SELECT DISTINCT doc_id, {hash60_sql('sh8')} AS g FROM (
+    SELECT doc_id, unnest({_DUCK_SHINGLES8}) AS sh8
+    FROM docs_nd WHERE NOT ({ev})
+  )
+),
+evg AS (
+  SELECT DISTINCT doc_id AS eval_id, {hash60_sql('sh8')} AS g FROM (
+    SELECT doc_id, unnest({_DUCK_SHINGLES8}) AS sh8
+    FROM docs_nd WHERE {ev}
+  )
+),
+hot AS (SELECT g FROM evg GROUP BY g HAVING count(*) > {dedup.DEFAULT_MAX_DF}),
+evc AS (SELECT * FROM evg WHERE g NOT IN (SELECT g FROM hot)),
+ex AS (
+  SELECT t.doc_id, count(DISTINCT t.g)::BIGINT AS n_shared_grams
+  FROM trg t JOIN evc e ON t.g = e.g GROUP BY t.doc_id
+),
+-- fuzzy MinHash screen (SQL_DECONTAMINATE_FUZZY shape)
+sigs AS (
+  SELECT doc_id, {_LANES}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+bt AS (
+  SELECT doc_id AS a, band_id, band_key FROM bands WHERE NOT ({ev})
+),
+be AS (
+  SELECT doc_id AS b, band_id, band_key FROM bands WHERE {ev}
+),
+cand AS (SELECT DISTINCT a, b FROM bt JOIN be USING (band_id, band_key)),
+finter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
+  GROUP BY c.a, c.b
+),
+fz AS (
+  SELECT DISTINCT i2.a AS doc_id
+  FROM finter i2
+  JOIN sizes sa ON sa.doc_id = i2.a
+  JOIN sizes sb ON sb.doc_id = i2.b
+  WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
+),
+-- span scrub (the every-train-doc spine; _sql_decontaminate_scrub shape)
+wd AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM docs_nd),
+evsp AS (
+  SELECT DISTINCT md5(array_to_string(
+           list_slice(ws, start, start + {w} - 1), ' ')) AS whash
+  FROM (
+    SELECT ws,
+           unnest(range(1, greatest(len(ws) - {w} + 1, 1) + 1)) AS start
+    FROM wd WHERE {ev} AND len(ws) > 0
+  )
+),
+st AS (
+  SELECT doc_id, ws,
+         unnest(range(1, greatest(len(ws), 1) + 1, {w})) AS start
+  FROM wd WHERE NOT ({ev})
+),
+sp2 AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, start, start + {w} - 1), ' ')
+           AS wtext,
+         len(list_slice(ws, start, start + {w} - 1))::BIGINT AS wtok
+  FROM st
+),
+kept AS (SELECT * FROM sp2 WHERE md5(wtext) NOT IN (SELECT whash FROM evsp)),
+rb AS (
+  SELECT doc_id, sum(wtok)::BIGINT AS n_kept_tokens FROM kept GROUP BY doc_id
+)
+SELECT wd.doc_id, len(wd.ws)::BIGINT AS n_tokens,
+       coalesce(rb.n_kept_tokens, 0)::BIGINT AS n_kept_tokens,
+       coalesce(ex.n_shared_grams, 0)::BIGINT AS n_shared_grams,
+       (fz.doc_id IS NOT NULL) AS fuzzy_hit
+FROM wd
+LEFT JOIN rb USING (doc_id)
+LEFT JOIN ex USING (doc_id)
+LEFT JOIN fz USING (doc_id)
+WHERE NOT ({ev})
+"""
+
+
 def q_corpus_bucketed_join(spark, sf_dir):
     """Bucketed-table join elimination — the 100 TB posture for every
     REPEATEDLY-joined relation (`sources.sinks.write_bucketed`): the
@@ -6155,6 +6506,19 @@ FROM documents d JOIN stats s USING (doc_id)
 
 EXTENSION_QUERIES: dict[str, tuple] = {
     "corpus_bucketed_join": (q_corpus_bucketed_join, SQL_CORPUS_BUCKETED_JOIN),
+    "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
+    "quality_classifier": (q_quality_classifier, _sql_quality_classifier()),
+    "quality_classifier_streaming": (
+        q_quality_classifier_streaming,
+        _sql_quality_classifier(),
+    ),
+    "image_near_dup": (q_image_near_dup, SQL_IMAGE_NEAR_DUP),
+    "lsh_index_merge": (q_lsh_index_merge, SQL_DEDUP_LSH_SCREEN),
+    "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
+    "decontamination_report": (
+        q_decontamination_report,
+        _sql_decontamination_report(),
+    ),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (
         q_dedup_exact_normalized,

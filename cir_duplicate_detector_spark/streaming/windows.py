@@ -857,3 +857,36 @@ def streaming_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def streaming_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hashed linear quality scoring AS A STREAM — model-scored
+    admission at ingest: `textops.quality_classifier` is a pure per-row
+    projection (tokenize → per-token weight → one in-row integer fold),
+    so the IDENTICAL expressions run under Structured Streaming with
+    NO state at all — append mode, no watermark, no aggregation; the
+    cheapest possible streaming shape, and the reason the scorer was
+    built as an in-row fold instead of an explode + groupBy. Scores
+    the odd-doc_id half (the batch twin scores the same slice) — one
+    oracle string by the registry twin guard."""
+    from ..operators.textops import quality_classifier
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    stage = stage_source(path, "docs_qc_stream_")
+    incoming = (
+        spark.readStream.schema(schema).parquet(stage).where("doc_id % 2 = 1")
+    )
+    scored = quality_classifier(incoming)
+    name = f"stream_qc_{uuid.uuid4().hex[:8]}"
+    query = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -1172,3 +1172,135 @@ def test_bm25_scores_partitioning_invariant(spark):
         docs.orderBy(F.col("doc_id").desc()),
     ):
         assert run(v) == base  # exact double equality, no tolerance
+
+
+# ------------------------------------------------------ round-9 wave
+
+def test_sentence_dedup_drops_repeated_sentence_keeps_order(spark):
+    from cir_duplicate_detector_spark.operators import textops
+
+    boiler = "subscribe to our newsletter today!"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha. {boiler} unique beta?"),
+            (2, f"{boiler} other words here."),
+            (3, "entirely original text without repeats."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.sentence_dedup(docs).collect()}
+    assert out[1].n_sentences == 3 and out[1].n_kept_sentences == 2
+    # surviving sentences keep original order
+    assert out[1].clean_text == "unique alpha. unique beta?"
+    assert out[2].n_kept_sentences == 1
+    assert out[3].n_kept_sentences == out[3].n_sentences
+    assert out[3].clean_text == "entirely original text without repeats."
+
+
+def test_quality_classifier_is_zero_shuffle_and_exact(spark):
+    from cir_duplicate_detector_spark.operators import textops
+    from cir_duplicate_detector_spark.functions.text import hash60
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta ALPHA"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.quality_classifier(docs).collect()}
+    # hand-fold the weights through the engine's own hash
+    ws = spark.createDataFrame([("alpha",), ("beta",)], "t string").select(
+        F.col("t"),
+        (hash60(F.col("t"), seed="qcw") % textops.QC_WEIGHT_MOD - 1000).alias(
+            "w"
+        ),
+    )
+    w = {r.t: r.w for r in ws.collect()}
+    expected = 2 * w["alpha"] + w["beta"]
+    assert out[1].score_sum == expected
+    assert out[1].quality_lr == expected / 3
+    assert out[2].n_tokens == 0 and out[2].quality_lr == 0.0
+    # pure projection: the plan must contain no exchange at all
+    plan = (
+        textops.quality_classifier(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_image_near_duplicates_banded_pairs(spark):
+    from cir_duplicate_detector_spark.operators import multimodal
+
+    # base raster: 192 bytes; near copy differs in ONE pixel byte
+    # (<= 6 ahash bits), far image is reversed (many bits).
+    base = bytes(range(64)) * 3
+    near = bytes([255]) + base[1:]
+    far = bytes(reversed(base))
+    rows = [
+        (1, multimodal.PPM_MEDIA_TYPE, bytearray(b"P6\n8 8\n255\n" + base)),
+        (2, multimodal.PPM_MEDIA_TYPE, bytearray(b"P6\n8 8\n255\n" + near)),
+        (3, multimodal.PPM_MEDIA_TYPE, bytearray(b"P6\n8 8\n255\n" + far)),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    ).withColumn("n_bytes", F.octet_length("payload").cast("bigint"))
+    got = {
+        (r.a, r.b): r.hamming
+        for r in multimodal.image_near_duplicates(media).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 6
+    assert (1, 3) not in got and (2, 3) not in got
+    # layout must refuse a threshold the pigeonhole cannot guarantee
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bits < bands"):
+        multimodal.image_near_duplicates(media, max_bits=8, bands=8)
+
+
+def test_rate_anomalies_integer_two_sigma_rule(spark):
+    from cir_duplicate_detector_spark.operators import events as ev_ops
+
+    h = ev_ops.HOUR_US
+    rows = []
+    eid = 0
+    # type "a": counts 1,1,1,1,1,10 over six hours -> hour 5 is an
+    # outlier. (Six, not five: one spike over an equal baseline sits at
+    # EXACTLY (n-1)/2 sigmas, so n=5 lands precisely ON the 2-sigma
+    # boundary and the strict > must NOT flag it — the integer rule
+    # makes that boundary exact instead of rounding-dependent.)
+    for hour, cnt in enumerate([1, 1, 1, 1, 1, 10]):
+        for _ in range(cnt):
+            rows.append((eid, 1, hour * h, "a", 1.0))
+            eid += 1
+    # type "b": flat counts -> no outlier
+    for hour in range(6):
+        for _ in range(3):
+            rows.append((eid, 2, hour * h, "b", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts_us long, event_type string,"
+        " value double",
+    )
+    got = ev_ops.rate_anomalies(ev).collect()
+    flagged = {(r.event_type, r.window_start_us) for r in got}
+    assert ("a", 5 * h) in flagged
+    assert not [r for r in got if r.event_type == "b"]
+    r = [x for x in got if x.event_type == "a" and x.window_start_us == 5 * h][0]
+    # hand-check the integer rule: n=6, sum=15, sumsq=105
+    assert r.n_windows == 6 and r.sum_cnt == 15
+    assert r.dev_sq == (10 * 6 - 15) ** 2
+    assert r.var4 == 4 * (6 * 105 - 15 * 15)
+    assert r.dev_sq > r.var4
+    # the exact-2-sigma boundary case must NOT flag (strict >)
+    b_rows = [(9000 + i, 3, hr * h, "c", 1.0)
+              for hr, c in enumerate([1, 1, 1, 1, 10]) for i in range(c)]
+    # re-index event ids uniquely
+    b_rows = [(10_000 + i, u, t, ty, v)
+              for i, (_, u, t, ty, v) in enumerate(b_rows)]
+    ev_c = spark.createDataFrame(
+        b_rows,
+        "event_id long, user_id long, ts_us long, event_type string,"
+        " value double",
+    )
+    assert ev_ops.rate_anomalies(ev_c).count() == 0
