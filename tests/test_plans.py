@@ -555,6 +555,21 @@ def _stale_untracked_artifacts(on_disk: list[str], tracked: set[str]) -> list[st
     ]
 
 
+def test_image_near_dup_is_banded_equi_join(spark):
+    # Candidates must arrive through the banded (band_id, band_key)
+    # equi-join — never an all-pairs scan. With auto-broadcast off
+    # (two 100 TB-sized sides) the plan must stay a shuffle equi-join.
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "image_near_dup")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
 def test_round_edits_are_declared():
     # The driver's 50-query correctness window orders by staleness plus
     # the hand-kept _PLAN_CHANGED list; the failure mode is an edit
