@@ -1662,3 +1662,52 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("quality_lr"),
     )
+
+
+def sentence_index(
+    docs_indexed: DataFrame, min_docs: int = SENT_MIN_DOCS
+) -> DataFrame:
+    """(shash): distinct digests of sentences recurring in >=
+    ``min_docs`` distinct documents of the INDEXED corpus — the static
+    index :func:`sentence_screen` (and its streaming twin) probes; the
+    sentence-granularity sibling of :func:`boilerplate_index`. One
+    digest-keyed aggregation; ~36-byte rows."""
+    return (
+        _doc_sentences(docs_indexed)
+        .groupBy(F.md5("stext").alias("shash"))
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("shash")
+    )
+
+
+def sentence_screen(docs_incoming: DataFrame, index: DataFrame) -> DataFrame:
+    """Sentence-boilerplate SCREEN for continuous ingest: incoming
+    documents' sentences probe a static digest ``index``
+    (:func:`sentence_index`, built once from the existing corpus).
+    Returns per-incoming-doc counts ``(doc_id, n_sentences,
+    n_boiler_sentences, n_tokens, n_boiler_tokens)`` — the
+    decide-before-you-pay numbers an ingest pipeline thresholds on.
+    ONE aggregation after a stream-static equi-join, so the identical
+    plan runs under Structured Streaming (the registered streaming
+    twin shares this code and the batch oracle). Token-less incoming
+    docs emit no sentences and so no row — the screen prices text, and
+    a no-text doc has nothing to screen."""
+    sp = _doc_sentences(docs_incoming).withColumn("shash", F.md5("stext"))
+    hit = index.withColumn("hit", F.lit(1))
+    return (
+        sp.join(hit, "shash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler_sentences"),
+            F.sum("stok").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), F.col("stok")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_boiler_tokens"),
+        )
+    )

@@ -117,7 +117,11 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " no existing query touched (new events_anomaly query leads the"
     " rotation as never-verified)",
     f"{_PKG}/streaming/windows.py": "NEW streaming_quality_classifier"
-    " twin only; no existing streaming query touched",
+    " and streaming_sentence_screen twins only; no existing streaming"
+    " query touched",
+    f"{_PKG}/sources/derived.py": "NEW derive_sentenced_corpus /"
+    " sentenced_sql fixtures only (consumed by the new sentence-family"
+    " queries); existing derivations untouched",
 }
 
 
@@ -175,6 +179,7 @@ for _batch, _streaming in [
     # merged index shards == the one-shot index (distinct-of-union):
     ("dedup_lsh_screen", "lsh_index_merge"),
     ("quality_classifier", "quality_classifier_streaming"),
+    ("sentence_screen", "sentence_screen_streaming"),
     ("pq_codes_upsert", "pq_codes_upsert_streaming"),
     ("boilerplate_screen", "boilerplate_screen_streaming"),
     ("dsir_score", "dsir_score_streaming"),

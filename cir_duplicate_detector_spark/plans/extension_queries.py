@@ -6106,6 +6106,24 @@ GROUP BY truth.b
 
 # ---------------------------------------------------------- round-9 wave
 
+def _docs_sent(spark, sf_dir):
+    """The nd corpus rewritten as PUNCTUATED text (`sources.derived.
+    derive_sentenced_corpus`) — the testdata carries no sentence
+    terminators, so the sentence family derives the structure it
+    operates on, deterministically on both engines."""
+    from ..sources.derived import derive_sentenced_corpus
+
+    return derive_sentenced_corpus(_docs_nd(spark, sf_dir))
+
+
+from ..sources.derived import sentenced_sql as _sentenced_sql
+
+# the sentenced nd corpus: CTE body over ``docs_nd0`` (the raw nd docs)
+_ND_SENT = (
+    f"SELECT doc_id, {_sentenced_sql(_DUCK_WORDS)} AS text FROM docs_nd0"
+)
+
+
 def q_sentence_dedup(spark, sf_dir):
     """C4-style cross-document SENTENCE dedup
     (`textops.sentence_dedup`): sentences whose exact trimmed content
@@ -6113,15 +6131,20 @@ def q_sentence_dedup(spark, sf_dir):
     rebuilt from its surviving sentences in order — the
     sentence-granularity sibling of `boilerplate_removal`'s fixed
     16-token windows (C4 removed repeated three-sentence spans; CCNet
-    repeated paragraphs). Linear: digest-keyed document frequency, the
-    drop flag rides into one per-doc rebuild aggregation."""
-    return textops.sentence_dedup(_docs_nd(spark, sf_dir))
+    repeated paragraphs). Runs over the SENTENCED nd corpus
+    (`_docs_sent` — the raw testdata has no terminators, which would
+    degenerate every doc to one giant sentence); truncation mutants
+    share their original's leading sentences, so recurrence is real.
+    Linear: digest-keyed document frequency, the drop flag rides into
+    one per-doc rebuild aggregation."""
+    return textops.sentence_dedup(_docs_sent(spark, sf_dir))
 
 
 # Sentence regex twin; trim both sides, drop empties. Rebuild joins
 # surviving sentences with ' ' in original order.
 SQL_SENTENCE_DEDUP = f"""
-WITH docs_nd AS ({_ND}),
+WITH docs_nd0 AS ({_ND}),
+docs_nd AS ({_ND_SENT}),
 sp AS (
   SELECT doc_id, sent_id, trim(s[sent_id]) AS stext
   FROM (
@@ -6157,6 +6180,68 @@ SELECT d.doc_id,
        coalesce(rb.n_kept_sentences, 0)::BIGINT AS n_kept_sentences,
        coalesce(rb.clean_text, '') AS clean_text
 FROM docs_nd d LEFT JOIN rb USING (doc_id)
+"""
+
+
+def q_sentence_screen(spark, sf_dir):
+    """Sentence-boilerplate SCREEN for continuous ingest
+    (`textops.sentence_screen`): the indexed split's repeated-sentence
+    digest index (sentence DF >= 2 WITHIN the indexed split,
+    `textops.sentence_index`) probes incoming documents' sentences
+    through one equi-join + one aggregation — the sentence-granularity
+    sibling of `boilerplate_screen`, and the exact plan the streaming
+    twin runs. Over the SENTENCED nd corpus (`_docs_sent`): the
+    indexed split's original+truncation-mutant families share leading
+    sentences (DF >= 2 within the split), and cross-split exact copies
+    make incoming docs hit the index."""
+    docs = _docs_sent(spark, sf_dir)
+    split = F.expr(BLOOM_SPLIT_SPARK)
+    idx = textops.sentence_index(docs.where(split == 0))
+    return textops.sentence_screen(docs.where(split == 1), idx)
+
+
+def q_sentence_screen_streaming(spark, sf_dir):
+    """`streaming.windows.streaming_sentence_screen`: the identical
+    sentence screen with the incoming split arriving on a file stream —
+    stateless sentence explode, stream-static index join, one
+    aggregation. Shares the batch oracle by the registry twin guard."""
+    from ..streaming.windows import streaming_sentence_screen
+
+    return streaming_sentence_screen(spark, sf_dir)
+
+
+def _sql_sentence_screen() -> str:
+    spans = f"""
+  SELECT doc_id, trim(s[sent_id]) AS stext,
+         len(list_filter(regexp_split_to_array(trim(s[sent_id]), '\\s+'),
+                         t -> t <> ''))::BIGINT AS stok
+  FROM (
+    SELECT doc_id, s, unnest(range(1, len(s) + 1)) AS sent_id
+    FROM (
+      SELECT doc_id,
+             regexp_extract_all(text, '{textops.SENTENCE_PATTERN}') AS s
+      FROM docs_nd WHERE {{split}}
+    )
+  )
+  WHERE trim(s[sent_id]) <> ''"""
+    return f"""
+WITH docs_nd0 AS ({_ND}),
+docs_nd AS ({_ND_SENT}),
+isp AS ({spans.format(split=f"{BLOOM_SPLIT_DUCK} = 0")}),
+idx AS (
+  SELECT md5(stext) AS shash FROM isp
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {textops.SENT_MIN_DOCS}
+),
+osp AS ({spans.format(split=f"{BLOOM_SPLIT_DUCK} = 1")})
+SELECT osp.doc_id,
+       count(*)::BIGINT AS n_sentences,
+       sum(CASE WHEN idx.shash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_boiler_sentences,
+       sum(osp.stok)::BIGINT AS n_tokens,
+       sum(CASE WHEN idx.shash IS NOT NULL THEN osp.stok ELSE 0 END)::BIGINT
+         AS n_boiler_tokens
+FROM osp LEFT JOIN idx ON idx.shash = md5(osp.stext)
+GROUP BY osp.doc_id
 """
 
 
@@ -6515,6 +6600,11 @@ EXTENSION_QUERIES: dict[str, tuple] = {
     "image_near_dup": (q_image_near_dup, SQL_IMAGE_NEAR_DUP),
     "lsh_index_merge": (q_lsh_index_merge, SQL_DEDUP_LSH_SCREEN),
     "events_anomaly": (q_events_anomaly, SQL_EVENTS_ANOMALY),
+    "sentence_screen": (q_sentence_screen, _sql_sentence_screen()),
+    "sentence_screen_streaming": (
+        q_sentence_screen_streaming,
+        _sql_sentence_screen(),
+    ),
     "decontamination_report": (
         q_decontamination_report,
         _sql_decontamination_report(),

@@ -120,3 +120,49 @@ def derive_pii_corpus(documents: DataFrame) -> DataFrame:
     spark = documents.sparkSession
     documents.createOrReplaceTempView("documents")
     return spark.sql(PII_CORPUS_SQL)
+
+
+SENT_CHUNK_TOKENS = 12  # tokens per synthesized sentence
+
+
+def derive_sentenced_corpus(docs: DataFrame) -> DataFrame:
+    """Rewrite each document as PUNCTUATED text — a '.'-terminated
+    sentence every :data:`SENT_CHUNK_TOKENS` tokens — because the
+    synthetic testdata carries no sentence terminators at all (measured:
+    0 of 500 sf0.01 docs contain '.'), which would make every document
+    one giant "sentence" and the sentence-granularity operators
+    vacuously exact-dedup. Same fixture stance as `_ppm_media` framing
+    docs as images: derive the structure the operator family needs,
+    deterministically, on BOTH engines. Pure per-row projection
+    (tokenize → fixed-size slices → rejoin), zero shuffles; truncation
+    mutants of a document share its leading sentences by construction,
+    so cross-document sentence recurrence is real, not planted."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+
+    ws = tokens("text")
+    n = F.size(ws)
+    k = SENT_CHUNK_TOKENS
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.floor((n + k - 1) / k).cast("int")),
+        lambda i: F.concat(
+            F.array_join(F.slice(ws, (i - 1) * k + 1, k), " "), F.lit(".")
+        ),
+    )
+    return docs.withColumn(
+        "text", F.when(n > 0, F.array_join(chunks, " ")).otherwise(F.lit(""))
+    )
+
+
+def sentenced_sql(words_expr: str) -> str:
+    """DuckDB twin of :func:`derive_sentenced_corpus`'s text rewrite,
+    as an expression over ``words_expr`` (the tokenized text)."""
+    k = SENT_CHUNK_TOKENS
+    return (
+        f"CASE WHEN len({words_expr}) = 0 THEN '' ELSE "
+        f"array_to_string(list_transform("
+        f"range(1, (len({words_expr}) + {k - 1}) // {k} + 1), "
+        f"i -> array_to_string(list_slice({words_expr}, (i - 1) * {k} + 1,"
+        f" (i - 1) * {k} + {k}), ' ') || '.'), ' ') END"
+    )

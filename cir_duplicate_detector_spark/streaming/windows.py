@@ -890,3 +890,40 @@ def streaming_quality_classifier(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def streaming_sentence_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boilerplate screening AS A STREAM — the C4-granularity
+    ingest gate: the indexed split's repeated-sentence digest index
+    builds batch-side once (`textops.sentence_index`); incoming
+    documents explode to sentences statelessly, probe the static index
+    through one stream-static equi-join, and roll up per document in
+    ONE aggregation (`textops.sentence_screen` — shared code, so batch
+    and stream cannot drift). One oracle string by the twin guard."""
+    from ..operators.textops import sentence_index, sentence_screen
+    from ..sources.derived import (
+        BLOOM_SPLIT_SPARK,
+        derive_near_dup_corpus,
+        derive_sentenced_corpus,
+    )
+
+    docs_b = derive_sentenced_corpus(
+        derive_near_dup_corpus(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+    )
+    idx = sentence_index(docs_b.where(F.expr(BLOOM_SPLIT_SPARK) == 0))
+    incoming = derive_sentenced_corpus(
+        _stream_near_dup_corpus(spark, sf_dir, "docs_sent_stream_")
+    ).where(F.expr(BLOOM_SPLIT_SPARK) == 1)
+    screened = sentence_screen(incoming, idx)
+    name = f"stream_sent_{uuid.uuid4().hex[:8]}"
+    query = (
+        screened.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
