@@ -364,7 +364,12 @@ def lsh_screen(
     expressions stream-side against the static index and shares this
     operator's oracle by construction.
     """
-    return lsh_screen_from_index(lsh_band_index(existing, bands), incoming, bands)
+    return lsh_screen_from_index(
+        lsh_band_index(existing, bands),
+        incoming,
+        bands,
+        index_is_distinct=True,
+    )
 
 
 def lsh_band_index(existing: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
@@ -382,7 +387,10 @@ def lsh_band_index(existing: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
 
 
 def lsh_screen_from_index(
-    index: DataFrame, incoming: DataFrame, bands: int = LSH_BANDS
+    index: DataFrame,
+    incoming: DataFrame,
+    bands: int = LSH_BANDS,
+    index_is_distinct: bool = False,
 ) -> DataFrame:
     """Probe half of :func:`lsh_screen`, serving from a prebuilt
     ``(band_id, band_key)`` index relation — in-session
@@ -394,13 +402,16 @@ def lsh_screen_from_index(
     The index is re-deduplicated defensively (round-9 advice): a
     hand-built or multiply-appended parquet with repeated
     ``(band_id, band_key)`` rows would otherwise multiply join rows
-    and silently inflate ``n_bands_hit``. A no-op on well-formed
-    :func:`lsh_band_index` output (already distinct)."""
-    idx = (
-        index.select("band_id", "band_key")
-        .dropDuplicates(["band_id", "band_key"])
-        .withColumn("hit", F.lit(1))
-    )
+    and silently inflate ``n_bands_hit``. Callers that PROVABLY hold
+    :func:`lsh_band_index` output (which is already distinct) pass
+    ``index_is_distinct=True`` to skip the redundant aggregation —
+    the in-session :func:`lsh_screen` composition does (a second
+    distinct on the hot path measured 2.4 → 4.2 s at sf0.1); unknown
+    relations (parquet reads, hand-built indexes) keep the guard."""
+    idx = index.select("band_id", "band_key")
+    if not index_is_distinct:
+        idx = idx.dropDuplicates(["band_id", "band_key"])
+    idx = idx.withColumn("hit", F.lit(1))
     inc = banded_keys(
         minhash_signatures(hashed_shingle_arrays(incoming)), bands
     )

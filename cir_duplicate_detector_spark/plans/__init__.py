@@ -111,8 +111,11 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " four boilerplate/scrub queries. Plus the NEW sentence_dedup and"
     " quality_classifier operators (new queries lead the rotation)",
     f"{_PKG}/operators/dedup.py": "defensive dropDuplicates on the"
-    " served LSH index — a no-op on well-formed lsh_band_index output;"
-    " parity re-run green for dedup_lsh_screen/lsh_index_roundtrip",
+    " served LSH index, with an index_is_distinct opt-out for callers"
+    " holding provably-distinct lsh_band_index output (the in-session"
+    " lsh_screen composition — a second distinct on the hot path"
+    " measured 2.4 -> 4.2 s); same answers, parity re-run green for"
+    " dedup_lsh_screen/lsh_index_roundtrip/lsh_index_merge",
     f"{_PKG}/operators/events.py": "NEW rate_anomalies operator only;"
     " no existing query touched (new events_anomaly query leads the"
     " rotation as never-verified)",

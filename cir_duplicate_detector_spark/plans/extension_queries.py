@@ -6369,7 +6369,9 @@ def q_lsh_index_merge(spark, sf_dir):
     i1 = dedup.lsh_band_index(indexed.where("doc_id % 2 = 0"))
     i2 = dedup.lsh_band_index(indexed.where("doc_id % 2 = 1"))
     merged = i1.unionAll(i2).dropDuplicates(["band_id", "band_key"])
-    return dedup.lsh_screen_from_index(merged, docs.where(split == 1))
+    return dedup.lsh_screen_from_index(
+        merged, docs.where(split == 1), index_is_distinct=True
+    )
 
 
 def q_events_anomaly(spark, sf_dir):
