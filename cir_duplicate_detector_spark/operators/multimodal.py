@@ -447,13 +447,27 @@ def image_near_duplicates(
     strings), run here from image bytes in one query. Returns
     ``(a, b, hamming)`` with ``a < b`` and ``hamming <= max_bits``.
 
-    Scale shape, same as the PDQ banded backend (`operators.pdq`):
-    the hash's 64 bits split into ``bands`` equal substrings; pairs
-    must agree exactly on >= 1 band to become candidates (pigeonhole:
-    exact for ``max_bits < bands``), so candidates arrive by a
-    shuffle equi-join on ``(band_id, band_key)`` — never an all-pairs
-    scan — and the verify is two 32-bit ``bit_count(xor)`` terms in
-    whole-stage codegen. Decode is the one Python (Arrow) boundary.
+    Scale shape — canonicalize-first over DISTINCT hashes, then the
+    PDQ-style banded join (`operators.pdq`): identical images (the
+    dominant mass of a recurring-crawl corpus — and 100% of a replica
+    scale-up's added rows) share one ahash, so the corpus first
+    collapses to its distinct bit strings with member lists; the
+    hash's 64 bits split into ``bands`` equal substrings and DISTINCT
+    hashes must agree exactly on >= 1 band to become candidates
+    (pigeonhole: exact for ``max_bits < bands``) — a shuffle equi-join
+    on ``(band_id, band_key)`` sized by distinct-image count, never by
+    raw rows; the verify is two 32-bit ``bit_count(xor)`` terms in
+    whole-stage codegen; qualifying hash pairs then EXPAND back
+    through their member lists (plus the within-group distance-0
+    pairs), so the output is identical to the naive per-row join while
+    the join itself never sees a duplicate. The first cut banded raw
+    rows and the 10× duplicate-heavy replica ran its all-8-band
+    collisions into a candidates-quadratic stall — the same
+    selectivity wall `pdq`'s banded gate (16^w >= 4·k·N) guards, hit
+    through duplication instead of corpus size. Band width stays the
+    selectivity knob for DISTINCT-count growth; group size (a viral
+    image) is the skew knob, same exposure as `url_duplicates`' capped
+    variant. Decode is the one Python (Arrow) boundary.
     """
     if max_bits >= bands:
         raise ValueError(
@@ -462,8 +476,11 @@ def image_near_duplicates(
         )
     width = 64 // bands
     feats = image_ahash_features(media).select("doc_id", "ahash_bits")
-    banded = feats.select(
-        "doc_id",
+    groups = feats.groupBy("ahash_bits").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    reps = groups.select("ahash_bits")
+    banded = reps.select(
         "ahash_bits",
         F.posexplode(
             F.array(
@@ -481,16 +498,14 @@ def image_near_duplicates(
             on=[
                 F.col("x.band_id") == F.col("y.band_id"),
                 F.col("x.band_key") == F.col("y.band_key"),
-                F.col("x.doc_id") < F.col("y.doc_id"),
+                F.col("x.ahash_bits") < F.col("y.ahash_bits"),
             ],
         )
         .select(
-            F.col("x.doc_id").alias("a"),
-            F.col("y.doc_id").alias("b"),
             F.col("x.ahash_bits").alias("ba"),
             F.col("y.ahash_bits").alias("bb"),
         )
-        .dropDuplicates(["a", "b"])
+        .dropDuplicates(["ba", "bb"])
     )
 
     def _half(col, start: int):
@@ -503,8 +518,44 @@ def image_near_duplicates(
             _half(F.col("ba"), 33).bitwiseXOR(_half(F.col("bb"), 33))
         )
     ).cast("bigint")
-    return (
-        cand.withColumn("hamming", ham)
-        .where(F.col("hamming") <= max_bits)
-        .select("a", "b", "hamming")
+    near = cand.withColumn("hamming", ham).where(F.col("hamming") <= max_bits)
+    # Cross-group expansion: every member pair of a qualifying hash
+    # pair, oriented a < b (hash order does not imply doc order).
+    between = (
+        near.join(
+            groups.select(
+                F.col("ahash_bits").alias("ba"), F.col("ids").alias("ids_a")
+            ),
+            "ba",
+        )
+        .join(
+            groups.select(
+                F.col("ahash_bits").alias("bb"), F.col("ids").alias("ids_b")
+            ),
+            "bb",
+        )
+        .select(
+            F.explode("ids_a").alias("ia"), F.col("ids_b"), "hamming"
+        )
+        .select(
+            "ia", F.explode("ids_b").alias("ib"), "hamming"
+        )
+        .select(
+            F.least("ia", "ib").alias("a"),
+            F.greatest("ia", "ib").alias("b"),
+            "hamming",
+        )
     )
+    # Within-group pairs: identical images, distance 0 by definition.
+    within = (
+        groups.where(F.size("ids") > 1)
+        .select(F.posexplode("ids").alias("i", "a"), F.col("ids"))
+        .select(
+            "a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias(
+                "b"
+            ),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return between.unionAll(within).select("a", "b", "hamming")

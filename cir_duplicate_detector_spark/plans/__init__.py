@@ -104,7 +104,9 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " so every registered result is byte-identical (parity re-run"
     " green); pinned by test_extract_features_dispatches_any_image_"
     "media_type. Plus the NEW image_near_duplicates operator (new"
-    " query leads the rotation as never-verified)",
+    " query leads the rotation as never-verified; its banded join was"
+    " restructured canonicalize-first over distinct hashes mid-round —"
+    " plan-only, output identical, parity re-run green at both SFs)",
     f"{_PKG}/operators/textops.py": "zero-token spans excluded from"
     " boilerplate_index/eval_span_index — testdata has no zero-token"
     " docs (measured), results identical; parity re-run green for the"
