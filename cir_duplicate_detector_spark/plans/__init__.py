@@ -50,23 +50,11 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Queries whose ROUND-9 edits change results (not just physical plans),
-# so their existing driver rows are void regardless of age (round 8's
-# entries — the residual-encoding rewrite and the `_fake_decode`
-# retirement — were verified in r8 and cleared):
-# * knn_ivf_pq / knn_ivf_pq_refined / pq_recall — candidate-ceiling
-#   lift: IVFPQ_NPROBE 8 → 16 and the re-rank shortlist PQ_REFINE
-#   20 → 64 (refined recall@5 0.62 → 0.91, sweep in `pq.IVFPQ_M`'s
-#   comment), changing probed cells, shortlists, and every recall row.
-# * fuzzy_decon_recall — truth side switched from the full eval slice
-#   to the fixed 32-doc panel (`semantic_decon_recall` discipline), so
-#   the recall denominator and rows change.
-_PLAN_CHANGED = [
-    "knn_ivf_pq",
-    "knn_ivf_pq_refined",
-    "pq_recall",
-    "fuzzy_decon_recall",
-]
+# Queries whose ROUND-10 edits change results (not just physical
+# plans), so their existing driver rows are void regardless of age
+# (round 9's entries — the IVF-PQ candidate-ceiling lift and the fuzzy
+# recall panel — were all verified in r09 and cleared):
+_PLAN_CHANGED: list[str] = []
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
 # package file changed since the latest COMMITTED round artifact must
@@ -80,67 +68,74 @@ _PLAN_CHANGED = [
 # the round's artifacts) are harmless and cleared opportunistically.
 _PKG = "cir_duplicate_detector_spark"
 _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
-    f"{_PKG}/operators/pq.py": (
-        "knn_ivf_pq",
-        "knn_ivf_pq_refined",
-        "pq_recall",
-    ),
-    f"{_PKG}/plans/extension_queries.py": (
-        # IVFPQ_NPROBE/PQ_REFINE lift + fuzzy recall panel; the other
-        # edits register the brand-new corpus_bucketed_join (leads the
-        # rotation as never-verified) and align oracle twins with the
-        # zero-token-span fixes (no result change on this corpus —
-        # parity re-run green for all eight touched queries).
-        "knn_ivf_pq",
-        "knn_ivf_pq_refined",
-        "pq_recall",
-        "fuzzy_decon_recall",
-        "corpus_bucketed_join",
-    ),
-    f"{_PKG}/plans/__init__.py": "rotation metadata only"
-    " (_PLAN_CHANGED/_ROUND_EDITS); no query plan or result touched",
-    f"{_PKG}/operators/multimodal.py": "image/* dispatch widening —"
-    " registered corpora use only the exact PPM type and text/plain,"
-    " so every registered result is byte-identical (parity re-run"
-    " green); pinned by test_extract_features_dispatches_any_image_"
-    "media_type. Plus the NEW image_near_duplicates operator (new"
-    " query leads the rotation as never-verified; its banded join was"
-    " restructured canonicalize-first over distinct hashes mid-round —"
-    " plan-only, output identical, parity re-run green at both SFs)",
-    f"{_PKG}/operators/textops.py": "zero-token spans excluded from"
-    " boilerplate_index/eval_span_index — testdata has no zero-token"
-    " docs (measured), results identical; parity re-run green for the"
-    " four boilerplate/scrub queries. Plus the NEW sentence_dedup and"
-    " quality_classifier operators (new queries lead the rotation)",
-    f"{_PKG}/operators/dedup.py": "defensive dropDuplicates on the"
-    " served LSH index, with an index_is_distinct opt-out for callers"
-    " holding provably-distinct lsh_band_index output (the in-session"
-    " lsh_screen composition — a second distinct on the hot path"
-    " measured 2.4 -> 4.2 s); same answers, parity re-run green for"
-    " dedup_lsh_screen/lsh_index_roundtrip/lsh_index_merge",
-    f"{_PKG}/operators/events.py": "NEW rate_anomalies operator only;"
-    " no existing query touched (new events_anomaly query leads the"
-    " rotation as never-verified)",
-    f"{_PKG}/streaming/windows.py": "NEW streaming_quality_classifier"
-    " and streaming_sentence_screen twins only; no existing streaming"
-    " query touched",
-    f"{_PKG}/sources/derived.py": "NEW derive_sentenced_corpus /"
-    " sentenced_sql fixtures only (consumed by the new sentence-family"
-    " queries); existing derivations untouched",
+    f"{_PKG}/plans/__init__.py": "rotation metadata reset for round 10"
+    " plus the tracked-round bound on _last_verified_round (ADVICE r9:"
+    " ignore artifacts newer than the latest git-tracked CORRECTNESS"
+    " round so in-tree and fresh-clone rotation orderings always"
+    " agree); no query plan or result touched",
+    f"{_PKG}/plans/extension_queries.py": "corpus_bucketed_join staging"
+    " moved from an sf_dir-keyed /tmp tag to per-invocation"
+    " tempfile.mkdtemp with matching salted table names (ADVICE r9"
+    " concurrency race); physical staging location only, join semantics"
+    " and output identical",
+    f"{_PKG}/sources/sinks.py": "repartition_for_output drops the"
+    " .rdd.getNumPartitions() probe for a fixed repartition (VERDICT r9"
+    " nit); sink layout helper, not on any registered query's result"
+    " path",
 }
 
 
-def _last_verified_round() -> dict[str, int]:
+def _latest_tracked_round(root: Path) -> "int | None":
+    """Highest CORRECTNESS round COMMITTED to git, or None when git is
+    unavailable (pip install, exported tree — where only committed
+    artifacts exist on disk anyway, so no bound is needed)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if out.returncode != 0:
+        return None
+    rounds = []
+    for name in out.stdout.splitlines():
+        m = re.search(r"r(\d+)", name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds, default=None)
+
+
+def _last_verified_round(
+    root: "Path | None" = None, max_round: "int | None" = None
+) -> dict[str, int]:
     """name -> latest round with a driver row, from the committed
     ``CORRECTNESS_r*.json`` artifacts (repo root). Missing files (fresh
-    clone, round 1) yield {} and the registry keeps insertion order."""
+    clone, round 1) yield {} and the registry keeps insertion order.
+
+    ``max_round`` bounds the scan to committed rounds: the driver drops
+    the new round's artifact UNTRACKED right after the builder's final
+    commit, and counting it would make this working tree's rotation
+    diverge from a fresh clone of HEAD — the exact one-round lag that
+    made `tests/test_plans.py::test_round_edits_are_declared` misfire
+    at the round-9 boundary (VERDICT r9 item 1). Artifacts whose round
+    exceeds ``max_round`` are ignored; ``None`` means no bound.
+    """
     last: dict[str, int] = {}
-    root = Path(__file__).resolve().parents[2]
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", f.name)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             rows = json.loads(f.read_text())
         except (OSError, json.JSONDecodeError):
@@ -150,7 +145,8 @@ def _last_verified_round() -> dict[str, int]:
     return last
 
 
-_LAST = _last_verified_round()
+_ROOT = Path(__file__).resolve().parents[2]
+_LAST = _last_verified_round(_ROOT, _latest_tracked_round(_ROOT))
 _REG_POS = {name: i for i, name in enumerate(_MERGED)}
 
 

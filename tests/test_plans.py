@@ -705,3 +705,43 @@ def test_rotation_artifact_check_tolerates_driver_drop(tmp_path):
     assert _stale_untracked_artifacts(regression, tracked) == [
         "CORRECTNESS_r05.json"
     ]
+
+
+def test_round_edit_lint_tolerates_driver_drop(tmp_path):
+    # Simulated round boundary for the ROUND-EDITS lint's view of
+    # "brand-new": the driver drops CORRECTNESS_r99.json (untracked)
+    # right after the builder's final commit. _last_verified_round must
+    # IGNORE rounds beyond the committed bound, so a genuinely
+    # brand-new query stays brand-new (no row) in this working tree
+    # exactly as it would in a fresh clone of HEAD — the one-round lag
+    # that broke the lint at the round-9 boundary (VERDICT r9 item 1).
+    import json as _json
+
+    from cir_duplicate_detector_spark.plans import _last_verified_round
+
+    (tmp_path / "CORRECTNESS_r08.json").write_text(
+        _json.dumps({"old_q": {"rows_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        _json.dumps({"old_q": {"rows_match": True},
+                     "new_q": {"rows_match": True}})
+    )
+    bounded = _last_verified_round(root=tmp_path, max_round=8)
+    assert bounded == {"old_q": 8}, bounded  # r99 drop invisible
+    unbounded = _last_verified_round(root=tmp_path, max_round=None)
+    assert unbounded == {"old_q": 99, "new_q": 99}
+
+
+def test_last_is_bounded_by_tracked_rounds():
+    # The live _LAST must be computed with the committed-round bound:
+    # no round in it may exceed the highest git-tracked CORRECTNESS
+    # round, even while the driver's untracked drop sits on disk.
+    from cir_duplicate_detector_spark import plans
+
+    bound = plans._latest_tracked_round(plans._ROOT)
+    if bound is None:
+        return  # exported tree without git: nothing to bound against
+    assert all(rnd <= bound for rnd in plans._LAST.values()), (
+        "plans._LAST contains rounds newer than the latest committed "
+        "artifact — the tracked-round bound is not applied"
+    )
