@@ -261,6 +261,15 @@ def rate_anomalies(events: DataFrame, width_us: int = HOUR_US) -> DataFrame:
         .groupBy("event_type", "window_start_us")
         .agg(F.count("*").alias("n_events"))
     )
+    return anomaly_flag(counts)
+
+
+def anomaly_flag(counts: DataFrame) -> DataFrame:
+    """Two-sigma evaluation over a (event_type, window_start_us,
+    n_events) counts relation — the stateless half of
+    :func:`rate_anomalies`, shared verbatim by its streaming twin
+    (`streaming.windows.streaming_rate_anomalies` applies it to the
+    drained stream counts), so batch and stream cannot drift."""
     stats = counts.groupBy("event_type").agg(
         F.count("*").alias("n_windows"),
         F.sum("n_events").alias("sum_cnt"),

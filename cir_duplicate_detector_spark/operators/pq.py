@@ -30,7 +30,15 @@ DuckDB oracle (same discipline as `similarity.dot64`).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from typing import NamedTuple
+
+from pyspark.sql import (
+    Column,
+    DataFrame,
+    SparkSession,
+    Window,
+    functions as F,
+)
 
 PQ_M = 8  # subspaces
 PQ_SUBDIM = 8  # dims per subspace (M * SUBDIM = 64, the testdata dim)
@@ -470,6 +478,54 @@ def knn_ivf_pq(
     Recall is self-measured by the registered `pq_recall` diagnostic
     (vs exact L2 — the metric ADC approximates).
     """
+    index = build_ivf_pq_index(
+        vectors,
+        m=m,
+        subdim=subdim,
+        n_codewords=n_codewords,
+        cb_iters=cb_iters,
+        coarse_k=coarse_k,
+        coarse_iters=coarse_iters,
+        sample_mod=sample_mod,
+        cb_train_mod=cb_train_mod,
+    )
+    return knn_ivf_pq_from_index(index, vectors, probe, k=k, nprobe=nprobe)
+
+
+class IvfPqIndex(NamedTuple):
+    """The built (and persistable) half of IVF-ADC: everything the
+    probe phase needs that does NOT depend on the probe set. All four
+    relations are deterministic functions of (corpus, config), so a
+    persisted copy answers identically to an in-session build — the
+    property `ivf_index_roundtrip` pins for the IVF quantizer and
+    `tests/test_pq.py` pins for this composed index."""
+
+    cents: DataFrame  # (coarse, c) — √|sample| rows, broadcastable
+    assigned: DataFrame  # (vec_id, coarse) — corpus cell assignment
+    codebook: DataFrame  # (subspace, cid, csub) — M·K rows
+    codes: DataFrame  # (vec_id, subspace, code) — N·M small ints
+    m: int
+    subdim: int
+
+
+def build_ivf_pq_index(
+    vectors: DataFrame,
+    m: int = IVFPQ_M,
+    subdim: int = IVFPQ_SUBDIM,
+    n_codewords: int = PQ_CODEWORDS,
+    cb_iters: int = PQ_LLOYD_ITERS,
+    coarse_k: int | None = None,
+    coarse_iters: int | None = None,
+    sample_mod: int | None = None,
+    cb_train_mod: int | None = None,
+) -> IvfPqIndex:
+    """Index-build phase of :func:`knn_ivf_pq` (see its docstring for
+    the full recipe): learn the coarse quantizer, assign cells, form
+    residuals, learn the PQ codebook on the residual sample, encode.
+    Split out so diagnostic families can build ONCE and serve several
+    probe-phase queries from the same index (VERDICT r9 item 2 — the
+    three `knn_ivf_pq`-family queries each re-learned ~8 s of identical
+    quantizer before this)."""
     from ..cache import materialize
     from .kmeans import (
         KM_ITERS,
@@ -478,7 +534,6 @@ def knn_ivf_pq(
         kmeans_centroids,
         sqrt_sample_k,
     )
-    from .similarity import _probe_restrict
 
     smod = KM_IVF_SAMPLE_MOD if sample_mod is None else sample_mod
     e = vectors.select(
@@ -524,7 +579,59 @@ def knn_ivf_pq(
         )
     )
     codes = pq_encode(resid, codebook, m, subdim)
+    return IvfPqIndex(cents, assigned, codebook, codes, m, subdim)
 
+
+_IVFPQ_PARTS = ("cents", "assigned", "codebook", "codes")
+
+
+def persist_ivf_pq_index(index: IvfPqIndex, out_dir: str) -> None:
+    """Write the four index relations as parquet under ``out_dir`` —
+    the serving posture: at 100 TB the index is built once per corpus
+    snapshot and every retrieval job reads the parquet, and locally a
+    parquet-backed index survives `cache.release_cached` (which
+    unpersists the localCheckpoint blocks an in-session build rides
+    on, e.g. between bench-loop queries)."""
+    for part in _IVFPQ_PARTS:
+        getattr(index, part).write.mode("overwrite").parquet(
+            f"{out_dir}/{part}"
+        )
+
+
+def read_ivf_pq_index(
+    spark: SparkSession,
+    out_dir: str,
+    m: int = IVFPQ_M,
+    subdim: int = IVFPQ_SUBDIM,
+) -> IvfPqIndex:
+    """Reopen a :func:`persist_ivf_pq_index` directory. ``m``/``subdim``
+    must match the build config (they are layout, not data)."""
+    parts = [
+        spark.read.parquet(f"{out_dir}/{part}") for part in _IVFPQ_PARTS
+    ]
+    return IvfPqIndex(*parts, m, subdim)
+
+
+def knn_ivf_pq_from_index(
+    index: IvfPqIndex,
+    vectors: DataFrame,
+    probe: "list[int] | DataFrame",
+    k: int = 5,
+    nprobe: int = IVFPQ_NPROBE,
+) -> DataFrame:
+    """Probe phase of :func:`knn_ivf_pq` against a pre-built (possibly
+    persisted) :class:`IvfPqIndex`. ``vectors`` supplies only the probe
+    embeddings — the corpus is touched exclusively through the index's
+    codes, as at serving time."""
+    from .kmeans import _sq_dist
+    from .similarity import _probe_restrict
+
+    cents, assigned = index.cents, index.assigned
+    codebook, codes = index.codebook, index.codes
+    m, subdim = index.m, index.subdim
+    e = vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
     probes = _probe_restrict(e, probe).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("embedding")
     )

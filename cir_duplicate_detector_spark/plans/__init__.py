@@ -73,15 +73,58 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " ignore artifacts newer than the latest git-tracked CORRECTNESS"
     " round so in-tree and fresh-clone rotation orderings always"
     " agree); no query plan or result touched",
-    f"{_PKG}/plans/extension_queries.py": "corpus_bucketed_join staging"
-    " moved from an sf_dir-keyed /tmp tag to per-invocation"
-    " tempfile.mkdtemp with matching salted table names (ADVICE r9"
-    " concurrency race); physical staging location only, join semantics"
-    " and output identical",
+    f"{_PKG}/plans/extension_queries.py": "split into per-family"
+    " modules (VERDICT r9 item 6): now a thin aggregator merging the"
+    " ext_* dicts in the frozen pre-split registration order —"
+    " registry verified entry-identical (same keys, order, oracle"
+    " strings, callables) against the monolith at install time. Also"
+    " corpus_bucketed_join staging moved to per-invocation"
+    " tempfile.mkdtemp with salted table names (ADVICE r9 concurrency"
+    " race); physical staging location only, results identical",
+    **{
+        f"{_PKG}/plans/ext_{fam}.py": "NEW file from the registry"
+        " split: verbatim relocation of the monolith's definitions"
+        " (comments included), no semantic edits; the aggregator's"
+        " install-time comparison proved the merged registry"
+        " entry-identical"
+        for fam in (
+            "common", "dedup", "ann", "text", "pipeline", "events",
+            "multimodal", "analytics",
+        )
+    },
+    f"{_PKG}/operators/textops.py": "NEW quality_classifier_weights /"
+    " quality_classifier_learned / quality_classifier_agreement"
+    " operators only (closed-form learned linear scorer, VERDICT r9"
+    " item 4); no existing operator touched",
+    f"{_PKG}/plans/ext_text.py": "NEW quality_classifier_learned"
+    " (+streaming twin) and quality_classifier_agreement registrations"
+    " only (new queries lead the rotation as never-verified); no"
+    " existing query touched",
+    f"{_PKG}/operators/events.py": "rate_anomalies' two-sigma"
+    " evaluation factored into the shared anomaly_flag helper (same"
+    " expressions, same plan); consumed unchanged by the batch query"
+    " and by the NEW streaming twin — results identical, parity green",
+    f"{_PKG}/streaming/windows.py": "NEW streaming_rate_anomalies and"
+    " streaming_quality_classifier_learned twins only"
+    " (drain-then-shared-code contracts); no existing streaming query"
+    " touched",
+    f"{_PKG}/plans/ext_events.py": "NEW events_anomaly_streaming"
+    " registration only (new query leads the rotation as"
+    " never-verified); no existing query touched",
+    f"{_PKG}/operators/pq.py": "knn_ivf_pq split into"
+    " build_ivf_pq_index + knn_ivf_pq_from_index with persist/read"
+    " helpers (VERDICT r9 item 2); the composed knn_ivf_pq delegates to"
+    " both phases unchanged — results identical, pinned by"
+    " test_ivf_pq_index_roundtrip_identical and the parity re-run",
+    f"{_PKG}/plans/ext_ann.py": "knn_ivf_pq / knn_ivf_pq_refined /"
+    " pq_recall now serve from the family-shared built-once"
+    " parquet-backed index (_shared_ivfpq_index); the build is"
+    " deterministic so results are identical (roundtrip-identity test"
+    " + parity re-run green) — physical serving change only",
     f"{_PKG}/sources/sinks.py": "repartition_for_output drops the"
-    " .rdd.getNumPartitions() probe for a fixed repartition (VERDICT r9"
-    " nit); sink layout helper, not on any registered query's result"
-    " path",
+    " plan-to-RDD getNumPartitions probe for a fixed repartition"
+    " (VERDICT r9 nit); sink layout helper, not on any registered"
+    " query's result path",
 }
 
 
@@ -188,6 +231,8 @@ for _batch, _streaming in [
     ("bm25_route", "bm25_index_roundtrip"),
     ("decontaminate_scrub", "decontaminate_scrub_streaming"),
     ("decontaminate_fuzzy", "decontaminate_fuzzy_canonical"),
+    ("events_anomaly", "events_anomaly_streaming"),
+    ("quality_classifier_learned", "quality_classifier_learned_streaming"),
     # salted_join is a physical-plan rewrite only — same answer, same
     # oracle string as the unsalted plan.
     ("tpch_q5", "tpch_q5_skewed"),

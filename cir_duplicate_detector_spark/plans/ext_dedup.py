@@ -1,0 +1,1212 @@
+"""Dedup-family extension queries: exact/normalized/
+incremental/streaming dedup, MinHash+LSH, SimHash,
+containment, connected components, cluster representatives,
+sentence-level dedup, LSH index round-trip/merge, recall
+diagnostics.
+
+Split out of the monolithic ``extension_queries.py`` (round-10
+modularity; VERDICT r9 item 6) with NO behavior change: same
+callables, same oracle strings, same registry names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from ..functions.text import hash60_sql
+from ..operators import dedup, events, multimodal, similarity, sketches, textops
+from ..operators.skew import salted_join
+from ..sources.derived import (
+    BLOOM_SPLIT_DUCK,
+    BLOOM_SPLIT_SPARK,
+    PII_CORPUS_SQL,
+    derive_near_dup_corpus,
+    derive_near_dup_embeddings,
+    derive_pii_corpus,
+    near_dup_corpus_sql,
+    near_dup_embeddings_sql,
+)
+from ..sources.tables import load_table
+from ..streaming.windows import (
+    streaming_exact_dedup,
+    streaming_tumbling_window,
+)
+from ..sources.derived import sentenced_sql as _sentenced_sql
+
+from .ext_common import (
+    _BAND_SELECTS,
+    _DUCK_CC_CTES,
+    _DUCK_QUALITY_EXPR,
+    _DUCK_SHINGLES,
+    _DUCK_SHINGLE_SET,
+    _DUCK_WORDS,
+    _LANES,
+    _ND,
+    _docs_nd,
+)
+
+
+def q_dedup_exact(spark, sf_dir):
+    # `members` joined to a string: the driver's canonicalizer cannot
+    # hash array cells (see plans.core_queries._joined).
+    return dedup.exact_duplicates(_docs_nd(spark, sf_dir)).select(
+        "text_hash",
+        F.array_join(
+            F.transform("members", lambda m: m.cast("string")), "|"
+        ).alias("members"),
+        "group_size",
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH docs_nd AS ({_ND})
+SELECT md5(text) AS text_hash,
+       array_to_string(list_sort(list(doc_id)), '|') AS members,
+       count(*) AS group_size
+FROM docs_nd GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_near_duplicates(_docs_nd(spark, sf_dir), threshold=0.5)
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_DUCK_SHINGLE_SET},
+sigs AS (
+  SELECT doc_id, {_LANES}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r USING (band_id, band_key)
+  WHERE l.doc_id < r.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
+  GROUP BY c.a, c.b
+)
+SELECT i2.a, i2.b, i2.i / (sa.n + sb.n - i2.i) AS jaccard
+FROM inter i2
+JOIN sizes sa ON sa.doc_id = i2.a
+JOIN sizes sb ON sb.doc_id = i2.b
+WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
+"""
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: connected components over the
+    MinHash near-dup pairs (reference semantics stop at pairwise lists,
+    e.g. ``pdq_hash.py:48-65``; a curation pipeline needs the closure
+    to keep exactly one document per group). Spark side is iterative
+    min-label propagation (`operators.dedup.connected_components`);
+    the oracle walks the same edges with a recursive CTE."""
+    pairs = dedup.minhash_near_duplicates(
+        _docs_nd(spark, sf_dir), threshold=0.5
+    ).select("a", "b")
+    cc = dedup.connected_components(pairs, check_every=2)  # duplicate graphs converge in 2-3 rounds; halve the count jobs
+    sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE {_DUCK_CC_CTES}
+SELECT cc.doc_id, cc.cluster_id, s.n AS cluster_size
+FROM cc
+JOIN (SELECT cluster_id, count(*) AS n FROM cc GROUP BY cluster_id) s
+  USING (cluster_id)
+"""
+
+
+def q_cluster_representatives(spark, sf_dir):
+    """The end-to-end curation decision a training-data pipeline runs:
+    near-dup pairs (MinHash+LSH) → transitive clusters (connected
+    components) → ONE representative per cluster, chosen as the
+    highest-quality member (composite `textops.quality_score_expr`,
+    ties to the smallest doc_id). Output: one row per cluster with its
+    representative, size, and the representative's quality.
+
+    Scale shape: everything upstream is the already-audited
+    banded-equi-join + label-propagation machinery; the selection adds
+    one broadcast-sized join (cluster members × quality) and one window
+    over cluster_id — both shuffle-partitioned on cluster keys. Quality
+    doubles are computed with the identical fold order on both engines
+    (bit-exact, like `text_quality`), so the argmax is deterministic
+    cross-engine.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs_nd(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5).select("a", "b")
+    cc = dedup.connected_components(pairs, check_every=2)  # duplicate graphs converge in 2-3 rounds; halve the count jobs
+    members = cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    scored = members.join(
+        docs.select("doc_id", textops.quality_score_expr().alias("q")),
+        "doc_id",
+    )
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("cluster_size", F.count("*").over(w_all).cast("bigint"))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "cluster_size",
+            F.col("q").alias("rep_quality"),
+        )
+    )
+
+
+def _sql_cluster_representatives() -> str:
+    return f"""
+WITH RECURSIVE {_DUCK_CC_CTES},
+q AS (
+  SELECT doc_id,
+         {_DUCK_QUALITY_EXPR} AS q
+  FROM docs_nd
+),
+m AS (SELECT cc.doc_id, cc.cluster_id, q.q FROM cc JOIN q USING (doc_id)),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+  FROM m
+)
+SELECT cluster_id, doc_id AS rep_doc_id, cluster_size, q AS rep_quality
+FROM r WHERE rn = 1
+"""
+
+
+def _jaccard_scored(spark, sf_dir):
+    """Shared probe-vs-corpus exact-Jaccard scoring over the df-capped
+    shingle inverted index (consumed by the threshold filter and the
+    top-k retrieval). Unlike `_containment_screen`, the index is NOT
+    materialized here: an interleaved warm-JIT A/B measured no gain
+    (3.30 s either way at sf0.1 — exchange reuse already covers the
+    repeated references on this narrower two-column index), so the
+    plan stays fully lazy."""
+    docs = _docs_nd(spark, sf_dir)
+    shingles = dedup.df_capped(
+        dedup.shingle_sets(docs).select("doc_id", "sh_hash"), "sh_hash"
+    )
+    probes = shingles.where(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 1_000_000)
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        probes.select(F.col("doc_id").alias("a"), "sh_hash")
+        .join(shingles.select(F.col("doc_id").alias("b"), "sh_hash"), "sh_hash")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a"
+        )
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Probe-vs-corpus exact Jaccard via the shingle inverted index.
+    The index is df-capped (``dedup.df_capped``) before the equi-join:
+    a shingle shared by d docs emits O(d·probes) join rows, so hot
+    boilerplate shingles are dropped like stop-words on both engines
+    (similarity is computed over the capped shingle universe)."""
+    return (
+        _jaccard_scored(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.3)
+        .select("a", "b", "jaccard")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_DUCK_SHINGLE_SET},
+shc AS (
+  SELECT doc_id, sh_hash FROM shh
+  QUALIFY count(*) OVER (PARTITION BY sh_hash) <= {dedup.DEFAULT_MAX_DF}
+),
+sizesc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM shc x JOIN shc y ON y.sh_hash = x.sh_hash AND x.doc_id <> y.doc_id
+  WHERE x.doc_id % 50 = 0 AND x.doc_id < 1000000
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT i2.a, i2.b, i2.i / (sa.n + sb.n - i2.i) AS jaccard
+FROM inter i2
+JOIN sizesc sa ON sa.doc_id = i2.a
+JOIN sizesc sb ON sb.doc_id = i2.b
+WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.3
+"""
+
+
+def q_doc_topk_similar(spark, sf_dir):
+    """Query-by-document retrieval: for each probe document, the top-5
+    most similar corpus documents by exact shingle Jaccard — the
+    "find me near-duplicates of THIS doc" lookup an annotation/triage
+    workflow runs (reference use case: given a flagged item, surface
+    its variants). Same inverted-index equi-join as the Jaccard dedup
+    pass (candidates = docs sharing ≥1 shingle hash, never all-pairs,
+    df-capped so hot shingles can't cross-product the join); a
+    per-probe window takes the top-k, ties to the smaller doc_id."""
+    from pyspark.sql import Window
+
+    scored = _jaccard_scored(spark, sf_dir)
+    w = Window.partitionBy("a").orderBy(
+        F.col("jaccard").desc(), F.col("b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 5)
+        .select("a", "b", "rank", "jaccard")
+    )
+
+
+SQL_DOC_TOPK_SIMILAR = f"""
+WITH {_DUCK_SHINGLE_SET},
+shc AS (
+  SELECT doc_id, sh_hash FROM shh
+  QUALIFY count(*) OVER (PARTITION BY sh_hash) <= {dedup.DEFAULT_MAX_DF}
+),
+sizesc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM shc x JOIN shc y ON y.sh_hash = x.sh_hash AND x.doc_id <> y.doc_id
+  WHERE x.doc_id % 50 = 0 AND x.doc_id < 1000000
+  GROUP BY x.doc_id, y.doc_id
+),
+scored AS (
+  SELECT i2.a, i2.b, i2.i / (sa.n + sb.n - i2.i) AS jaccard
+  FROM inter i2
+  JOIN sizesc sa ON sa.doc_id = i2.a
+  JOIN sizesc sb ON sb.doc_id = i2.b
+)
+SELECT a, b, rank, jaccard FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY a ORDER BY jaccard DESC, b
+  )::BIGINT AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _containment_screen(shingles):
+    """Shared containment tail over a df-capped shingle index. The
+    index feeds THREE subplans (probe side, probe sizes, corpus side);
+    Spark recomputes uncached subtrees per reference (exchange reuse
+    does not fire across the differing projections), so the index is
+    materialized ONCE — interleaved warm-JIT A/B at sf0.1 measured
+    5.95 → 4.72 s on the canonical variant (min-of-3 per arm, A/B/A/B
+    order so JIT warm-up cannot masquerade as the gain)."""
+    from ..cache import materialize
+
+    shingles = materialize(shingles)
+    probes = shingles.where(
+        (F.col("doc_id") % 50 == 0) | (F.col("doc_id") >= 1_000_000)
+    ).withColumnRenamed("doc_id", "a")
+    sizes_a = probes.groupBy("a").agg(F.count("*").alias("na"))
+    inter = (
+        probes.join(
+            shingles.withColumnRenamed("doc_id", "b"), "sh_hash"
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(F.broadcast(sizes_a), "a")
+        .withColumn("containment", F.col("i") / F.col("na"))
+        .where(F.col("containment") >= 0.8)
+        .select("a", "b", "containment")
+    )
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric set containment |A∩B|/|A| — catches documents fully
+    embedded in larger ones, which symmetric Jaccard under-scores (the
+    truncation mutants in the derived corpus are exactly this shape:
+    containment(mutant ⊂ original) = 1.0). The shingle index is
+    df-capped before the join (see q_dedup_ngram_jaccard)."""
+    docs = _docs_nd(spark, sf_dir)
+    return _containment_screen(
+        dedup.df_capped(dedup.shingle_sets(docs), "sh_hash")
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {_DUCK_SHINGLE_SET},
+shc AS (
+  SELECT doc_id, sh_hash FROM shh
+  QUALIFY count(*) OVER (PARTITION BY sh_hash) <= {dedup.DEFAULT_MAX_DF}
+),
+probes AS (
+  SELECT doc_id AS a, sh_hash FROM shc
+  WHERE doc_id % 50 = 0 OR doc_id >= 1000000
+),
+inter AS (
+  SELECT p.a, s.doc_id AS b, count(*) AS i
+  FROM probes p JOIN shc s ON s.sh_hash = p.sh_hash AND s.doc_id <> p.a
+  GROUP BY p.a, s.doc_id
+)
+SELECT i2.a, i2.b, i2.i / sa.n AS containment
+FROM inter i2
+JOIN (SELECT a, count(*) AS n FROM probes GROUP BY a) sa ON sa.a = i2.a
+WHERE i2.i / sa.n >= 0.8
+"""
+
+
+def q_dedup_containment_canonical(spark, sf_dir):
+    """The containment screen BEHIND the exact-dedup pre-pass
+    (`dedup.canonicalize_exact`) — the production ordering: exact
+    copies collapse first (one md5 window), so duplicate groups never
+    multiply the inverted-index join output quadratically. Measured on
+    the 10x replica: 213 s raw -> 12.7 s composed (~17x)."""
+    docs = dedup.canonicalize_exact(_docs_nd(spark, sf_dir))
+    return _containment_screen(
+        dedup.df_capped(dedup.shingle_sets(docs), "sh_hash")
+    )
+
+
+SQL_DEDUP_CONTAINMENT_CANONICAL = f"""
+WITH docs_nd AS ({_ND}),
+canon AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+    FROM docs_nd
+  ) WHERE doc_id = canonical
+),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM canon
+  )
+),
+shh AS (SELECT doc_id, {hash60_sql('sh')} AS sh_hash FROM sh),
+shc AS (
+  SELECT doc_id, sh_hash FROM shh
+  QUALIFY count(*) OVER (PARTITION BY sh_hash) <= {dedup.DEFAULT_MAX_DF}
+),
+probes AS (
+  SELECT doc_id AS a, sh_hash FROM shc
+  WHERE doc_id % 50 = 0 OR doc_id >= 1000000
+),
+inter AS (
+  SELECT p.a, s.doc_id AS b, count(*) AS i
+  FROM probes p JOIN shc s ON s.sh_hash = p.sh_hash AND s.doc_id <> p.a
+  GROUP BY p.a, s.doc_id
+)
+SELECT i2.a, i2.b, i2.i / sa.n AS containment
+FROM inter i2
+JOIN (SELECT a, count(*) AS n FROM probes GROUP BY a) sa ON sa.a = i2.a
+WHERE i2.i / sa.n >= 0.8
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_signatures(_docs_nd(spark, sf_dir))
+
+
+_SIMHASH_VOTES = ",\n    ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{i}"
+    for i in range(dedup.SIMHASH_BITS)
+)
+
+
+_SIMHASH_BITS_EXPR = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(dedup.SIMHASH_BITS)
+)
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH docs_nd AS ({_ND}),
+tok AS (
+  SELECT doc_id, tok, count(*) AS cnt, {hash60_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest({_DUCK_WORDS}) AS tok FROM docs_nd)
+  GROUP BY doc_id, tok
+),
+voted AS (
+  SELECT doc_id, {_SIMHASH_VOTES}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, ({_SIMHASH_BITS_EXPR})::BIGINT AS simhash FROM voted
+"""
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_duplicates(_docs_nd(spark, sf_dir), max_bits=3)
+
+
+# Oracle is the brute-force self-join; the engine's banded candidate
+# join must reproduce it exactly (pigeonhole: dist<=3 with 4x15-bit
+# bands guarantees a shared band).
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH docs_nd AS ({_ND}),
+tok AS (
+  SELECT doc_id, tok, count(*) AS cnt, {hash60_sql('tok')} AS h
+  FROM (SELECT doc_id, unnest({_DUCK_WORDS}) AS tok FROM docs_nd)
+  GROUP BY doc_id, tok
+),
+voted AS (
+  SELECT doc_id, {_SIMHASH_VOTES}
+  FROM tok GROUP BY doc_id
+),
+sim AS (SELECT doc_id, ({_SIMHASH_BITS_EXPR})::BIGINT AS simhash FROM voted)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS dist
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_dedup_exact_normalized(spark, sf_dir):
+    """Exact dedup AFTER text canonicalization (case / punctuation /
+    whitespace) — catches trivially-reformatted duplicates byte-identity
+    misses, at the same single-shuffle hash-agg cost."""
+    return dedup.exact_duplicates_normalized(_docs_nd(spark, sf_dir)).select(
+        "norm_hash",
+        F.array_join(
+            F.transform("members", lambda m: m.cast("string")), "|"
+        ).alias("members"),
+        "group_size",
+    )
+
+
+_DUCK_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[.,;:!?''\"()\\[\\]{}<>]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def q_dedup_exact_streaming(spark, sf_dir):
+    return streaming_exact_dedup(spark, sf_dir)
+
+
+# Digest/count projection of SQL_DEDUP_EXACT (the streaming form keeps
+# per-digest state, not member lists — bounded state by construction).
+SQL_DEDUP_EXACT_STREAMING = f"""
+WITH docs_nd AS ({_ND})
+SELECT md5(text) AS text_hash, count(*) AS group_size
+FROM docs_nd GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+SQL_DEDUP_EXACT_NORMALIZED = f"""
+WITH docs_nd AS ({_ND})
+SELECT md5({_DUCK_NORM_TEXT}) AS norm_hash,
+       array_to_string(list_sort(list(doc_id)), '|') AS members,
+       count(*) AS group_size
+FROM docs_nd GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_substring_dup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return textops.substring_duplicates(docs)
+
+
+SQL_SUBSTRING_DUP = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN length(text) < 8 THEN [text]
+           ELSE [substr(text, i, 8) for i in range(1, length(text) - 6)] END
+    ) AS sh FROM documents
+  )
+),
+h AS (SELECT doc_id, {hash60_sql('sh')} AS h FROM sh),
+fp AS (
+  SELECT doc_id, h AS fp_hash FROM (
+    SELECT doc_id, h,
+           row_number() OVER (PARTITION BY doc_id ORDER BY h) AS fp_rank
+    FROM h
+  ) WHERE fp_rank <= 4
+),
+fpc AS (
+  SELECT doc_id, fp_hash FROM fp
+  QUALIFY count(*) OVER (PARTITION BY fp_hash) <= {dedup.DEFAULT_MAX_DF}
+)
+SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+FROM fpc a JOIN fpc b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def _duck_fp_cte(src: str, prefix: str) -> str:
+    """Bottom-4 fingerprint CTE pair over ``src`` (textops
+    doc_fingerprint twin), names prefixed to allow two instances in
+    one WITH list."""
+    return f"""{prefix}sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN length(text) < 8 THEN [text]
+           ELSE [substr(text, i, 8) for i in range(1, length(text) - 6)] END
+    ) AS sh FROM {src}
+  )
+),
+{prefix}fp AS (
+  SELECT doc_id, fp_hash FROM (
+    SELECT doc_id, {hash60_sql('sh')} AS fp_hash,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY {hash60_sql('sh')}
+           ) AS fp_rank
+    FROM {prefix}sh
+  ) WHERE fp_rank <= 4
+)"""
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: a batch of derived mutants/copies
+    (doc_id >= 1M, all rejectable) plus genuinely-new documents
+    (reversed texts, +3M, all admissible) screened against the
+    original corpus — exact md5 anti-join plus a bounded
+    fingerprint-overlap near-dup screen. Non-vacuous by construction:
+    the result is exactly the fresh docs."""
+    docs = _docs_nd(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") < 1_000_000)
+    fresh = corpus.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.reverse("text").alias("text"),
+    )
+    batch = docs.where(F.col("doc_id") >= 1_000_000).unionByName(fresh)
+    return dedup.incremental_dedup(corpus, batch)
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH docs_nd AS ({_ND}),
+corpus AS (SELECT doc_id, text FROM docs_nd WHERE doc_id < 1000000),
+batch AS (
+  SELECT doc_id, text FROM docs_nd WHERE doc_id >= 1000000
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text
+  FROM corpus WHERE doc_id % 7 = 0
+),
+surv AS (
+  SELECT doc_id, text FROM batch
+  WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+),
+{_duck_fp_cte("corpus", "c")},
+{_duck_fp_cte("surv", "b")},
+near AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT b.doc_id, c.doc_id AS cdoc, count(*) AS n
+    FROM bfp b JOIN cfp c ON c.fp_hash = b.fp_hash
+    GROUP BY 1, 2
+  ) WHERE n >= 2
+)
+SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM near)
+"""
+
+
+def q_dup_overlap(spark, sf_dir):
+    """Set operations over the two duplicate families: entries flagged
+    by BOTH url and pdq, url-only, pdq-only.
+
+    Physical shape: ONE full outer join on the unique index key (both
+    family results emit one row per index), so each duplicate pipeline
+    is computed exactly once — the intersect/except-all formulation ran
+    the url and pdq subplans once per set-op branch (3× each; Spark does
+    not share non-cached subplans)."""
+    from ..operators.pdq import find_pdq_hash_duplicates
+    from ..operators.url_dedup import find_url_duplicates
+    from .core_queries import PDQ_THRESHOLD, _entries
+
+    entries = _entries(spark, sf_dir)
+    url_idx = find_url_duplicates(entries).select(
+        "index", F.lit(True).alias("in_url")
+    )
+    pdq_idx = find_pdq_hash_duplicates(
+        entries,
+        pqd_hash_similarity_threshold=PDQ_THRESHOLD,
+        duplicate_detection_method="auto",
+        max_hex_len=64,
+    ).select("index", F.lit(True).alias("in_pdq"))
+    joined = url_idx.join(pdq_idx, "index", "full")
+    family = (
+        F.when(F.col("in_url") & F.col("in_pdq"), F.lit("both"))
+        .when(F.col("in_url"), F.lit("url_only"))
+        .otherwise(F.lit("pdq_only"))
+    )
+    return joined.select("index", family.alias("family"))
+
+
+def _sql_dup_overlap() -> str:
+    from .core_queries import SQL_URL_DUPLICATES, _duck_pdq_result
+
+    return f"""
+WITH u AS (SELECT "index" FROM ({SQL_URL_DUPLICATES})),
+p AS (SELECT "index" FROM ({_duck_pdq_result("")}))
+SELECT "index", 'both' AS family FROM (SELECT * FROM u INTERSECT SELECT * FROM p)
+UNION ALL
+SELECT "index", 'url_only' AS family FROM (SELECT * FROM u EXCEPT ALL SELECT * FROM p)
+UNION ALL
+SELECT "index", 'pdq_only' AS family FROM (SELECT * FROM p EXCEPT ALL SELECT * FROM u)
+"""
+
+
+# Existing/incoming split for the Bloom screen — shared with the
+# streaming twin via sources.derived so the two cannot drift (the
+# rationale for the div-2000000 band mix lives there).
+_BLOOM_SPLIT = BLOOM_SPLIT_DUCK
+
+
+_BLOOM_SPLIT_SPARK = BLOOM_SPLIT_SPARK
+
+
+def q_bloom_dedup(spark, sf_dir):
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(_BLOOM_SPLIT_SPARK)
+    return dedup.bloom_filter_dedup(
+        docs.where(split == 0), docs.where(split == 1)
+    )
+
+
+def q_bloom_dedup_streaming(spark, sf_dir):
+    from ..streaming.windows import streaming_bloom_dedup
+
+    return streaming_bloom_dedup(spark, sf_dir)
+
+
+SQL_BLOOM_DEDUP = f"""
+WITH docs_nd AS ({_ND}),
+ex AS (
+  SELECT DISTINCT md5(text) AS key FROM docs_nd WHERE {_BLOOM_SPLIT} = 0
+),
+bits AS (
+  SELECT DISTINCT {hash60_sql('key', "'bloom' || j::VARCHAR")} % {dedup.BLOOM_M}
+         AS bit
+  FROM ex CROSS JOIN range({dedup.BLOOM_K}) t(j)
+),
+inc AS (
+  SELECT doc_id, md5(text) AS key FROM docs_nd WHERE {_BLOOM_SPLIT} = 1
+),
+pos AS (
+  SELECT doc_id, key,
+         {hash60_sql('key', "'bloom' || j::VARCHAR")} % {dedup.BLOOM_M} AS bit
+  FROM inc CROSS JOIN range({dedup.BLOOM_K}) t(j)
+),
+hit AS (
+  SELECT doc_id, key,
+         bool_and(bit IN (SELECT bit FROM bits)) AS bloom_hit
+  FROM pos GROUP BY doc_id, key
+)
+SELECT h.doc_id, h.bloom_hit, (e.key IS NOT NULL) AS is_dup
+FROM hit h LEFT JOIN ex e ON e.key = h.key
+"""
+
+
+def q_dedup_lsh_screen(spark, sf_dir):
+    """MinHash-LSH membership screen (batch form): existing split's
+    distinct band index probed by the incoming split's per-row
+    signatures — the NEAR-dup analogue of `bloom_dedup`, the screen a
+    continuous-ingest pipeline runs before pricing the exact verify."""
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(_BLOOM_SPLIT_SPARK)
+    return dedup.lsh_screen(docs.where(split == 0), docs.where(split == 1))
+
+
+def q_dedup_lsh_screen_streaming(spark, sf_dir):
+    from ..streaming.windows import streaming_lsh_screen
+
+    return streaming_lsh_screen(spark, sf_dir)
+
+
+def q_lsh_index_roundtrip(spark, sf_dir):
+    """The LSH band index AS A PERSISTED INDEX — the near-dup serving
+    path, completing the persisted-index story `ivf_index_roundtrip`
+    tells for the vector family: build the existing split's distinct
+    ``(band_id, band_key)`` relation (`dedup.lsh_band_index`), WRITE it
+    to parquet (two small deterministic columns, lossless), READ it
+    back, and screen the incoming split purely from the on-disk
+    relation (`dedup.lsh_screen_from_index`). Proof the index is DATA,
+    not session state: a 100 TB ingest fleet builds it once and every
+    later admission job probes parquet. Output identical to
+    `dedup_lsh_screen` (round-trip identity) — one oracle string by
+    the registry guard."""
+    import tempfile
+
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(_BLOOM_SPLIT_SPARK)
+    idx = dedup.lsh_band_index(docs.where(split == 0))
+    d = tempfile.mkdtemp(prefix="lsh_index_")
+    idx.write.mode("overwrite").parquet(f"{d}/bands")
+    return dedup.lsh_screen_from_index(
+        spark.read.parquet(f"{d}/bands"), docs.where(split == 1)
+    )
+
+
+_LSH_HITS = "sum(CASE WHEN idx.band_id IS NOT NULL THEN 1 ELSE 0 END)"
+
+
+SQL_DEDUP_LSH_SCREEN = f"""
+WITH {_DUCK_SHINGLE_SET},
+sigs AS (
+  SELECT doc_id, {_LANES}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+idx AS (
+  SELECT DISTINCT band_id, band_key FROM bands
+  WHERE ({_BLOOM_SPLIT}) = 0
+),
+inc AS (
+  SELECT doc_id, band_id, band_key FROM bands
+  WHERE ({_BLOOM_SPLIT}) = 1
+)
+SELECT inc.doc_id,
+       {_LSH_HITS}::BIGINT AS n_bands_hit,
+       {_LSH_HITS} > 0 AS lsh_hit
+FROM inc LEFT JOIN idx USING (band_id, band_key)
+GROUP BY inc.doc_id
+"""
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Repeated-passage chunks over the derived near-dup corpus (exact
+    copies share every chunk; truncation mutants share all but the
+    final windows)."""
+    return textops.chunk_dedup(_docs_nd(spark, sf_dir))
+
+
+def _sql_chunk_dedup() -> str:
+    c, s = textops.CHUNK_TOKENS, textops.CHUNK_STEP
+    return f"""
+WITH docs_nd AS ({_ND}),
+w AS (
+  SELECT doc_id, {_DUCK_WORDS} AS ws FROM docs_nd
+),
+st AS (
+  SELECT doc_id, ws,
+         unnest(range(1, greatest(len(ws), 1) + 1, {s})) AS chunk_start
+  FROM w
+),
+ch AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_slice(ws, chunk_start, chunk_start + {c} - 1), ' '))
+           AS chunk_hash
+  FROM st
+)
+SELECT chunk_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS canonical_doc
+FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q_dup_weighting(spark, sf_dir):
+    """Inverse-duplication sampling weights — the SOFT alternative to
+    hard near-dup removal (keep every copy but down-weight it so a
+    family of d near-copies contributes ~one document's worth of
+    training signal): weight = 1/|near-dup cluster|, singletons 1.0.
+    Rides the same MinHash→connected-components closure as
+    `dataset_split`; after the closure everything is one map-side
+    count join — no new shuffle class. Weight is an exact single
+    division of integers (value-hash stable)."""
+    docs = _docs_nd(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
+        "a", "b"
+    )
+    cc = dedup.connected_components(pairs, check_every=2)  # duplicate graphs converge in 2-3 rounds; halve the count jobs
+    members = cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("gid")
+    )
+    joined = docs.select("doc_id").join(members, "doc_id", "left")
+    gid = F.coalesce(F.col("gid"), F.col("doc_id"))
+    sized = joined.select("doc_id", gid.alias("group_id"))
+    counts = sized.groupBy("group_id").agg(
+        F.count("*").cast("bigint").alias("group_size")
+    )
+    return sized.join(counts, "group_id").select(
+        "doc_id",
+        "group_id",
+        "group_size",
+        (F.lit(1.0) / F.col("group_size")).alias("weight"),
+    )
+
+
+def _sql_dup_weighting() -> str:
+    return f"""
+WITH RECURSIVE {_DUCK_CC_CTES},
+g AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS group_id
+  FROM docs_nd d LEFT JOIN cc ON cc.doc_id = d.doc_id
+),
+c AS (SELECT group_id, count(*)::BIGINT AS group_size FROM g GROUP BY 1)
+SELECT g.doc_id, g.group_id, c.group_size,
+       1.0::DOUBLE / c.group_size AS weight
+FROM g JOIN c USING (group_id)
+"""
+
+
+def _mhr_probe_pred(col):
+    """Deterministic ~1% hash sample of ORIGINAL docs (< 1e6 excludes
+    the derived mutant/copy ids) — the recall probes. Hash-based (not
+    ``% 100`` on the id) so it is unbiased under any id assignment
+    scheme, and a FIXED rate so the diagnostic's cost stays a constant
+    fraction of the corpus (round-5 advice: the exact-truth join at
+    2% probes × 10x replica was the diagnostic's scale wall)."""
+    from ..functions.text import hash60
+
+    return (hash60(col.cast("string"), seed="mhr") % 100 == 0) & (
+        col < 1_000_000
+    )
+
+
+def q_minhash_recall(spark, sf_dir):
+    """Self-measuring dedup-index quality, the text twin of
+    `ann_recall_lsh`: per probe document, what fraction of its TRUE
+    near-duplicates (exact Jaccard ≥ 0.5 over the same uncapped
+    shingle universe the MinHash path uses) does the banded LSH
+    pipeline recover? The found side runs the same signatures → banded
+    candidates → exact-verify pipeline as `dedup.minhash_near_
+    duplicates`, with the candidate set probe-restricted BEFORE the
+    verify join (recall only scores probe-touching pairs, and a
+    banding miss is decided at candidate generation — restricting
+    later stages cannot change any probe's verdict). Probes are a
+    deterministic ~1% hash sample (:func:`_mhr_probe_pred`), so both
+    the exact-truth join and the verify stage cost a fixed ~1% of
+    their full-corpus forms — the production shape for running this
+    diagnostic continuously at 100 TB.
+    """
+    from ..cache import materialize
+
+    docs = _docs_nd(spark, sf_dir)
+    sh = dedup.shingle_sets(docs).select("doc_id", "sh_hash")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    probes = sh.where(_mhr_probe_pred(F.col("doc_id")))
+    pinter = (
+        probes.select(F.col("doc_id").alias("p"), "sh_hash")
+        .join(sh.select(F.col("doc_id").alias("o"), "sh_hash"), "sh_hash")
+        .where(F.col("p") != F.col("o"))
+        .groupBy("p", "o")
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        pinter.join(
+            sizes.select(F.col("doc_id").alias("p"), F.col("n").alias("np_")),
+            "p",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("o"), F.col("n").alias("no_")),
+            "o",
+        )
+        .where(
+            F.col("i") / (F.col("np_") + F.col("no_") - F.col("i")) >= 0.5
+        )
+        .select("p", "o")
+    )
+    hashed = dedup.hashed_shingle_arrays(docs)
+    cands = materialize(
+        dedup.lsh_candidates(dedup.minhash_signatures(hashed)).where(
+            _mhr_probe_pred(F.col("a")) | _mhr_probe_pred(F.col("b"))
+        )
+    )
+    found = dedup.jaccard_pairs(
+        hashed, cands, threshold=0.5, candidate_count=cands.count()
+    ).select("a", "b", F.lit(1).alias("hit"))
+    keyed = truth.select(
+        "p", F.least("p", "o").alias("a"), F.greatest("p", "o").alias("b")
+    )
+    return (
+        keyed.join(found, ["a", "b"], "left")
+        .groupBy("p")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"),
+        )
+        .select(
+            F.col("p").alias("probe_id"),
+            "n_true",
+            "n_found",
+            (F.col("n_found") / F.col("n_true")).alias("recall"),
+        )
+    )
+
+
+def _mhr_probe_pred_sql(col: str) -> str:
+    """DuckDB twin of :func:`_mhr_probe_pred`."""
+    return (
+        f"({hash60_sql(col + '::VARCHAR', chr(39) + 'mhr' + chr(39))} % 100 = 0"
+        f" AND {col} < 1000000)"
+    )
+
+
+SQL_MINHASH_RECALL = f"""
+WITH {_DUCK_SHINGLE_SET},
+sigs AS (
+  SELECT doc_id, {_LANES}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r USING (band_id, band_key)
+  WHERE l.doc_id < r.doc_id
+    AND ({_mhr_probe_pred_sql('l.doc_id')}
+         OR {_mhr_probe_pred_sql('r.doc_id')})
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
+  GROUP BY c.a, c.b
+),
+mh AS (
+  SELECT i2.a, i2.b FROM inter i2
+  JOIN sizes sa ON sa.doc_id = i2.a
+  JOIN sizes sb ON sb.doc_id = i2.b
+  WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
+),
+pinter AS (
+  SELECT x.doc_id AS p, y.doc_id AS o, count(*) AS i
+  FROM shh x JOIN shh y ON y.sh_hash = x.sh_hash AND x.doc_id <> y.doc_id
+  WHERE {_mhr_probe_pred_sql('x.doc_id')}
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT pi.p, pi.o FROM pinter pi
+  JOIN sizes sp ON sp.doc_id = pi.p
+  JOIN sizes so ON so.doc_id = pi.o
+  WHERE pi.i / (sp.n + so.n - pi.i) >= 0.5
+)
+SELECT t.p AS probe_id, count(*) AS n_true,
+       sum(CASE WHEN m.a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found,
+       sum(CASE WHEN m.a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT / count(*)
+         AS recall
+FROM truth t LEFT JOIN mh m
+  ON m.a = least(t.p, t.o) AND m.b = greatest(t.p, t.o)
+GROUP BY t.p
+"""
+
+
+def _docs_sent(spark, sf_dir):
+    """The nd corpus rewritten as PUNCTUATED text (`sources.derived.
+    derive_sentenced_corpus`) — the testdata carries no sentence
+    terminators, so the sentence family derives the structure it
+    operates on, deterministically on both engines."""
+    from ..sources.derived import derive_sentenced_corpus
+
+    return derive_sentenced_corpus(_docs_nd(spark, sf_dir))
+
+
+# the sentenced nd corpus: CTE body over ``docs_nd0`` (the raw nd docs)
+_ND_SENT = (
+    f"SELECT doc_id, {_sentenced_sql(_DUCK_WORDS)} AS text FROM docs_nd0"
+)
+
+
+def q_sentence_dedup(spark, sf_dir):
+    """C4-style cross-document SENTENCE dedup
+    (`textops.sentence_dedup`): sentences whose exact trimmed content
+    recurs in >= 2 distinct documents are dropped and every document is
+    rebuilt from its surviving sentences in order — the
+    sentence-granularity sibling of `boilerplate_removal`'s fixed
+    16-token windows (C4 removed repeated three-sentence spans; CCNet
+    repeated paragraphs). Runs over the SENTENCED nd corpus
+    (`_docs_sent` — the raw testdata has no terminators, which would
+    degenerate every doc to one giant sentence); truncation mutants
+    share their original's leading sentences, so recurrence is real.
+    Linear: digest-keyed document frequency, the drop flag rides into
+    one per-doc rebuild aggregation."""
+    return textops.sentence_dedup(_docs_sent(spark, sf_dir))
+
+
+# Sentence regex twin; trim both sides, drop empties. Rebuild joins
+# surviving sentences with ' ' in original order.
+SQL_SENTENCE_DEDUP = f"""
+WITH docs_nd0 AS ({_ND}),
+docs_nd AS ({_ND_SENT}),
+sp AS (
+  SELECT doc_id, sent_id, trim(s[sent_id]) AS stext
+  FROM (
+    SELECT doc_id, s, unnest(range(1, len(s) + 1)) AS sent_id
+    FROM (
+      SELECT doc_id,
+             regexp_extract_all(text, '{textops.SENTENCE_PATTERN}') AS s
+      FROM docs_nd
+    )
+  )
+  WHERE trim(s[sent_id]) <> ''
+),
+common AS (
+  SELECT md5(stext) AS shash FROM sp
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {textops.SENT_MIN_DOCS}
+),
+fl AS (
+  SELECT sp.doc_id, sp.sent_id, sp.stext,
+         (common.shash IS NOT NULL) AS dropped
+  FROM sp LEFT JOIN common ON common.shash = md5(sp.stext)
+),
+rb AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_sentences,
+         sum(CASE WHEN dropped THEN 0 ELSE 1 END)::BIGINT
+           AS n_kept_sentences,
+         string_agg(CASE WHEN dropped THEN NULL ELSE stext END,
+                    ' ' ORDER BY sent_id) AS clean_text
+  FROM fl GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(rb.n_sentences, 0)::BIGINT AS n_sentences,
+       coalesce(rb.n_kept_sentences, 0)::BIGINT AS n_kept_sentences,
+       coalesce(rb.clean_text, '') AS clean_text
+FROM docs_nd d LEFT JOIN rb USING (doc_id)
+"""
+
+
+def q_sentence_screen(spark, sf_dir):
+    """Sentence-boilerplate SCREEN for continuous ingest
+    (`textops.sentence_screen`): the indexed split's repeated-sentence
+    digest index (sentence DF >= 2 WITHIN the indexed split,
+    `textops.sentence_index`) probes incoming documents' sentences
+    through one equi-join + one aggregation — the sentence-granularity
+    sibling of `boilerplate_screen`, and the exact plan the streaming
+    twin runs. Over the SENTENCED nd corpus (`_docs_sent`): the
+    indexed split's original+truncation-mutant families share leading
+    sentences (DF >= 2 within the split), and cross-split exact copies
+    make incoming docs hit the index."""
+    docs = _docs_sent(spark, sf_dir)
+    split = F.expr(BLOOM_SPLIT_SPARK)
+    idx = textops.sentence_index(docs.where(split == 0))
+    return textops.sentence_screen(docs.where(split == 1), idx)
+
+
+def q_sentence_screen_streaming(spark, sf_dir):
+    """`streaming.windows.streaming_sentence_screen`: the identical
+    sentence screen with the incoming split arriving on a file stream —
+    stateless sentence explode, stream-static index join, one
+    aggregation. Shares the batch oracle by the registry twin guard."""
+    from ..streaming.windows import streaming_sentence_screen
+
+    return streaming_sentence_screen(spark, sf_dir)
+
+
+def _sql_sentence_screen() -> str:
+    spans = f"""
+  SELECT doc_id, trim(s[sent_id]) AS stext,
+         len(list_filter(regexp_split_to_array(trim(s[sent_id]), '\\s+'),
+                         t -> t <> ''))::BIGINT AS stok
+  FROM (
+    SELECT doc_id, s, unnest(range(1, len(s) + 1)) AS sent_id
+    FROM (
+      SELECT doc_id,
+             regexp_extract_all(text, '{textops.SENTENCE_PATTERN}') AS s
+      FROM docs_nd WHERE {{split}}
+    )
+  )
+  WHERE trim(s[sent_id]) <> ''"""
+    return f"""
+WITH docs_nd0 AS ({_ND}),
+docs_nd AS ({_ND_SENT}),
+isp AS ({spans.format(split=f"{BLOOM_SPLIT_DUCK} = 0")}),
+idx AS (
+  SELECT md5(stext) AS shash FROM isp
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {textops.SENT_MIN_DOCS}
+),
+osp AS ({spans.format(split=f"{BLOOM_SPLIT_DUCK} = 1")})
+SELECT osp.doc_id,
+       count(*)::BIGINT AS n_sentences,
+       sum(CASE WHEN idx.shash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_boiler_sentences,
+       sum(osp.stok)::BIGINT AS n_tokens,
+       sum(CASE WHEN idx.shash IS NOT NULL THEN osp.stok ELSE 0 END)::BIGINT
+         AS n_boiler_tokens
+FROM osp LEFT JOIN idx ON idx.shash = md5(osp.stext)
+GROUP BY osp.doc_id
+"""
+
+
+def q_lsh_index_merge(spark, sf_dir):
+    """LSH index COMPACTION for continuous ingest: two crawl waves of
+    the indexed split are indexed SEPARATELY (`dedup.lsh_band_index`
+    per wave — what a fleet produces when admission jobs can't wait
+    for a global rebuild) and merged by union + distinct; the incoming
+    split screens against the merged relation. Because band keys are
+    per-document and deterministic, distinct-of-union equals
+    index-of-union, so the output is IDENTICAL to `dedup_lsh_screen`
+    (one oracle string by the registry twin guard) — merging persisted
+    index shards is a metadata operation, never a corpus recompute."""
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(_BLOOM_SPLIT_SPARK)
+    indexed = docs.where(split == 0)
+    i1 = dedup.lsh_band_index(indexed.where("doc_id % 2 = 0"))
+    i2 = dedup.lsh_band_index(indexed.where("doc_id % 2 = 1"))
+    merged = i1.unionAll(i2).dropDuplicates(["band_id", "band_key"])
+    return dedup.lsh_screen_from_index(
+        merged, docs.where(split == 1), index_is_distinct=True
+    )
+
+
+DEDUP_QUERIES: dict[str, tuple] = {
+    "sentence_dedup": (q_sentence_dedup, SQL_SENTENCE_DEDUP),
+    "lsh_index_merge": (q_lsh_index_merge, SQL_DEDUP_LSH_SCREEN),
+    "sentence_screen": (q_sentence_screen, _sql_sentence_screen()),
+    "sentence_screen_streaming": (
+        q_sentence_screen_streaming,
+        _sql_sentence_screen(),
+    ),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_exact_normalized": (
+        q_dedup_exact_normalized,
+        SQL_DEDUP_EXACT_NORMALIZED,
+    ),
+    "dedup_exact_streaming": (
+        q_dedup_exact_streaming,
+        SQL_DEDUP_EXACT_STREAMING,
+    ),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
+    "cluster_representatives": (
+        q_cluster_representatives,
+        _sql_cluster_representatives(),
+    ),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "doc_topk_similar": (q_doc_topk_similar, SQL_DOC_TOPK_SIMILAR),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "dedup_containment_canonical": (
+        q_dedup_containment_canonical,
+        SQL_DEDUP_CONTAINMENT_CANONICAL,
+    ),
+    "substring_dup": (q_substring_dup, SQL_SUBSTRING_DUP),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "chunk_dedup": (q_chunk_dedup, _sql_chunk_dedup()),
+    "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
+    "bloom_dedup_streaming": (q_bloom_dedup_streaming, SQL_BLOOM_DEDUP),
+    "dedup_lsh_screen": (q_dedup_lsh_screen, SQL_DEDUP_LSH_SCREEN),
+    "dedup_lsh_screen_streaming": (
+        q_dedup_lsh_screen_streaming,
+        SQL_DEDUP_LSH_SCREEN,
+    ),
+    "lsh_index_roundtrip": (q_lsh_index_roundtrip, SQL_DEDUP_LSH_SCREEN),
+    "dup_overlap": (q_dup_overlap, _sql_dup_overlap()),
+    "dup_weighting": (q_dup_weighting, _sql_dup_weighting()),
+    "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),
+}

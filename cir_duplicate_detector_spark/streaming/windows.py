@@ -927,3 +927,105 @@ def streaming_sentence_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def streaming_rate_anomalies(
+    spark: SparkSession, sf_dir: str, width_us: int = HOUR_US
+) -> DataFrame:
+    """Event-rate anomaly ALERTING as a stream — the deployment
+    `operators.events.rate_anomalies` actually ships (a batch anomaly
+    report is a post-mortem; alerting is inherently continuous).
+
+    Split along the state boundary the batch docstring already names:
+
+    * the per-(type, window) COUNTS are stream-native — event-time
+      tumbling window + watermark, complete-mode aggregation state
+      bounded by #types × #open-windows (the same shape as
+      `streaming_tumbling_window`);
+    * the per-type mean/σ baseline is SLOWER-MOVING STATE evaluated
+      batch-side on the drained counts (on a live pipeline it would be
+      a periodically-refreshed static table, exactly like
+      `streaming_sentence_screen`'s digest index) — a #types-row
+      aggregate, broadcast back onto the counts, then the exact-integer
+      two-sigma rule ``(cnt·n − Σcnt)² > 4·(n·Σcnt² − (Σcnt)²)``.
+
+    Drained counts equal the batch bucketing (epoch-aligned windows:
+    ``unix_micros(window.start) == (ts_us div w)·w``), so the twin
+    shares the batch `SQL_EVENTS_ANOMALY` oracle by construction — the
+    same drain-then-stateless-postjoin contract as
+    `streaming_purchase_attribution`.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stage = stage_source(path, "events_anom_stream_")
+    stream = with_event_time(spark.readStream.schema(schema).parquet(stage))
+    seconds = width_us // 1_000_000
+    counts = (
+        stream.withWatermark("ts_ts", "1 hour")
+        .groupBy(F.window("ts_ts", f"{seconds} seconds"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+    name = f"stream_anom_{uuid.uuid4().hex[:8]}"
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    from ..cache import materialize
+    from ..operators.events import anomaly_flag
+
+    # anomaly_flag self-joins its input (counts ⋈ stats-over-counts);
+    # two scans of one memory-sink table fail analysis (duplicate
+    # attribute ids from the shared streaming relation), so snapshot
+    # the drained counts first — also the honest serving shape: the
+    # baseline reads a materialized counts table, not the live stream.
+    return anomaly_flag(materialize(spark.table(name)))
+
+
+def streaming_quality_classifier_learned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEARNED quality scoring AS A STREAM — the model-artifact
+    deployment: the ONE-ROW diagonal-LDA model trains batch-side once
+    (`textops.quality_classifier_model` on the deterministic
+    `doc_id % 4 == 0` split — on a live pipeline, a periodically
+    re-trained static artifact, exactly like
+    `streaming_sentence_screen`'s digest index); incoming odd-doc_id
+    documents score through the SHARED
+    `textops.quality_classifier_learned` code path — a broadcast
+    one-row stream-static join feeding a pure projection, so the
+    stream runs APPEND-mode with NO state at all (the cheapest
+    streaming shape, same as `streaming_quality_classifier`). One
+    oracle string with the batch twin by the registry guard."""
+    from ..operators.textops import (
+        quality_classifier_learned,
+        quality_classifier_model,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    model = quality_classifier_model(spark.read.parquet(path))
+    stage = stage_source(path, "docs_qcl_stream_")
+    incoming = (
+        spark.readStream.schema(schema).parquet(stage).where("doc_id % 2 = 1")
+    )
+    scored = quality_classifier_learned(incoming, model)
+    name = f"stream_qcl_{uuid.uuid4().hex[:8]}"
+    query = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

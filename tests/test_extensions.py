@@ -441,6 +441,33 @@ def test_knn_ivf_pq_contract_and_l2_bruteforce_exact(spark):
     assert ref[2].neighbor_id == 3
 
 
+def test_ivf_pq_index_roundtrip_identical(spark, tmp_path):
+    # The build-once shared index (plans.ext_ann._shared_ivfpq_index)
+    # is sound only if persist→read answers EXACTLY like the in-session
+    # build — same rows, same ranks, same distances. Small config keeps
+    # the double arithmetic identical through the parquet round-trip
+    # (doubles serialize exactly).
+    from cir_duplicate_detector_spark.operators import pq
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    probe = emb.select("vec_id").where("vec_id % 100 = 0")
+    built = pq.build_ivf_pq_index(emb, n_codewords=32)
+    direct = pq.knn_ivf_pq_from_index(built, emb, probe, k=5).collect()
+    pq.persist_ivf_pq_index(built, str(tmp_path / "idx"))
+    reopened = pq.read_ivf_pq_index(spark, str(tmp_path / "idx"))
+    served = pq.knn_ivf_pq_from_index(reopened, emb, probe, k=5).collect()
+
+    def rows(rs):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.adc_dist) for r in rs
+        )
+
+    assert rows(direct) == rows(served)
+    # And the composed knn_ivf_pq (build+probe in one call) agrees too.
+    composed = pq.knn_ivf_pq(emb, probe, k=5, n_codewords=32).collect()
+    assert rows(composed) == rows(direct)
+
+
 def test_retention_cohorts_ages_and_sizes(spark):
     DAY = events.DAY_US
     rows = [
