@@ -437,6 +437,7 @@ def image_near_duplicates(
     media: DataFrame,
     max_bits: int = IMG_HAMMING_MAX,
     bands: int = IMG_BANDS,
+    max_group_size: "int | None" = None,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs, end to end: raw payload bytes →
     decode (:func:`decode_image`) → 8×8 perceptual average hash
@@ -466,8 +467,19 @@ def image_near_duplicates(
     selectivity wall `pdq`'s banded gate (16^w >= 4·k·N) guards, hit
     through duplication instead of corpus size. Band width stays the
     selectivity knob for DISTINCT-count growth; group size (a viral
-    image) is the skew knob, same exposure as `url_duplicates`' capped
-    variant. Decode is the one Python (Arrow) boundary.
+    image) is the skew knob — bounded by the opt-in
+    ``max_group_size``. Decode is the one Python (Arrow) boundary.
+
+    ``max_group_size``: skew guard mirroring `url_dedup.
+    find_url_duplicates` — an ahash shared by more members than the
+    cap (a viral/logo image recirculated corpus-wide) makes BOTH
+    expansions quadratic in group size (within-group pairs and every
+    between-group pair the hash qualifies for) AND builds a
+    corpus-sized member array in one aggregation row. The cap is a
+    COUNT pre-pass (map-side combinable) + semi-join BEFORE the member
+    lists materialize, so the viral group's array never exists; capped
+    groups drop entirely (they are catalogued assets, not
+    near-duplicate signal — same stance as the URL cap).
     """
     if max_bits >= bands:
         raise ValueError(
@@ -476,6 +488,18 @@ def image_near_duplicates(
         )
     width = 64 // bands
     feats = image_ahash_features(media).select("doc_id", "ahash_bits")
+    if max_group_size is not None:
+        if max_group_size < 1:
+            raise ValueError(
+                f"max_group_size must be >= 1, got {max_group_size}"
+            )
+        ok = (
+            feats.groupBy("ahash_bits")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") <= max_group_size)
+            .select("ahash_bits")
+        )
+        feats = feats.join(ok, "ahash_bits", "semi")
     groups = feats.groupBy("ahash_bits").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )

@@ -92,9 +92,9 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
             "multimodal", "analytics",
         )
     },
-    f"{_PKG}/operators/textops.py": "NEW quality_classifier_weights /"
+    f"{_PKG}/operators/textops.py": "NEW quality_classifier_model /"
     " quality_classifier_learned / quality_classifier_agreement"
-    " operators only (closed-form learned linear scorer, VERDICT r9"
+    " operators only (closed-form diagonal-LDA scorer, VERDICT r9"
     " item 4); no existing operator touched",
     f"{_PKG}/plans/ext_text.py": "NEW quality_classifier_learned"
     " (+streaming twin) and quality_classifier_agreement registrations"
@@ -111,6 +111,14 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     f"{_PKG}/plans/ext_events.py": "NEW events_anomaly_streaming"
     " registration only (new query leads the rotation as"
     " never-verified); no existing query touched",
+    f"{_PKG}/operators/multimodal.py": "image_near_duplicates gains"
+    " the opt-in max_group_size viral-image cap (VERDICT r9 item 7 —"
+    " count pre-pass + semi-join, None by default so the existing"
+    " image_near_dup result is untouched); NEW capped query leads the"
+    " rotation as never-verified",
+    f"{_PKG}/plans/ext_multimodal.py": "NEW image_near_dup_capped"
+    " registration (planted viral raster + IMG_GROUP_CAP) only; no"
+    " existing query touched",
     f"{_PKG}/operators/pq.py": "knn_ivf_pq split into"
     " build_ivf_pq_index + knn_ivf_pq_from_index with persist/read"
     " helpers (VERDICT r9 item 2); the composed knn_ivf_pq delegates to"

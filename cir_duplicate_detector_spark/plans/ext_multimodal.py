@@ -403,8 +403,97 @@ WHERE hamming <= {multimodal.IMG_HAMMING_MAX}
 """
 
 
+# Viral-image cap (image_near_dup_capped): far above any organic ahash
+# group in the derived corpus, far below the planted corpus-sized one.
+IMG_GROUP_CAP = 64
+
+
+def q_image_near_dup_capped(spark, sf_dir):
+    """`image_near_duplicates(max_group_size=...)` against a PLANTED
+    viral image (every document contributes one row carrying the SAME
+    all-'V' raster — the recirculated-logo pathology the cap exists
+    for, mirroring `url_duplicates_capped`'s planted mega-group): the
+    viral ahash group is dropped by the count pre-pass BEFORE its
+    corpus-sized member array can materialize or its quadratic pair
+    expansions run; the organic near-dup pairs pass through untouched."""
+    from ..sources.tables import load_table
+
+    docs = _docs_nd(spark, sf_dir).select("doc_id", "text")
+    viral = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.lit("V" * 192).alias("text"),
+    )
+    return multimodal.image_near_duplicates(
+        _ppm_media(docs.unionAll(viral)), max_group_size=IMG_GROUP_CAP
+    )
+
+
+SQL_IMAGE_NEAR_DUP_CAPPED = f"""
+WITH docs_nd AS ({_ND}),
+allm AS (
+  SELECT doc_id, text FROM docs_nd
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, repeat('V', 192) AS text
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = len(text)
+              THEN rpad(substr(text, 1, 192), 192, ' ')
+              ELSE error('SQL_IMAGE_NEAR_DUP_CAPPED: non-ASCII text '
+                         || '(doc_id ' || doc_id || ')')
+         END AS raster
+  FROM allm
+),
+px AS (
+  SELECT doc_id, i,
+         (ascii(substr(raster, 3 * i + 1, 1))
+          + ascii(substr(raster, 3 * i + 2, 1))
+          + ascii(substr(raster, 3 * i + 3, 1))) // 3 AS gray
+  FROM b CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+),
+tot AS (SELECT doc_id, sum(gray)::BIGINT AS sg FROM px GROUP BY doc_id),
+ah AS (
+  SELECT px.doc_id,
+         string_agg(CASE WHEN gray * 64 > sg THEN '1' ELSE '0' END,
+                    '' ORDER BY i) AS bits
+  FROM px JOIN tot ON tot.doc_id = px.doc_id
+  GROUP BY px.doc_id
+),
+keep AS (
+  SELECT bits FROM ah GROUP BY bits
+  HAVING count(*)::BIGINT <= {IMG_GROUP_CAP}
+),
+ahk AS (SELECT * FROM ah WHERE bits IN (SELECT bits FROM keep)),
+bands AS (
+  SELECT doc_id, k AS band_id, substr(bits, k * 8 + 1, 8) AS band_key,
+         bits
+  FROM ahk CROSS JOIN (SELECT unnest(range(0, 8)) AS k) kk
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.bits AS ba, y.bits AS bb
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT a, b,
+         list_sum(list_transform(range(1, 65),
+           i -> CASE WHEN substr(ba, i, 1) <> substr(bb, i, 1)
+                     THEN 1 ELSE 0 END))::BIGINT AS hamming
+  FROM cand
+)
+SELECT a, b, hamming FROM scored
+WHERE hamming <= {multimodal.IMG_HAMMING_MAX}
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     "image_near_dup": (q_image_near_dup, SQL_IMAGE_NEAR_DUP),
+    "image_near_dup_capped": (
+        q_image_near_dup_capped,
+        SQL_IMAGE_NEAR_DUP_CAPPED,
+    ),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),

@@ -208,6 +208,7 @@ _ORDER = [
     "quality_classifier_learned",
     "quality_classifier_learned_streaming",
     "quality_classifier_agreement",
+    "image_near_dup_capped",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (

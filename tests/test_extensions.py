@@ -1284,6 +1284,45 @@ def test_image_near_duplicates_banded_pairs(spark):
         multimodal.image_near_duplicates(media, max_bits=8, bands=8)
 
 
+def test_image_near_duplicates_viral_group_cap(spark):
+    from cir_duplicate_detector_spark.operators import multimodal
+
+    # organic: base + one-pixel near copy. viral: ten identical copies
+    # of a third raster — a mega-group the cap must drop entirely,
+    # while the organic pair is untouched.
+    base = bytes(range(64)) * 3
+    near = bytes([255]) + base[1:]
+    viral = bytes(reversed(base))
+    rows = [
+        (1, multimodal.PPM_MEDIA_TYPE, bytearray(b"P6\n8 8\n255\n" + base)),
+        (2, multimodal.PPM_MEDIA_TYPE, bytearray(b"P6\n8 8\n255\n" + near)),
+    ] + [
+        (100 + i, multimodal.PPM_MEDIA_TYPE,
+         bytearray(b"P6\n8 8\n255\n" + viral))
+        for i in range(10)
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    ).withColumn("n_bytes", F.octet_length("payload").cast("bigint"))
+    uncapped = {
+        (r.a, r.b)
+        for r in multimodal.image_near_duplicates(media).collect()
+    }
+    # the viral group contributes its 45 within pairs when uncapped
+    assert (100, 101) in uncapped and (1, 2) in uncapped
+    capped = {
+        (r.a, r.b)
+        for r in multimodal.image_near_duplicates(
+            media, max_group_size=5
+        ).collect()
+    }
+    assert capped == {(1, 2)}  # viral pairs gone, organic pair intact
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_group_size"):
+        multimodal.image_near_duplicates(media, max_group_size=0)
+
+
 def test_rate_anomalies_integer_two_sigma_rule(spark):
     from cir_duplicate_detector_spark.operators import events as ev_ops
 
