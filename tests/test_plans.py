@@ -570,6 +570,31 @@ def test_image_near_dup_is_banded_equi_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
 
 
+def test_image_near_dup_capped_stays_banded(spark):
+    # The cap adds a count pre-pass + semi-join; the candidate path
+    # must remain the banded equi-join — never an all-pairs scan —
+    # even with the planted corpus-sized viral group present.
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "image_near_dup_capped")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_quality_classifier_learned_scoring_is_broadcast_only(spark):
+    # Scoring = per-row features + a ONE-ROW broadcast model join: the
+    # scored side must never shuffle. The only exchanges in the whole
+    # plan belong to the training aggregation (which reduces to one
+    # row); the scoring join is a broadcast nested-loop (cross) join.
+    plan = _plan(spark, "quality_classifier_learned")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_round_edits_are_declared():
     # The driver's 50-query correctness window orders by staleness plus
     # the hand-kept _PLAN_CHANGED list; the failure mode is an edit
