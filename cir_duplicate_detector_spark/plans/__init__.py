@@ -84,9 +84,10 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     **{
         f"{_PKG}/plans/ext_{fam}.py": "NEW file from the registry"
         " split: verbatim relocation of the monolith's definitions"
-        " (comments included), no semantic edits; the aggregator's"
+        " (comments included) plus an unused-header-import trim —"
+        " imports only, no definition touched; the aggregator's"
         " install-time comparison proved the merged registry"
-        " entry-identical"
+        " entry-identical and the parity suite re-ran green"
         for fam in (
             "common", "dedup", "ann", "text", "pipeline", "events",
             "multimodal", "analytics",

@@ -13,23 +13,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 from ..functions.text import hash60_sql
-from ..operators import dedup, events, multimodal, similarity, sketches, textops
-from ..operators.skew import salted_join
-from ..sources.derived import (
-    BLOOM_SPLIT_DUCK,
-    BLOOM_SPLIT_SPARK,
-    PII_CORPUS_SQL,
-    derive_near_dup_corpus,
-    derive_near_dup_embeddings,
-    derive_pii_corpus,
-    near_dup_corpus_sql,
-    near_dup_embeddings_sql,
-)
+from ..operators import dedup, textops
+from ..sources.derived import BLOOM_SPLIT_DUCK, BLOOM_SPLIT_SPARK
 from ..sources.tables import load_table
-from ..streaming.windows import (
-    streaming_exact_dedup,
-    streaming_tumbling_window,
-)
+from ..streaming.windows import streaming_exact_dedup
 from ..sources.derived import sentenced_sql as _sentenced_sql
 
 from .ext_common import (
