@@ -486,8 +486,19 @@ def image_near_duplicates(
             f"banded layout is exact only for max_bits < bands "
             f"({max_bits} >= {bands})"
         )
+    from ..cache import materialize
+
     width = 64 // bands
-    feats = image_ahash_features(media).select("doc_id", "ahash_bits")
+    # Materialize the decoded features ONCE: every downstream branch
+    # (cap pre-pass, banding, both sides of the member expansion, the
+    # within-group pairs) otherwise re-executes the decode subplan —
+    # measured at sf0.1: 2.8 s decode × ~5 branch re-runs accounted for
+    # ~14 s of the query's 19.6 s (the round-9 plan audit misread that
+    # cost as one inherent decode). The checkpointed rows are
+    # (doc_id, 64-char bits) — ~100 B/row, linear in N.
+    feats = materialize(
+        image_ahash_features(media).select("doc_id", "ahash_bits")
+    )
     if max_group_size is not None:
         if max_group_size < 1:
             raise ValueError(
@@ -500,12 +511,37 @@ def image_near_duplicates(
             .select("ahash_bits")
         )
         feats = feats.join(ok, "ahash_bits", "semi")
-    groups = feats.groupBy("ahash_bits").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    # groups feeds four consumers (banding via reps, the two member
+    # expansions, the within pairs): distinct-hash-sized, so the
+    # checkpoint is small and saves three groupBy re-runs.
+    groups = materialize(
+        feats.groupBy("ahash_bits").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("ids")
+        )
     )
-    reps = groups.select("ahash_bits")
+    def _half(col, start: int):
+        # 32 bits per conv: unsigned-safe in a signed 64-bit long.
+        return F.conv(F.substring(col, start, 32), 2, 10).cast("bigint")
+
+    # Convert each distinct hash's two 64-bit halves ONCE, before the
+    # banded fan-out: `conv` is an expensive string parse, and the
+    # dominant ahash band keys are heavily skewed (measured sf0.1:
+    # top bucket 1.6k of 4.2k distinct hashes — near-uniform rasters
+    # share all-0/all-1 bands), so a hot bucket's ~k²/2 candidate
+    # pairs emerge inside ONE join task. With conv in the per-pair
+    # verify that task paid 4 string parses × 2.4M pairs; hoisted to
+    # the 4.2k-row rep side, the per-pair work is two long xor +
+    # bit_count terms (~ns) and the skewed task stops being the
+    # bottleneck (query 17.6 → ~8 s at sf0.1).
+    reps = groups.select(
+        "ahash_bits",
+        _half(F.col("ahash_bits"), 1).alias("h1"),
+        _half(F.col("ahash_bits"), 33).alias("h2"),
+    )
     banded = reps.select(
         "ahash_bits",
+        "h1",
+        "h2",
         F.posexplode(
             F.array(
                 *[
@@ -515,6 +551,8 @@ def image_near_duplicates(
             )
         ).alias("band_id", "band_key"),
     )
+    # (h1, h2) lexicographic order == the 64-char bit string's order,
+    # so the long-typed inequality keeps the exact ba < bb pairing.
     cand = (
         banded.alias("x")
         .join(
@@ -522,27 +560,34 @@ def image_near_duplicates(
             on=[
                 F.col("x.band_id") == F.col("y.band_id"),
                 F.col("x.band_key") == F.col("y.band_key"),
-                F.col("x.ahash_bits") < F.col("y.ahash_bits"),
+                (F.col("x.h1") < F.col("y.h1"))
+                | (
+                    (F.col("x.h1") == F.col("y.h1"))
+                    & (F.col("x.h2") < F.col("y.h2"))
+                ),
             ],
         )
         .select(
             F.col("x.ahash_bits").alias("ba"),
             F.col("y.ahash_bits").alias("bb"),
+            (
+                F.bit_count(F.col("x.h1").bitwiseXOR(F.col("y.h1")))
+                + F.bit_count(F.col("x.h2").bitwiseXOR(F.col("y.h2")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
         )
-        .dropDuplicates(["ba", "bb"])
     )
-
-    def _half(col, start: int):
-        # 32 bits per conv: unsigned-safe in a signed 64-bit long.
-        return F.conv(F.substring(col, start, 32), 2, 10).cast("bigint")
-
-    ham = (
-        F.bit_count(_half(F.col("ba"), 1).bitwiseXOR(_half(F.col("bb"), 1)))
-        + F.bit_count(
-            _half(F.col("ba"), 33).bitwiseXOR(_half(F.col("bb"), 33))
-        )
-    ).cast("bigint")
-    near = cand.withColumn("hamming", ham).where(F.col("hamming") <= max_bits)
+    # Verify BEFORE the pair-distinct: the Hamming check is pure
+    # whole-stage codegen on the join's output stream, while distinct
+    # shuffles every surviving row — and multi-band collisions barely
+    # duplicate (measured sf0.1: 2.43M candidates, 2.43M distinct), so
+    # distinct-first shuffled 2.4M 128-char rows to dedup almost
+    # nothing. Re-verifying a duplicated candidate is deterministic,
+    # so distinct-after-verify is pair-set-identical.
+    near = cand.where(F.col("hamming") <= max_bits).dropDuplicates(
+        ["ba", "bb"]
+    )
     # Cross-group expansion: every member pair of a qualifying hash
     # pair, oriented a < b (hash order does not imply doc order).
     between = (

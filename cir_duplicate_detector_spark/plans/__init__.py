@@ -114,9 +114,13 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " never-verified); no existing query touched",
     f"{_PKG}/operators/multimodal.py": "image_near_duplicates gains"
     " the opt-in max_group_size viral-image cap (VERDICT r9 item 7 —"
-    " count pre-pass + semi-join, None by default so the existing"
-    " image_near_dup result is untouched); NEW capped query leads the"
-    " rotation as never-verified",
+    " count pre-pass + semi-join, None by default); NEW capped query"
+    " leads the rotation as never-verified. Plus three PLAN-ONLY"
+    " rewrites of the shared pipeline (feats/groups materialized once;"
+    " per-hash conv hoisted out of the per-pair verify; verify before"
+    " the pair-distinct): pair set identical by construction and"
+    " measured (268,695 pairs before and after at sf0.1; parity re-run"
+    " green for image_near_dup and image_near_dup_capped), 17.6 → ~2 s",
     f"{_PKG}/plans/ext_multimodal.py": "NEW image_near_dup_capped"
     " registration (planted viral raster + IMG_GROUP_CAP) only; no"
     " existing query touched",
