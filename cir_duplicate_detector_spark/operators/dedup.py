@@ -732,12 +732,20 @@ def simhash_near_duplicates(docs: DataFrame, max_bits: int = 3) -> DataFrame:
         "band_val",
     )
     dist = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # Verify BEFORE the pair-distinct (the `pdq._banded_pairs` /
+    # `image_near_duplicates` discipline): the xor/bit_count check is
+    # whole-stage codegen on the join's output stream, while distinct
+    # is a shuffle of every candidate row — on a duplicate-heavy
+    # corpus the band collisions dwarf the qualifying pairs, so
+    # distinct-first shuffles the big set to protect a few redundant
+    # ns-scale re-verifies. Distance is deterministic per pair, so
+    # distinct-after-verify yields the identical pair set.
     return (
         a.join(b, ["band_id", "band_val"])
         .where(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
         .withColumn("dist", dist.cast("bigint"))
         .where(F.col("dist") <= max_bits)
+        .dropDuplicates(["a", "b"])
         .select("a", "b", "dist")
     )
 

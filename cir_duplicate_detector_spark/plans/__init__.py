@@ -124,6 +124,11 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     f"{_PKG}/plans/ext_multimodal.py": "NEW image_near_dup_capped"
     " registration (planted viral raster + IMG_GROUP_CAP) only; no"
     " existing query touched",
+    f"{_PKG}/operators/dedup.py": "simhash_near_duplicates verifies"
+    " before the pair-distinct (the pdq/image banded discipline) —"
+    " PLAN-ONLY: distance is deterministic per pair so the pair set is"
+    " identical; parity re-run green for dedup_simhash /"
+    " dedup_simhash_pairs",
     f"{_PKG}/operators/pq.py": "knn_ivf_pq split into"
     " build_ivf_pq_index + knn_ivf_pq_from_index with persist/read"
     " helpers (VERDICT r9 item 2); the composed knn_ivf_pq delegates to"
