@@ -22,9 +22,9 @@ import time, so it cannot drift from reality the way a hand-written
 list did (round-5 advice: the hand-list's comment contradicted itself).
 Invariant: with ~N queries and a 50-slot window, stalest-first means
 no query's driver row is ever older than ceil(N/50) rounds (4 at the
-current ~151 — round 8 added 17 never-verified queries, which take
-their window slots ahead of the stalest re-verifications by design:
-a first row beats a fourth refresh).
+current 167 — new never-verified queries take their window slots ahead
+of the stalest re-verifications by design: a first row beats a fourth
+refresh).
 
 Every query is additionally covered by the local parametric parity
 suite (`tests/test_oracle_parity.py`), which has no cap; the priority
