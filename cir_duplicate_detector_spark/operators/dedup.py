@@ -518,18 +518,48 @@ def bloom_filter_dedup(
 
     Returns ``(doc_id, bloom_hit, is_dup)``.
     """
+    bits, seen = bloom_index(existing, m, k)
+    return bloom_screen_from_index(incoming, bits, seen, m, k)
+
+
+def bloom_index(
+    existing: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K
+) -> "tuple[DataFrame, DataFrame]":
+    """The two persistable relations of the Bloom screen — what a
+    pipeline actually writes between crawl waves (the `lsh_band_index`
+    / `ivf_quantizer` posture): ``bits`` (bit,) — the ≤ m set bit
+    positions of the bitset, corpus-size-independent — and ``seen``
+    (key,) — the exact digest index that confirms hits. Both are
+    deterministic functions of the corpus, so the persisted-and-reread
+    forms answer identically (`bloom_index_roundtrip`'s registry
+    identity guard)."""
     key = F.md5("text")
-    bits = (
-        existing.select(
-            F.explode(bloom_bit_positions(key, m, k)).alias("bit")
-        )
-        .distinct()
-        .withColumn("present", F.lit(1))
-    )
+    bits = existing.select(
+        F.explode(bloom_bit_positions(key, m, k)).alias("bit")
+    ).distinct()
+    seen = existing.select(key.alias("key")).distinct()
+    return bits, seen
+
+
+def bloom_screen_from_index(
+    incoming: DataFrame,
+    bits: DataFrame,
+    seen: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Probe phase of :func:`bloom_filter_dedup` against a pre-built
+    (possibly parquet-reread) index pair from :func:`bloom_index`."""
+    key = F.md5("text")
+    present = bits.withColumn("present", F.lit(1))
     probed = (
         incoming.select("doc_id", key.alias("key"))
-        .select("doc_id", "key", F.explode(bloom_bit_positions(F.col("key"), m, k)).alias("bit"))
-        .join(F.broadcast(bits), "bit", "left")
+        .select(
+            "doc_id",
+            "key",
+            F.explode(bloom_bit_positions(F.col("key"), m, k)).alias("bit"),
+        )
+        .join(F.broadcast(present), "bit", "left")
         .groupBy("doc_id", "key")
         .agg(
             (F.sum(F.coalesce(F.col("present"), F.lit(0))) == k).alias(
@@ -537,13 +567,8 @@ def bloom_filter_dedup(
             )
         )
     )
-    seen = (
-        existing.select(key.alias("key"))
-        .distinct()
-        .withColumn("seen", F.lit(1))
-    )
     return (
-        probed.join(seen, "key", "left")
+        probed.join(seen.withColumn("seen", F.lit(1)), "key", "left")
         .select(
             "doc_id",
             "bloom_hit",

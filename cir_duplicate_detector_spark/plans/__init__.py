@@ -22,7 +22,7 @@ import time, so it cannot drift from reality the way a hand-written
 list did (round-5 advice: the hand-list's comment contradicted itself).
 Invariant: with ~N queries and a 50-slot window, stalest-first means
 no query's driver row is ever older than ceil(N/50) rounds (4 at the
-current 167 — new never-verified queries take their window slots ahead
+current 168 — new never-verified queries take their window slots ahead
 of the stalest re-verifications by design: a first row beats a fourth
 refresh).
 
@@ -128,7 +128,12 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " before the pair-distinct (the pdq/image banded discipline) —"
     " PLAN-ONLY: distance is deterministic per pair so the pair set is"
     " identical; parity re-run green for dedup_simhash /"
-    " dedup_simhash_pairs",
+    " dedup_simhash_pairs. Plus bloom_filter_dedup factored into"
+    " bloom_index + bloom_screen_from_index (same expressions,"
+    " composition unchanged) for the NEW bloom_index_roundtrip query",
+    f"{_PKG}/plans/ext_dedup.py": "NEW bloom_index_roundtrip"
+    " registration only (new query leads the rotation as"
+    " never-verified); no existing query touched",
     f"{_PKG}/operators/pq.py": "knn_ivf_pq split into"
     " build_ivf_pq_index + knn_ivf_pq_from_index with persist/read"
     " helpers (VERDICT r9 item 2); the composed knn_ivf_pq delegates to"
@@ -238,6 +243,7 @@ for _batch, _streaming in [
     # must answer the same question as the in-session one.
     ("ivf_upsert_assign", "ivf_index_roundtrip"),
     ("dedup_lsh_screen", "lsh_index_roundtrip"),
+    ("bloom_dedup", "bloom_index_roundtrip"),
     # merged index shards == the one-shot index (distinct-of-union):
     ("dedup_lsh_screen", "lsh_index_merge"),
     ("quality_classifier", "quality_classifier_streaming"),

@@ -741,6 +741,33 @@ def q_lsh_index_roundtrip(spark, sf_dir):
     )
 
 
+def q_bloom_index_roundtrip(spark, sf_dir):
+    """The Bloom screen AS A PERSISTED INDEX — the last index family
+    without a round-trip row (IVF, LSH bands and BM25 stats already
+    persist): build the existing split's two servable relations
+    (`dedup.bloom_index` — the ≤ m set-bit positions and the exact
+    digest keys that confirm hits), WRITE both to parquet, READ them
+    back, and screen the incoming split purely from the on-disk
+    relations (`dedup.bloom_screen_from_index`). Proof the screen is
+    DATA, not session state: between crawl waves a pipeline persists
+    exactly this pair, and every admission job broadcasts the reread
+    bitset. Output identical to `bloom_dedup` (round-trip identity) —
+    one oracle string by the registry guard."""
+    import tempfile
+
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(_BLOOM_SPLIT_SPARK)
+    bits, seen = dedup.bloom_index(docs.where(split == 0))
+    d = tempfile.mkdtemp(prefix="bloom_index_")
+    bits.write.mode("overwrite").parquet(f"{d}/bits")
+    seen.write.mode("overwrite").parquet(f"{d}/keys")
+    return dedup.bloom_screen_from_index(
+        docs.where(split == 1),
+        spark.read.parquet(f"{d}/bits"),
+        spark.read.parquet(f"{d}/keys"),
+    )
+
+
 _LSH_HITS = "sum(CASE WHEN idx.band_id IS NOT NULL THEN 1 ELSE 0 END)"
 
 
@@ -1193,6 +1220,7 @@ DEDUP_QUERIES: dict[str, tuple] = {
         SQL_DEDUP_LSH_SCREEN,
     ),
     "lsh_index_roundtrip": (q_lsh_index_roundtrip, SQL_DEDUP_LSH_SCREEN),
+    "bloom_index_roundtrip": (q_bloom_index_roundtrip, SQL_BLOOM_DEDUP),
     "dup_overlap": (q_dup_overlap, _sql_dup_overlap()),
     "dup_weighting": (q_dup_weighting, _sql_dup_weighting()),
     "minhash_recall": (q_minhash_recall, SQL_MINHASH_RECALL),

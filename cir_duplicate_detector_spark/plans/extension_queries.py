@@ -209,6 +209,7 @@ _ORDER = [
     "quality_classifier_learned_streaming",
     "quality_classifier_agreement",
     "image_near_dup_capped",
+    "bloom_index_roundtrip",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (
