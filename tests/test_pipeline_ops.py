@@ -295,6 +295,35 @@ def test_bloom_no_false_negatives(spark):
     assert sum(r.is_dup for r in out) == 25
 
 
+def test_bloom_index_roundtrip_identical(spark, tmp_path):
+    # The persisted index pair (bit positions + digest keys) must
+    # answer EXACTLY like the in-session build — the soundness claim
+    # behind the registered bloom_index_roundtrip identity guard.
+    existing = _docs(spark, [(i, f"doc number {i}") for i in range(40)])
+    incoming = _docs(
+        spark,
+        [(100 + i, f"doc number {i}") for i in range(20)]
+        + [(200 + i, f"fresh text {i}") for i in range(20)],
+    )
+    bits, seen = dedup.bloom_index(existing)
+    direct = dedup.bloom_screen_from_index(incoming, bits, seen).collect()
+    bits.write.parquet(str(tmp_path / "bits"))
+    seen.write.parquet(str(tmp_path / "keys"))
+    served = dedup.bloom_screen_from_index(
+        incoming,
+        spark.read.parquet(str(tmp_path / "bits")),
+        spark.read.parquet(str(tmp_path / "keys")),
+    ).collect()
+
+    def rows(rs):
+        return sorted((r.doc_id, r.bloom_hit, r.is_dup) for r in rs)
+
+    assert rows(direct) == rows(served)
+    # And the composed bloom_filter_dedup agrees too.
+    composed = dedup.bloom_filter_dedup(existing, incoming).collect()
+    assert rows(composed) == rows(direct)
+
+
 def test_bloom_tiny_filter_false_positives(spark):
     # m=4 bits / k=2: nearly every probe collides — false positives are
     # EXPECTED (bloom_hit without is_dup), false negatives still never.
