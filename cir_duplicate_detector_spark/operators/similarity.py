@@ -528,6 +528,7 @@ def semantic_near_duplicates_learned(
     sample_mod: int | None = None,
     fine_mod: int | None = None,
     probe_pred=None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`semantic_near_duplicates` with LEARNED two-level clusters
     — the upgrade its docstring defers ("a production run would k-means
@@ -551,23 +552,33 @@ def semantic_near_duplicates_learned(
     (the `semantic_recall_learned` diagnostic's scale lever; replica
     measurement in SCALE.md round-6 table).
 
+    ``cells`` (vec_id, coarse, fine) lets the caller supply a
+    pre-built (possibly parquet-reread) assignment — the build-once
+    serving posture `_shared_ivfpq_index` established for IVF-ADC; the
+    build is deterministic so a shared assignment answers identically
+    to the default in-query `kmeans_ivf_assign` (omit it to build
+    in-query with the k/iters/sample_mod/fine_mod knobs).
+
     Returns ``(a, b, coarse, fine, cosine)``.
     """
     from ..cache import materialize
     from .kmeans import kmeans_ivf_assign
 
-    kwargs = {}
-    if k is not None:
-        kwargs["k"] = k
-    if iters is not None:
-        kwargs["iters"] = iters
-    if sample_mod is not None:
-        kwargs["sample_mod"] = sample_mod
-    if fine_mod is not None:
-        kwargs["fine_mod"] = fine_mod
-    cells = kmeans_ivf_assign(vectors, **kwargs).select(
-        "vec_id", "coarse", "fine"
-    )
+    if cells is None:
+        kwargs = {}
+        if k is not None:
+            kwargs["k"] = k
+        if iters is not None:
+            kwargs["iters"] = iters
+        if sample_mod is not None:
+            kwargs["sample_mod"] = sample_mod
+        if fine_mod is not None:
+            kwargs["fine_mod"] = fine_mod
+        cells = kmeans_ivf_assign(vectors, **kwargs).select(
+            "vec_id", "coarse", "fine"
+        )
+    else:
+        cells = cells.select("vec_id", "coarse", "fine")
     base = vectors.select(
         "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
     )
@@ -655,6 +666,7 @@ def semantic_cross_decontaminate(
     iters: int | None = None,
     sample_mod: int | None = None,
     fine_mod: int | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """SEMANTIC decontamination — the third screen of the matrix
     (`decontaminate`: exact word-8-grams; `decontaminate_fuzzy`:
@@ -681,19 +693,26 @@ def semantic_cross_decontaminate(
     from ..cache import materialize
     from .kmeans import ivf_assign_from_index, ivf_quantizer
 
-    kwargs = {}
-    if k is not None:
-        kwargs["k"] = k
-    if iters is not None:
-        kwargs["iters"] = iters
-    if sample_mod is not None:
-        kwargs["sample_mod"] = sample_mod
-    if fine_mod is not None:
-        kwargs["fine_mod"] = fine_mod
-    coarse, fine = ivf_quantizer(vectors.where(~eval_pred), **kwargs)
-    cells = ivf_assign_from_index(coarse, fine, vectors).select(
-        "vec_id", "coarse", "fine"
-    )
+    # `cells` lets the caller share one built (possibly parquet-reread)
+    # train-side quantizer assignment across the screen and its recall
+    # diagnostic — deterministic build, so results are identical to
+    # the in-query form (the `_shared_ivfpq_index` posture).
+    if cells is None:
+        kwargs = {}
+        if k is not None:
+            kwargs["k"] = k
+        if iters is not None:
+            kwargs["iters"] = iters
+        if sample_mod is not None:
+            kwargs["sample_mod"] = sample_mod
+        if fine_mod is not None:
+            kwargs["fine_mod"] = fine_mod
+        coarse, fine = ivf_quantizer(vectors.where(~eval_pred), **kwargs)
+        cells = ivf_assign_from_index(coarse, fine, vectors).select(
+            "vec_id", "coarse", "fine"
+        )
+    else:
+        cells = cells.select("vec_id", "coarse", "fine")
     base = vectors.select(
         "vec_id", "embedding", norm64(F.col("embedding")).alias("nrm")
     )

@@ -141,9 +141,20 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " test_ivf_pq_index_roundtrip_identical and the parity re-run",
     f"{_PKG}/plans/ext_ann.py": "knn_ivf_pq / knn_ivf_pq_refined /"
     " pq_recall now serve from the family-shared built-once"
-    " parquet-backed index (_shared_ivfpq_index); the build is"
-    " deterministic so results are identical (roundtrip-identity test"
-    " + parity re-run green) — physical serving change only",
+    " parquet-backed index (_shared_ivfpq_index), and"
+    " semantic_dedup_learned / semantic_recall_learned from the"
+    " pair-shared cell assignment (_shared_semantic_cells); both"
+    " builds are deterministic so results are identical (identity"
+    " tests + parity re-runs green) — physical serving changes only",
+    f"{_PKG}/operators/similarity.py": "semantic_near_duplicates_"
+    "learned and semantic_cross_decontaminate accept an optional"
+    " pre-built cells relation (default None preserves the in-query"
+    " build verbatim); parameter plumbing only, no expression touched",
+    f"{_PKG}/plans/ext_pipeline.py": "decontaminate_semantic /"
+    " semantic_decon_recall serve from the pair-shared built-once"
+    " train-side quantizer assignment (_shared_decon_cells);"
+    " deterministic build → identical results (parity re-run green) —"
+    " physical serving change only",
     f"{_PKG}/sources/sinks.py": "repartition_for_output drops the"
     " plan-to-RDD getNumPartitions probe for a fixed repartition"
     " (VERDICT r9 nit); sink layout helper, not on any registered"

@@ -614,6 +614,36 @@ GROUP BY otk.doc_id
 # originals ≡0 — perturbed pairs would never cross).
 _SEM_EVAL_MOD, _SEM_EVAL_REM = 11, 3
 
+# Build-once TRAIN-side quantizer assignment shared by the semantic
+# decontamination screen and its recall diagnostic (each previously
+# re-learned the identical train-side quantizer — the re-learn pattern
+# `_shared_ivfpq_index` closed for IVF-ADC). Parquet-backed so it
+# survives `release_cached`; deterministic build → identical results.
+_DECON_CELLS_SHARED: dict[tuple, object] = {}
+
+
+def _shared_decon_cells(spark, sf_dir):
+    import tempfile
+
+    from ..operators.kmeans import ivf_assign_from_index, ivf_quantizer
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cells = _DECON_CELLS_SHARED.get(key)
+    if cells is None:
+        corpus = derive_near_dup_embeddings(
+            load_table(spark, sf_dir, "embeddings")
+        )
+        pred = F.col("vec_id") % _SEM_EVAL_MOD == _SEM_EVAL_REM
+        coarse, fine = ivf_quantizer(corpus.where(~pred))
+        built = ivf_assign_from_index(coarse, fine, corpus).select(
+            "vec_id", "coarse", "fine"
+        )
+        d = tempfile.mkdtemp(prefix="decon_cells_")
+        built.write.mode("overwrite").parquet(f"{d}/cells")
+        cells = spark.read.parquet(f"{d}/cells")
+        _DECON_CELLS_SHARED[key] = cells
+    return cells
+
 
 def q_decontaminate_semantic(spark, sf_dir):
     """SEMANTIC decontamination (`similarity.semantic_cross_
@@ -627,7 +657,8 @@ def q_decontaminate_semantic(spark, sf_dir):
     corpus = derive_near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
     pred = F.col("vec_id") % _SEM_EVAL_MOD == _SEM_EVAL_REM
     return similarity.semantic_cross_decontaminate(
-        corpus, pred, threshold=0.9
+        corpus, pred, threshold=0.9,
+        cells=_shared_decon_cells(spark, sf_dir),
     )
 
 
@@ -705,7 +736,10 @@ def q_semantic_decon_recall(spark, sf_dir):
         .select("train_id", "eval_id")
     )
     found = (
-        similarity.semantic_cross_decontaminate(corpus, pred, threshold=0.9)
+        similarity.semantic_cross_decontaminate(
+            corpus, pred, threshold=0.9,
+            cells=_shared_decon_cells(spark, sf_dir),
+        )
         .join(panel.withColumnRenamed("vec_id", "eval_id"), "eval_id", "semi")
         .select("train_id", "eval_id", F.lit(1).alias("hit"))
     )
