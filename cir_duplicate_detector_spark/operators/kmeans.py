@@ -376,6 +376,7 @@ def kmeans_ivf_assign_incoming(
     sample_mod: int = KM_IVF_SAMPLE_MOD,
     fine_mod: int = KM_IVF_FINE_MOD,
     vec_col: str = "embedding",
+    quantizer: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Index maintenance for continuous ANN ingest: assign an INCOMING
     batch into the cell structure learned from a STATIC base corpus —
@@ -385,9 +386,14 @@ def kmeans_ivf_assign_incoming(
     a relearn. Returns ``(vec_id, coarse, fine, d)`` for the incoming
     vectors only — the rows an upsert appends to the index. Periodic
     re-training (drift) is a fresh :func:`ivf_quantizer` build, an
-    orthogonal schedule."""
-    coarse, fine = ivf_quantizer(
-        base, k, iters, sample_mod, fine_mod, vec_col
+    orthogonal schedule. ``quantizer`` lets the caller supply the
+    already-built (possibly parquet-reread) ``(coarse, fine)`` pair —
+    the build is deterministic, so a shared quantizer answers
+    identically to the default in-query build."""
+    coarse, fine = (
+        quantizer
+        if quantizer is not None
+        else ivf_quantizer(base, k, iters, sample_mod, fine_mod, vec_col)
     )
     return ivf_assign_from_index(coarse, fine, incoming, vec_col)
 
@@ -419,6 +425,7 @@ def ivf_upsert_drift(
     sample_mod: int = KM_IVF_SAMPLE_MOD,
     fine_mod: int = KM_IVF_FINE_MOD,
     vec_col: str = "embedding",
+    quantizer: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Index-staleness diagnostic: per INCOMING vector, the fine-level
     quantization distance under the STATIC base-built quantizer
@@ -433,8 +440,11 @@ def ivf_upsert_drift(
     order-non-deterministic; roll up downstream with the sketch
     operators if a scalar is wanted. NULL where either side's cell has
     no fine sample."""
+    # ``quantizer`` shares the STATIC side only — the relearn below is
+    # the diagnostic's defining fresh build and always runs.
     up = kmeans_ivf_assign_incoming(
-        base, incoming, k, iters, sample_mod, fine_mod, vec_col
+        base, incoming, k, iters, sample_mod, fine_mod, vec_col,
+        quantizer=quantizer,
     ).select("vec_id", F.col("d").alias("d_upsert"))
     relearn = (
         kmeans_ivf_assign(

@@ -106,9 +106,10 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " expressions, same plan); consumed unchanged by the batch query"
     " and by the NEW streaming twin — results identical, parity green",
     f"{_PKG}/streaming/windows.py": "NEW streaming_rate_anomalies and"
-    " streaming_quality_classifier_learned twins only"
-    " (drain-then-shared-code contracts); no existing streaming query"
-    " touched",
+    " streaming_quality_classifier_learned twins, plus an optional"
+    " quantizer parameter on streaming_ivf_upsert_assign (default None"
+    " preserves the in-function build verbatim); no existing streaming"
+    " result touched",
     f"{_PKG}/plans/ext_events.py": "NEW events_anomaly_streaming"
     " registration only (new query leads the rotation as"
     " never-verified); no existing query touched",
@@ -143,13 +144,21 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " pq_recall now serve from the family-shared built-once"
     " parquet-backed index (_shared_ivfpq_index), and"
     " semantic_dedup_learned / semantic_recall_learned from the"
-    " pair-shared cell assignment (_shared_semantic_cells); both"
-    " builds are deterministic so results are identical (identity"
-    " tests + parity re-runs green) — physical serving changes only",
+    " pair-shared cell assignment (_shared_semantic_cells), and the"
+    " four upsert-family queries from the shared static quantizer"
+    " (_shared_upsert_quantizer — the parquet pair ivf_index_roundtrip"
+    " already proves; the drift diagnostic's defining fresh relearn"
+    " still runs); all builds deterministic so results are identical"
+    " (identity tests + parity re-runs green) — physical serving"
+    " changes only",
     f"{_PKG}/operators/similarity.py": "semantic_near_duplicates_"
     "learned and semantic_cross_decontaminate accept an optional"
     " pre-built cells relation (default None preserves the in-query"
     " build verbatim); parameter plumbing only, no expression touched",
+    f"{_PKG}/operators/kmeans.py": "kmeans_ivf_assign_incoming and"
+    " ivf_upsert_drift accept an optional pre-built quantizer pair"
+    " (default None preserves the in-query build verbatim); parameter"
+    " plumbing only, no expression touched",
     f"{_PKG}/plans/ext_pipeline.py": "decontaminate_semantic /"
     " semantic_decon_recall serve from the pair-shared built-once"
     " train-side quantizer assignment (_shared_decon_cells);"

@@ -392,7 +392,9 @@ def streaming_corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def streaming_ivf_upsert_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_ivf_upsert_assign(
+    spark: SparkSession, sf_dir: str, quantizer=None
+) -> DataFrame:
     """Continuous ANN index maintenance AS A STREAM — the streaming
     twin of `operators.kmeans.kmeans_ivf_assign_incoming`: the
     two-level quantizer (coarse Lloyd centroids + the base corpus's
@@ -419,7 +421,14 @@ def streaming_ivf_upsert_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/embeddings.parquet"
     schema = spark.read.parquet(path).schema
     emb = spark.read.parquet(path)
-    coarse, fine = ivf_quantizer(emb.where("vec_id % 2 = 0"))
+    # ``quantizer`` shares the batch-built (possibly parquet-reread)
+    # static pair with the batch twin; deterministic build, identical
+    # results either way.
+    coarse, fine = (
+        quantizer
+        if quantizer is not None
+        else ivf_quantizer(emb.where("vec_id % 2 = 0"))
+    )
 
     stage = stage_source(path, "emb_ivf_stream_")
     inc = (
