@@ -365,6 +365,14 @@ def _adc_topk(pd_rows: DataFrame, m: int, k: int) -> DataFrame:
     for i in range(1, m):
         adc = adc + F.col(f"pd{i}")
     scored = grouped.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Final ADC ranking over (query_id, neighbor_id, adc_dist) rows:
+    rank by (adc asc, id asc), keep ``rank <= k``. Shared tail of
+    :func:`_adc_topk` (row-wise scoring) and the packed scoring path in
+    :func:`knn_ivf_pq_from_index`."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
@@ -372,6 +380,69 @@ def _adc_topk(pd_rows: DataFrame, m: int, k: int) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def _dense_code_ids(codebook: DataFrame) -> DataFrame:
+    """(subspace, code, dense): contiguous slot 0..K−1 per subspace in
+    cid order. PQ codes are codeword *identifiers* (sampled vec_ids —
+    `pq_codebook`), not positions; the packed ADC path needs positions
+    so a lookup is ``element_at`` O(1) instead of an equi-join. M·K
+    rows, broadcast everywhere. row_number over unique cids per
+    subspace — deterministic."""
+    w = Window.partitionBy("subspace").orderBy("cid")
+    return codebook.select(
+        "subspace",
+        F.col("cid").alias("code"),
+        (F.row_number().over(w) - 1).alias("dense"),
+    )
+
+
+def _pack_codes(codes: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, ca): row-wise (vec_id, subspace, code) → one M-slot
+    array of codeword SLOTS per vector, subspace-ordered — the
+    contiguous code layout production PQ indexes store (M small ints
+    per vector), and the shape the packed ADC scorer reads with O(1)
+    ``element_at``. One broadcast join (dense-slot map) + one N·M → N
+    hash aggregate."""
+    dense = _dense_code_ids(codebook)
+    return (
+        codes.join(F.broadcast(dense), ["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "dense"))),
+                lambda s: s["dense"],
+            ).alias("ca")
+        )
+    )
+
+
+def _packed_codebook(codebook: DataFrame, m: int) -> DataFrame:
+    """ONE row with columns cb0..cb{M−1}, each the subspace's K
+    codeword subvectors slot-ordered (array<array<double>>) — the
+    broadcastable M·K·subdim lookup structure the packed ADC table is
+    computed against (128 KB at M=16, K=256, subdim=4)."""
+    dense = _dense_code_ids(codebook).withColumnRenamed("code", "cid")
+    return (
+        codebook.join(F.broadcast(dense), ["subspace", "cid"])
+        .groupBy()
+        .agg(
+            *[
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("subspace") == i,
+                                F.struct("dense", "csub"),
+                            )
+                        )
+                    ),
+                    lambda s: s["csub"],
+                ).alias(f"cb{i}")
+                for i in range(m)
+            ]
+        )
     )
 
 
@@ -503,7 +574,7 @@ class IvfPqIndex(NamedTuple):
     cents: DataFrame  # (coarse, c) — √|sample| rows, broadcastable
     assigned: DataFrame  # (vec_id, coarse) — corpus cell assignment
     codebook: DataFrame  # (subspace, cid, csub) — M·K rows
-    codes: DataFrame  # (vec_id, subspace, code) — N·M small ints
+    codes: DataFrame  # (vec_id, ca) — PACKED M-slot code array per vec
     m: int
     subdim: int
 
@@ -578,7 +649,11 @@ def build_ivf_pq_index(
             train_mod=smod if cb_train_mod is None else cb_train_mod,
         )
     )
-    codes = pq_encode(resid, codebook, m, subdim)
+    # Codes persist PACKED (round 11): one M-slot array of codeword
+    # slots per vector, subspace-ordered — the contiguous layout
+    # production PQ stores (M bytes/vector) and the only shape the
+    # packed ADC scorer reads. One extra N·M → N aggregate at build.
+    codes = _pack_codes(pq_encode(resid, codebook, m, subdim), codebook)
     return IvfPqIndex(cents, assigned, codebook, codes, m, subdim)
 
 
@@ -650,8 +725,8 @@ def knn_ivf_pq_from_index(
         .select("query_id", "coarse")
     )
     # Query residuals are PER PROBED CELL (q − that cell's centroid),
-    # so the ADC lookup table is keyed (query_id, coarse) — Q·nprobe·M·K
-    # rows, still broadcast.
+    # so the ADC lookup tables are keyed (query_id, coarse) —
+    # Q·nprobe packed rows.
     qresid = (
         probe_cells.join(probes, "query_id")
         .join(F.broadcast(cents), "coarse")
@@ -663,12 +738,9 @@ def knn_ivf_pq_from_index(
             ),
         )
     )
-    partials = _query_partials(
-        qresid, codebook, m, subdim, keys=("query_id", "coarse")
-    )
     # Candidates by cell equi-join; each corpus vector lives in exactly
     # one cell and probe cells are distinct, so pairs are unique. The
-    # cell id rides along to pick the matching per-cell partials.
+    # cell id rides along to pick the matching per-cell lookup tables.
     cand = (
         probe_cells.join(
             assigned.withColumnRenamed("vec_id", "neighbor_id"), "coarse"
@@ -676,19 +748,99 @@ def knn_ivf_pq_from_index(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "coarse", "neighbor_id")
     )
-    # NOT force-broadcast: the per-cell ADC table is Q·nprobe·M·K rows
-    # and Q scales with the corpus under the `% 100` probe rule —
-    # forcing it measured 13.5 s → 127 s at the 10× replica (6.5M-row
-    # broadcast build) and is an OOM at 100×. Plain equi-join lets AQE
-    # broadcast exactly when the table is actually small.
-    pd_rows = (
+    # PACKED ADC scoring (round 11, measured variant sweep at the 10×
+    # replica — probe phase 14.8 s → 5.5 s, results bit-identical).
+    # The row-wise shape — cand ⋈ codes ⋈ partials on (query_id,
+    # coarse, subspace, code), then a pivot aggregate — materializes
+    # candidates×M rows (18.2M at 10×) through a 4-key sort-merge join
+    # AND a shuffle, and its Q·nprobe·M·K partial-distance explode ran
+    # partition-starved (qresid is Q·nprobe rows AQE-coalesced to ~1
+    # partition; the 256× fan-out happened inside that stage — the
+    # `pq_encode` repartition lesson again). Both problems disappear
+    # when each side is packed once and scoring is O(1) array lookups:
+    #   * ptab — per (query_id, coarse) row, M K-slot lookup arrays
+    #     computed DIRECTLY by `transform` over the broadcast packed
+    #     codebook (no explode, no 13M-row shuffle; repartitioned to
+    #     cluster width first because the M·K fan-out is CPU-dense);
+    #   * codes ride pre-packed in the index (M-slot arrays);
+    #   * candidates pack per (query_id, coarse) group, so the ptab
+    #     join is 1:1 on Q·nprobe rows — the wide pda payload is never
+    #     copied per candidate row (joining ptab row-wise onto the
+    #     candidate frame measured 16.6 s: 70 KB/row × 1.14M rows of
+    #     sort-merge copy amplification);
+    #   * adc = Σ_m pda_m[slot_m] inside an explode-transform — the
+    #     SAME doubles in the SAME left-assoc subspace order as the
+    #     row-wise pivot sum, so adc_dist stays bit-equal to the
+    #     DuckDB oracle (pinned by the parity suite).
+    # Scale: every structure is Q·nprobe or |candidates| rows; nothing
+    # is force-broadcast (Q grows with the corpus under the `% 100`
+    # probe rule — AQE broadcasts only when actually small).
+    slices = vectors.sparkSession.sparkContext.defaultParallelism * 2
+    cbp = _packed_codebook(codebook, m)
+
+    def _slot_l2(i: int):
+        def fn(cs):
+            out = None
+            for d in range(subdim):
+                diff = F.element_at(
+                    F.col("embedding"), i * subdim + d + 1
+                ) - F.element_at(cs, d + 1)
+                term = diff * diff
+                out = term if out is None else out + term
+            return out
+
+        return fn
+
+    ptab = (
+        qresid.repartition(slices)
+        .crossJoin(F.broadcast(cbp))
+        .select(
+            "query_id",
+            "coarse",
+            *[
+                F.transform(F.col(f"cb{i}"), _slot_l2(i)).alias(f"pda{i}")
+                for i in range(m)
+            ],
+        )
+    )
+    cgrp = (
         cand.join(
             codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
         )
-        .join(partials, ["query_id", "coarse", "subspace", "code"])
-        .select("query_id", "neighbor_id", "subspace", "pd")
+        .groupBy("query_id", "coarse")
+        .agg(F.collect_list(F.struct("neighbor_id", "ca")).alias("cands"))
     )
-    return _adc_topk(pd_rows, m, k)
+
+    def _adc_of(c):
+        out = None
+        for i in range(m):
+            term = F.element_at(
+                F.col(f"pda{i}"), F.element_at(c["ca"], i + 1) + 1
+            )
+            out = term if out is None else out + term
+        return out
+
+    scored = (
+        cgrp.join(ptab, ["query_id", "coarse"])
+        .select(
+            "query_id",
+            F.explode(
+                F.transform(
+                    F.col("cands"),
+                    lambda c: F.struct(
+                        c["neighbor_id"].alias("neighbor_id"),
+                        _adc_of(c).alias("adc_dist"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "query_id",
+            F.col("s.neighbor_id").alias("neighbor_id"),
+            F.col("s.adc_dist").alias("adc_dist"),
+        )
+    )
+    return _rank_topk(scored, k)
 
 
 def pq_refine(

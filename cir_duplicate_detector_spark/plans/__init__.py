@@ -50,10 +50,9 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Queries whose ROUND-10 edits change results (not just physical
+# Queries whose ROUND-11 edits change results (not just physical
 # plans), so their existing driver rows are void regardless of age
-# (round 9's entries — the IVF-PQ candidate-ceiling lift and the fuzzy
-# recall panel — were all verified in r09 and cleared):
+# (round 10 had no result-affecting edits to carry):
 _PLAN_CHANGED: list[str] = []
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
@@ -68,106 +67,9 @@ _PLAN_CHANGED: list[str] = []
 # the round's artifacts) are harmless and cleared opportunistically.
 _PKG = "cir_duplicate_detector_spark"
 _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
-    f"{_PKG}/plans/__init__.py": "rotation metadata reset for round 10"
-    " plus the tracked-round bound on _last_verified_round (ADVICE r9:"
-    " ignore artifacts newer than the latest git-tracked CORRECTNESS"
-    " round so in-tree and fresh-clone rotation orderings always"
-    " agree); no query plan or result touched",
-    f"{_PKG}/plans/extension_queries.py": "split into per-family"
-    " modules (VERDICT r9 item 6): now a thin aggregator merging the"
-    " ext_* dicts in the frozen pre-split registration order —"
-    " registry verified entry-identical (same keys, order, oracle"
-    " strings, callables) against the monolith at install time. Also"
-    " corpus_bucketed_join staging moved to per-invocation"
-    " tempfile.mkdtemp with salted table names (ADVICE r9 concurrency"
-    " race); physical staging location only, results identical",
-    **{
-        f"{_PKG}/plans/ext_{fam}.py": "NEW file from the registry"
-        " split: verbatim relocation of the monolith's definitions"
-        " (comments included) plus an unused-header-import trim —"
-        " imports only, no definition touched; the aggregator's"
-        " install-time comparison proved the merged registry"
-        " entry-identical and the parity suite re-ran green"
-        for fam in (
-            "common", "dedup", "ann", "text", "pipeline", "events",
-            "multimodal", "analytics",
-        )
-    },
-    f"{_PKG}/operators/textops.py": "NEW quality_classifier_model /"
-    " quality_classifier_learned / quality_classifier_agreement"
-    " operators only (closed-form diagonal-LDA scorer, VERDICT r9"
-    " item 4); no existing operator touched",
-    f"{_PKG}/plans/ext_text.py": "NEW quality_classifier_learned"
-    " (+streaming twin) and quality_classifier_agreement registrations"
-    " only (new queries lead the rotation as never-verified); no"
-    " existing query touched",
-    f"{_PKG}/operators/events.py": "rate_anomalies' two-sigma"
-    " evaluation factored into the shared anomaly_flag helper (same"
-    " expressions, same plan); consumed unchanged by the batch query"
-    " and by the NEW streaming twin — results identical, parity green",
-    f"{_PKG}/streaming/windows.py": "NEW streaming_rate_anomalies and"
-    " streaming_quality_classifier_learned twins, plus an optional"
-    " quantizer parameter on streaming_ivf_upsert_assign (default None"
-    " preserves the in-function build verbatim); no existing streaming"
-    " result touched",
-    f"{_PKG}/plans/ext_events.py": "NEW events_anomaly_streaming"
-    " registration only (new query leads the rotation as"
-    " never-verified); no existing query touched",
-    f"{_PKG}/operators/multimodal.py": "image_near_duplicates gains"
-    " the opt-in max_group_size viral-image cap (VERDICT r9 item 7 —"
-    " count pre-pass + semi-join, None by default); NEW capped query"
-    " leads the rotation as never-verified. Plus three PLAN-ONLY"
-    " rewrites of the shared pipeline (feats/groups materialized once;"
-    " per-hash conv hoisted out of the per-pair verify; verify before"
-    " the pair-distinct): pair set identical by construction and"
-    " measured (268,695 pairs before and after at sf0.1; parity re-run"
-    " green for image_near_dup and image_near_dup_capped), 17.6 → ~2 s",
-    f"{_PKG}/plans/ext_multimodal.py": "NEW image_near_dup_capped"
-    " registration (planted viral raster + IMG_GROUP_CAP) only; no"
-    " existing query touched",
-    f"{_PKG}/operators/dedup.py": "simhash_near_duplicates verifies"
-    " before the pair-distinct (the pdq/image banded discipline) —"
-    " PLAN-ONLY: distance is deterministic per pair so the pair set is"
-    " identical; parity re-run green for dedup_simhash /"
-    " dedup_simhash_pairs. Plus bloom_filter_dedup factored into"
-    " bloom_index + bloom_screen_from_index (same expressions,"
-    " composition unchanged) for the NEW bloom_index_roundtrip query",
-    f"{_PKG}/plans/ext_dedup.py": "NEW bloom_index_roundtrip"
-    " registration only (new query leads the rotation as"
-    " never-verified); no existing query touched",
-    f"{_PKG}/operators/pq.py": "knn_ivf_pq split into"
-    " build_ivf_pq_index + knn_ivf_pq_from_index with persist/read"
-    " helpers (VERDICT r9 item 2); the composed knn_ivf_pq delegates to"
-    " both phases unchanged — results identical, pinned by"
-    " test_ivf_pq_index_roundtrip_identical and the parity re-run",
-    f"{_PKG}/plans/ext_ann.py": "knn_ivf_pq / knn_ivf_pq_refined /"
-    " pq_recall now serve from the family-shared built-once"
-    " parquet-backed index (_shared_ivfpq_index), and"
-    " semantic_dedup_learned / semantic_recall_learned from the"
-    " pair-shared cell assignment (_shared_semantic_cells), and the"
-    " four upsert-family queries from the shared static quantizer"
-    " (_shared_upsert_quantizer — the parquet pair ivf_index_roundtrip"
-    " already proves; the drift diagnostic's defining fresh relearn"
-    " still runs); all builds deterministic so results are identical"
-    " (identity tests + parity re-runs green) — physical serving"
-    " changes only",
-    f"{_PKG}/operators/similarity.py": "semantic_near_duplicates_"
-    "learned and semantic_cross_decontaminate accept an optional"
-    " pre-built cells relation (default None preserves the in-query"
-    " build verbatim); parameter plumbing only, no expression touched",
-    f"{_PKG}/operators/kmeans.py": "kmeans_ivf_assign_incoming and"
-    " ivf_upsert_drift accept an optional pre-built quantizer pair"
-    " (default None preserves the in-query build verbatim); parameter"
-    " plumbing only, no expression touched",
-    f"{_PKG}/plans/ext_pipeline.py": "decontaminate_semantic /"
-    " semantic_decon_recall serve from the pair-shared built-once"
-    " train-side quantizer assignment (_shared_decon_cells);"
-    " deterministic build → identical results (parity re-run green) —"
-    " physical serving change only",
-    f"{_PKG}/sources/sinks.py": "repartition_for_output drops the"
-    " plan-to-RDD getNumPartitions probe for a fixed repartition"
-    " (VERDICT r9 nit); sink layout helper, not on any registered"
-    " query's result path",
+    f"{_PKG}/plans/__init__.py": "round-11 rotation metadata reset"
+    " (cleared round-10 _ROUND_EDITS — all r10 entries driver-verified"
+    " and committed); no query plan or result touched",
 }
 
 
