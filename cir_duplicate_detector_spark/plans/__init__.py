@@ -70,6 +70,14 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     f"{_PKG}/plans/__init__.py": "round-11 rotation metadata reset"
     " (cleared round-10 _ROUND_EDITS — all r10 entries driver-verified"
     " and committed); no query plan or result touched",
+    f"{_PKG}/operators/pq.py": "packed ADC scoring (VERDICT r10 item"
+    " 1): the index stores M-slot code arrays, per-(query, cell)"
+    " lookup tables come from transform over the broadcast packed"
+    " codebook, and scoring is O(1) element_at lookups — PLAN-ONLY:"
+    " the same doubles fold in the same left-assoc subspace order, so"
+    " adc_dist is bit-equal (knn_ivf_pq/_refined/pq_recall parity"
+    " re-run green, index-roundtrip identity test green); 10x growth"
+    " 7.65x -> 1.53x",
 }
 
 
