@@ -433,6 +433,89 @@ IMG_HAMMING_MAX = 6  # near-dup threshold over the 64-bit average hash
 IMG_BANDS = 8  # 8 bands x 8 bits: pigeonhole-exact for distance <= 7
 
 
+def _ahash_band_keys(feats: DataFrame, bands: int) -> DataFrame:
+    """Explode 64-bit ahash strings into (band_id, band_key) rows —
+    the banded-membership key layout shared by the index and probe
+    sides of the image screen (and structurally by
+    :func:`image_near_duplicates`'s candidate join)."""
+    width = 64 // bands
+    return feats.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("ahash_bits", i * width + 1, width)
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+
+
+def image_band_index(media: DataFrame, bands: int = IMG_BANDS) -> DataFrame:
+    """The image-membership index AS A RELATION: the existing corpus's
+    distinct ahash ``(band_id, band_key)`` set — the image analogue of
+    `dedup.lsh_band_index` (two small deterministic columns, lossless
+    on parquet). At most ``bands × |distinct ahashes|`` rows; the only
+    structure continuous image ingest needs to keep. Decode+ahash is
+    the one Arrow boundary (`image_ahash_features`)."""
+    return (
+        _ahash_band_keys(image_ahash_features(media), bands)
+        .select("band_id", "band_key")
+        .dropDuplicates(["band_id", "band_key"])
+    )
+
+
+def image_screen_from_index(
+    index: DataFrame,
+    incoming: DataFrame,
+    bands: int = IMG_BANDS,
+    index_is_distinct: bool = False,
+) -> DataFrame:
+    """Probe half of :func:`image_screen`, serving from a prebuilt
+    ``(band_id, band_key)`` index relation — in-session
+    (:func:`image_band_index`) or read back from parquet. Incoming
+    images decode + hash per-row (one Arrow boundary, zero stream
+    state before the final rollup); the probe is one equi-join,
+    nothing broadcast by construction. Output
+    ``(doc_id, n_bands_hit, img_hit)`` — `dedup.lsh_screen_from_index`
+    posture, including the defensive re-dedup of unknown indexes."""
+    idx = index.select("band_id", "band_key")
+    if not index_is_distinct:
+        idx = idx.dropDuplicates(["band_id", "band_key"])
+    idx = idx.withColumn("hit", F.lit(1))
+    inc = _ahash_band_keys(image_ahash_features(incoming), bands)
+    return (
+        inc.join(idx, ["band_id", "band_key"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_bands_hit")
+        )
+        .withColumn("img_hit", F.col("n_bands_hit") > 0)
+    )
+
+
+def image_screen(
+    existing: DataFrame, incoming: DataFrame, bands: int = IMG_BANDS
+) -> DataFrame:
+    """New-image-arrives ingest screen: does an incoming image share
+    any ahash band with the existing corpus? (doc_id, n_bands_hit,
+    img_hit) per incoming image — the cheap membership gate a crawl
+    pipeline runs BEFORE the full pair join
+    (:func:`image_near_duplicates`), exactly `dedup.lsh_screen`'s
+    posture for text. A band hit is a candidate signal (pigeonhole:
+    every true near-duplicate within ``bands − 1`` bits hits ≥ 1
+    band); a miss is a proof of no near-duplicate at that radius."""
+    return image_screen_from_index(
+        image_band_index(existing, bands),
+        incoming,
+        bands,
+        index_is_distinct=True,
+    )
+
+
 def image_near_duplicates(
     media: DataFrame,
     max_bits: int = IMG_HAMMING_MAX,

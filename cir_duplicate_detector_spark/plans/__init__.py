@@ -70,6 +70,20 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     f"{_PKG}/plans/__init__.py": "round-11 rotation metadata reset"
     " (cleared round-10 _ROUND_EDITS — all r10 entries driver-verified"
     " and committed); no query plan or result touched",
+    f"{_PKG}/operators/multimodal.py": "NEW image_band_index /"
+    " image_screen_from_index / image_screen operators only (the"
+    " lsh_screen posture applied to the image path, VERDICT r10 item"
+    " 4); no existing operator touched",
+    f"{_PKG}/streaming/windows.py": "NEW streaming_image_screen twin"
+    " only; no existing streaming result touched",
+    f"{_PKG}/plans/ext_multimodal.py": "NEW image_screen (+streaming"
+    " twin) registrations only (new queries lead the rotation as"
+    " never-verified); no existing query touched",
+    f"{_PKG}/plans/extension_queries.py": "round-11 _ORDER additions"
+    " for the new registrations only; no existing query touched",
+    f"{_PKG}/plans/fingerprint.py": "NEW module: canonical logical-"
+    "plan fingerprints + the pure diff rule consumed by the"
+    " fingerprint lint (VERDICT r10 item 2); no query touched",
     f"{_PKG}/operators/pq.py": "packed ADC scoring (VERDICT r10 item"
     " 1): the index stores M-slot code arrays, per-(query, cell)"
     " lookup tables come from transform over the broadcast packed"
@@ -187,6 +201,7 @@ for _batch, _streaming in [
     ("decontaminate_fuzzy", "decontaminate_fuzzy_canonical"),
     ("events_anomaly", "events_anomaly_streaming"),
     ("quality_classifier_learned", "quality_classifier_learned_streaming"),
+    ("image_screen", "image_screen_streaming"),
     # salted_join is a physical-plan rewrite only — same answer, same
     # oracle string as the unsalted plan.
     ("tpch_q5", "tpch_q5_skewed"),

@@ -471,6 +471,86 @@ WHERE hamming <= {multimodal.IMG_HAMMING_MAX}
 """
 
 
+def q_image_screen(spark, sf_dir):
+    """New-image-arrives ingest screen (`multimodal.image_screen`,
+    round 11 — VERDICT r10 item 4): the existing split's distinct
+    ahash band index (built once, persistable) probed by the incoming
+    split's freshly decoded + hashed images through one equi-join —
+    the cheap membership gate a crawl pipeline runs before the full
+    pair join (`image_near_dup`), exactly the `dedup_lsh_screen`
+    posture applied to the image path. Split by the shared
+    even/odd-of-doc_id rule (`sources.derived.BLOOM_SPLIT_*`)."""
+    from ..sources.derived import BLOOM_SPLIT_SPARK
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_screen(
+        _ppm_media(docs.where(F.expr(BLOOM_SPLIT_SPARK) == 0)),
+        _ppm_media(docs.where(F.expr(BLOOM_SPLIT_SPARK) == 1)),
+    )
+
+
+def q_image_screen_streaming(spark, sf_dir):
+    """`streaming.windows.streaming_image_screen`: the same screen
+    with the incoming split arriving on a file stream — per-row
+    decode+ahash (Arrow), stream-static band-index equi-join, one
+    rollup. Shares the batch oracle via the twin guard."""
+    from ..streaming.windows import streaming_image_screen
+
+    return streaming_image_screen(spark, sf_dir)
+
+
+# Shared by image_screen and image_screen_streaming (twin guard).
+# Reuses the char-indexed ahash oracle (same ASCII assertion); the
+# screen itself is one distinct band index LEFT-joined by the
+# incoming split's band keys.
+SQL_IMAGE_SCREEN = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = len(text)
+              THEN rpad(substr(text, 1, 192), 192, ' ')
+              ELSE error('SQL_IMAGE_SCREEN: non-ASCII text (doc_id '
+                         || doc_id || '); char-indexed oracle diverges '
+                         || 'from the byte-decoding operator')
+         END AS raster
+  FROM documents
+),
+px AS (
+  SELECT doc_id, i,
+         (ascii(substr(raster, 3 * i + 1, 1))
+          + ascii(substr(raster, 3 * i + 2, 1))
+          + ascii(substr(raster, 3 * i + 3, 1))) // 3 AS gray
+  FROM b CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+),
+tot AS (SELECT doc_id, sum(gray)::BIGINT AS sg FROM px GROUP BY doc_id),
+ah AS (
+  SELECT px.doc_id,
+         string_agg(CASE WHEN gray * 64 > sg THEN '1' ELSE '0' END,
+                    '' ORDER BY i) AS bits
+  FROM px JOIN tot ON tot.doc_id = px.doc_id
+  GROUP BY px.doc_id
+),
+idx AS (
+  SELECT DISTINCT k AS band_id, substr(bits, k * 8 + 1, 8) AS band_key
+  FROM ah CROSS JOIN (SELECT unnest(range(0, 8)) AS k) kk
+  WHERE (doc_id // 2000000 + doc_id) % 2 = 0
+),
+inc AS (
+  SELECT doc_id, k AS band_id, substr(bits, k * 8 + 1, 8) AS band_key
+  FROM ah CROSS JOIN (SELECT unnest(range(0, 8)) AS k) kk
+  WHERE (doc_id // 2000000 + doc_id) % 2 = 1
+)
+SELECT inc.doc_id,
+       sum(CASE WHEN idx.band_id IS NULL THEN 0 ELSE 1 END)::BIGINT
+         AS n_bands_hit,
+       sum(CASE WHEN idx.band_id IS NULL THEN 0 ELSE 1 END) > 0
+         AS img_hit
+FROM inc LEFT JOIN idx
+  ON idx.band_id = inc.band_id AND idx.band_key = inc.band_key
+GROUP BY inc.doc_id
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
     "image_near_dup": (q_image_near_dup, SQL_IMAGE_NEAR_DUP),
     "image_near_dup_capped": (
@@ -485,4 +565,6 @@ MULTIMODAL_QUERIES: dict[str, tuple] = {
         q_multimodal_image_ahash,
         SQL_MULTIMODAL_IMAGE_AHASH,
     ),
+    "image_screen": (q_image_screen, SQL_IMAGE_SCREEN),
+    "image_screen_streaming": (q_image_screen_streaming, SQL_IMAGE_SCREEN),
 }

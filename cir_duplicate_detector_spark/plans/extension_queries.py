@@ -210,6 +210,9 @@ _ORDER = [
     "quality_classifier_agreement",
     "image_near_dup_capped",
     "bloom_index_roundtrip",
+    # round-11 additions:
+    "image_screen",
+    "image_screen_streaming",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (

@@ -1,0 +1,87 @@
+"""Canonical logical-plan fingerprints for the query registry.
+
+The per-round ``_ROUND_EDITS`` lint enforces that package edits are
+*declared*, but a prose declaration of "results unchanged" is not
+machine-checkable (VERDICT r10 item 2). This module makes the claim
+checkable at the PLAN level: every registered query's ANALYZED logical
+plan at sf0.001 is canonicalized (session-varying ids normalized) and
+hashed; ``scripts/plan_fingerprints.py`` persists the map as
+``PLANS_r<N>.json`` each round, and the lint
+(`tests/test_plans.py::test_plan_fingerprints_vs_previous_round`)
+diffs consecutive rounds with :func:`fingerprint_violations`:
+
+* fingerprint CHANGED ⇒ the query must be queued in ``_PLAN_CHANGED``
+  (voiding its stale driver rows — the driver re-verifies it) or be
+  brand-new (it leads the rotation anyway). A physical-only rewrite
+  that the author *believes* is result-identical still re-verifies:
+  cheap insurance, and the prose rationale stays for the reviewer.
+* fingerprint UNCHANGED ⇒ no driver-facing action needed; the plan the
+  driver last vouched for is literally the same tree.
+* fingerprint VOLATILE (differs across two fresh sessions at build
+  time — e.g. a plan embedding a session-random staging path) ⇒
+  excluded from the diff, visibly recorded as such in the artifact.
+
+The fingerprint is the ANALYZED plan, not the optimized/physical one:
+it is stable under Catalyst version-to-version optimization changes
+and AQE, captures exactly what the author wrote (including literals —
+a threshold change IS a result change), and exists before any eager
+work. Canonicalization strips what varies per session: expression ids
+(``#123``), generated lambda-variable counters (``x_2``), temp staging
+paths, and JVM object hashes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+_EXPR_ID = re.compile(r"#\d+")
+_GEN_NAME = re.compile(r"\b([A-Za-z]\w*?)_\d+\b")
+# memory-sink view names get a random hex suffix (stream_sess_6f4fcd6b)
+_HEX_NAME = re.compile(r"\b([A-Za-z]\w*?)_[0-9a-f]{8,}\b")
+_TMP_PATH = re.compile(r"/tmp/[\w/.+=-]+")
+_OBJ_HASH = re.compile(r"@[0-9a-f]{6,}")
+
+
+def canonical_plan(df) -> str:
+    """The analyzed logical plan with session-varying tokens
+    normalized. Deterministic across fresh sessions for every
+    registered query except those recorded volatile by the artifact
+    script (which the lint then skips)."""
+    s = df._jdf.queryExecution().analyzed().toString()
+    s = _EXPR_ID.sub("#", s)
+    s = _GEN_NAME.sub(r"\1_", s)
+    s = _HEX_NAME.sub(r"\1_", s)
+    s = _TMP_PATH.sub("/TMP", s)
+    s = _OBJ_HASH.sub("@", s)
+    return s
+
+
+def plan_fingerprint(df) -> str:
+    return hashlib.sha256(canonical_plan(df).encode()).hexdigest()[:16]
+
+
+def fingerprint_violations(
+    prev: "dict[str, str]",
+    cur: "dict[str, str]",
+    plan_changed: "list[str]",
+) -> "list[str]":
+    """The lint rule, as pure dict logic (no Spark — testable with a
+    deliberately-mutated simulation): queries present in BOTH rounds
+    whose fingerprint changed and which are NOT queued in
+    ``_PLAN_CHANGED``. Entries recorded as volatile (value starts with
+    ``VOLATILE``) or errored (``ERR``) on either side are skipped —
+    they carry no stable signal. Brand-new queries (absent from
+    ``prev``) are fine: never-verified queries lead the rotation."""
+    bad = []
+    for name, fp in cur.items():
+        old = prev.get(name)
+        if old is None:
+            continue
+        if old.startswith(("VOLATILE", "ERR")) or fp.startswith(
+            ("VOLATILE", "ERR")
+        ):
+            continue
+        if fp != old and name not in plan_changed:
+            bad.append(name)
+    return sorted(bad)

@@ -1038,3 +1038,61 @@ def streaming_quality_classifier_learned(
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+def streaming_image_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-ingest membership screen AS A STREAM — the image
+    analogue of :func:`streaming_lsh_screen` and the production shape
+    of `multimodal.image_screen`: the existing split's distinct ahash
+    ``(band_id, band_key)`` index is built batch-side ONCE
+    (`multimodal.image_band_index` — persistable parquet, the
+    `lsh_index_roundtrip` posture); new images arrive on a file
+    stream, decode + 8×8 average-hash per row (the one Arrow
+    boundary, `image_ahash_features` on the stream — zero state
+    before the final rollup), explode to band keys and probe the
+    static index through a stream-static equi-join. Output identical
+    to the batch `image_screen` — the two registry entries share one
+    oracle string by construction (the twin guard in
+    ``plans/__init__``)."""
+    from ..operators.multimodal import (
+        image_band_index,
+        image_screen_from_index,
+    )
+    from ..sources.derived import BLOOM_SPLIT_SPARK
+
+    # Documents framed as 8x8 binary PPMs — the same expressions as
+    # plans.ext_multimodal._ppm_media, kept here in streaming form
+    # (that builder lives in the registration layer); divergence would
+    # fail the shared batch/streaming oracle.
+    def _media(docs):
+        raster = F.rpad(F.substring("text", 1, 192), 192, " ")
+        payload = F.encode(
+            F.concat(F.lit("P6\n8 8\n255\n"), raster), "utf-8"
+        )
+        return docs.select(
+            "doc_id",
+            payload.alias("payload"),
+        )
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    docs_b = spark.read.parquet(path)
+    idx = image_band_index(
+        _media(docs_b.where(F.expr(BLOOM_SPLIT_SPARK) == 0))
+    )
+    incoming = _media(
+        spark.readStream.schema(schema)
+        .parquet(stage_source(path, "docs_imgscreen_stream_"))
+        .where(F.expr(BLOOM_SPLIT_SPARK) == 1)
+    )
+    probed = image_screen_from_index(idx, incoming, index_is_distinct=True)
+    name = f"stream_imgscreen_{uuid.uuid4().hex[:8]}"
+    query = (
+        probed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
