@@ -84,6 +84,10 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     f"{_PKG}/plans/fingerprint.py": "NEW module: canonical logical-"
     "plan fingerprints + the pure diff rule consumed by the"
     " fingerprint lint (VERDICT r10 item 2); no query touched",
+    f"{_PKG}/plans/ext_ann.py": "NEW semantic_cells_roundtrip"
+    " registration only (persisted-cells serving twin of"
+    " semantic_dedup_learned, VERDICT r10 item 5; new query leads the"
+    " rotation as never-verified); no existing query touched",
     f"{_PKG}/operators/pq.py": "packed ADC scoring (VERDICT r10 item"
     " 1): the index stores M-slot code arrays, per-(query, cell)"
     " lookup tables come from transform over the broadcast packed"
@@ -202,6 +206,7 @@ for _batch, _streaming in [
     ("events_anomaly", "events_anomaly_streaming"),
     ("quality_classifier_learned", "quality_classifier_learned_streaming"),
     ("image_screen", "image_screen_streaming"),
+    ("semantic_dedup_learned", "semantic_cells_roundtrip"),
     # salted_join is a physical-plan rewrite only — same answer, same
     # oracle string as the unsalted plan.
     ("tpch_q5", "tpch_q5_skewed"),

@@ -213,6 +213,7 @@ _ORDER = [
     # round-11 additions:
     "image_screen",
     "image_screen_streaming",
+    "semantic_cells_roundtrip",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (

@@ -41,6 +41,9 @@ _GEN_NAME = re.compile(r"\b([A-Za-z]\w*?)_\d+\b")
 _HEX_NAME = re.compile(r"\b([A-Za-z]\w*?)_[0-9a-f]{8,}\b")
 _TMP_PATH = re.compile(r"/tmp/[\w/.+=-]+")
 _OBJ_HASH = re.compile(r"@[0-9a-f]{6,}")
+# repartition counts derive from defaultParallelism (cluster width) —
+# physical layout only, environment-dependent by design
+_REPART = re.compile(r"\b(Repartition(?:ByExpression)?\b[^\n]*?) \d+")
 
 
 def canonical_plan(df) -> str:
@@ -54,6 +57,7 @@ def canonical_plan(df) -> str:
     s = _HEX_NAME.sub(r"\1_", s)
     s = _TMP_PATH.sub("/TMP", s)
     s = _OBJ_HASH.sub("@", s)
+    s = _REPART.sub(r"\1 N", s)
     return s
 
 

@@ -770,3 +770,136 @@ def test_last_is_bounded_by_tracked_rounds():
         "plans._LAST contains rounds newer than the latest committed "
         "artifact — the tracked-round bound is not applied"
     )
+
+
+# ---- plan-fingerprint lint (round 11, VERDICT r10 item 2) ----------
+
+
+def _tracked_plans_artifacts():
+    import json
+    import subprocess
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    out = subprocess.run(
+        ["git", "ls-files", "PLANS_r*.json"],
+        cwd=root,
+        capture_output=True,
+        text=True,
+    )
+    arts = {}
+    for name in out.stdout.splitlines():
+        try:
+            arts[_artifact_round(name)] = json.loads(
+                (root / name).read_text()
+            )["fingerprints"]
+        except (OSError, KeyError, ValueError):
+            continue
+    return arts
+
+
+def test_fingerprint_lint_catches_mutation():
+    # The pure diff rule, exercised with a deliberately-mutated query:
+    # a changed fingerprint without a _PLAN_CHANGED entry is a
+    # violation; queued, brand-new, volatile, and errored entries are
+    # not. This is the simulation the machine-checkable lint promises —
+    # prose declarations alone could claim anything.
+    from cir_duplicate_detector_spark.plans.fingerprint import (
+        fingerprint_violations,
+    )
+
+    prev = {
+        "q_same": "aaaa",
+        "q_mutated": "bbbb",
+        "q_queued": "cccc",
+        "q_volatile": "VOLATILE:x:y",
+        "q_err": "ERR:AnalysisException",
+    }
+    cur = {
+        "q_same": "aaaa",
+        "q_mutated": "MUTATED",
+        "q_queued": "CHANGED",
+        "q_volatile": "dddd",
+        "q_err": "eeee",
+        "q_brand_new": "ffff",
+    }
+    assert fingerprint_violations(prev, cur, []) == ["q_mutated", "q_queued"]
+    assert fingerprint_violations(prev, cur, ["q_mutated", "q_queued"]) == []
+    # volatile/err on the CURRENT side is skipped too
+    cur2 = dict(cur, q_mutated="VOLATILE:a:b", q_queued="ERR:Py4JError")
+    assert fingerprint_violations(prev, cur2, []) == []
+
+
+def test_plan_fingerprints_vs_previous_round():
+    # The cross-round diff: every query whose canonical analyzed-plan
+    # fingerprint changed between the previous round's committed
+    # PLANS_r{N-1}.json and this round's PLANS_r{N}.json must be queued
+    # in _PLAN_CHANGED (void its stale driver rows) or be brand-new.
+    # Skips until two consecutive artifacts exist (bootstrap round).
+    from cir_duplicate_detector_spark import plans
+    from cir_duplicate_detector_spark.plans.fingerprint import (
+        fingerprint_violations,
+    )
+
+    arts = _tracked_plans_artifacts()
+    cur_round = (plans._latest_tracked_round(
+        __import__("pathlib").Path(__file__).resolve().parents[1]
+    ) or 0) + 1
+    if cur_round not in arts or (cur_round - 1) not in arts:
+        return  # bootstrap: no consecutive pair yet
+    bad = fingerprint_violations(
+        arts[cur_round - 1], arts[cur_round], plans._PLAN_CHANGED
+    )
+    assert not bad, (
+        f"queries whose logical plan changed since round {cur_round - 1} "
+        f"without a _PLAN_CHANGED entry: {bad} — queue them for driver "
+        "re-verification (or regenerate PLANS with "
+        "scripts/plan_fingerprints.py if the artifact is stale)"
+    )
+
+
+def test_plan_fingerprint_artifact_freshness(spark):
+    # PLANS_r{N}.json is only as good as its regeneration discipline:
+    # rebuild a small deterministic rotating sample of plans LIVE and
+    # compare against the committed artifact for the current round — a
+    # stale artifact (edits after the last scripts/plan_fingerprints.py
+    # run) fails here instead of silently vouching for old plans.
+    # Volatile/ERR entries and streaming queries (minutes each) are
+    # skipped; the sample rotates with the round number so staleness
+    # anywhere in the registry is eventually sampled.
+    import hashlib as _h
+    from pathlib import Path
+
+    from cir_duplicate_detector_spark import plans
+    from cir_duplicate_detector_spark.plans.fingerprint import (
+        plan_fingerprint,
+    )
+
+    arts = _tracked_plans_artifacts()
+    cur_round = (
+        plans._latest_tracked_round(Path(__file__).resolve().parents[1])
+        or 0
+    ) + 1
+    fps = arts.get(cur_round)
+    if fps is None:
+        return  # artifact not yet generated this round
+    stable = sorted(
+        n
+        for n, v in fps.items()
+        if not v.startswith(("VOLATILE", "ERR"))
+        and "stream" not in n
+        and n in ALL_QUERIES
+    )
+    sample = sorted(
+        stable,
+        key=lambda n: _h.sha256(f"{cur_round}:{n}".encode()).hexdigest(),
+    )[:5]
+    stale = []
+    for name in sample:
+        live = plan_fingerprint(ALL_QUERIES[name][0](spark, SF))
+        if live != fps[name]:
+            stale.append((name, fps[name], live))
+    assert not stale, (
+        f"PLANS_r{cur_round:02d}.json is stale for {stale} — re-run "
+        "scripts/plan_fingerprints.py after the last package edit"
+    )
