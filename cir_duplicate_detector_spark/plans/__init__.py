@@ -50,10 +50,17 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Queries whose ROUND-11 edits change results (not just physical
-# plans), so their existing driver rows are void regardless of age
-# (round 10 had no result-affecting edits to carry):
-_PLAN_CHANGED: list[str] = []
+# Queries whose ROUND-11 edits change their PLAN (the packed-ADC
+# rewrite of the IVF-PQ probe phase). The builder's evidence says
+# results are identical (parity + identity tests), but under the new
+# fingerprint-lint semantics (plans/fingerprint.py) a changed logical
+# plan re-verifies at the driver regardless — cheap insurance that a
+# "physical-only" claim can never be wrong silently:
+_PLAN_CHANGED: list[str] = [
+    "knn_ivf_pq",
+    "knn_ivf_pq_refined",
+    "pq_recall",
+]
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
 # package file changed since the latest COMMITTED round artifact must
@@ -88,6 +95,11 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " registration only (persisted-cells serving twin of"
     " semantic_dedup_learned, VERDICT r10 item 5; new query leads the"
     " rotation as never-verified); no existing query touched",
+    f"{_PKG}/plans/ext_pipeline.py": "NEW decon_cells_roundtrip"
+    " registration only (persisted-cells serving twin of"
+    " decontaminate_semantic, completing VERDICT r10 item 5; new"
+    " query leads the rotation as never-verified); no existing query"
+    " touched",
     f"{_PKG}/operators/pq.py": "packed ADC scoring (VERDICT r10 item"
     " 1): the index stores M-slot code arrays, per-(query, cell)"
     " lookup tables come from transform over the broadcast packed"
@@ -207,6 +219,7 @@ for _batch, _streaming in [
     ("quality_classifier_learned", "quality_classifier_learned_streaming"),
     ("image_screen", "image_screen_streaming"),
     ("semantic_dedup_learned", "semantic_cells_roundtrip"),
+    ("decontaminate_semantic", "decon_cells_roundtrip"),
     # salted_join is a physical-plan rewrite only — same answer, same
     # oracle string as the unsalted plan.
     ("tpch_q5", "tpch_q5_skewed"),

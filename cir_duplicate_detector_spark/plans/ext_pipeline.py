@@ -1075,6 +1075,31 @@ WHERE NOT ({ev})
 """
 
 
+def q_decon_cells_roundtrip(spark, sf_dir):
+    """The TRAIN-side decontamination cell assignment AS A PERSISTED
+    INDEX (round 11 — the companion row to `semantic_cells_roundtrip`,
+    closing VERDICT r10 item 5 for the whole semantic-cell family):
+    take the pair-shared (vec_id, coarse, fine) relation
+    (`_shared_decon_cells` — quantizer learned from the train side
+    only), WRITE it to parquet, READ it back, and run the semantic
+    decontamination screen purely from the on-disk relation. Output
+    identical to `decontaminate_semantic` (round-trip identity) — one
+    oracle string by the registry guard."""
+    import tempfile
+
+    corpus = derive_near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    pred = F.col("vec_id") % _SEM_EVAL_MOD == _SEM_EVAL_REM
+    cells = _shared_decon_cells(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="decon_cells_rt_")
+    cells.write.mode("overwrite").parquet(f"{d}/cells")
+    return similarity.semantic_cross_decontaminate(
+        corpus,
+        pred,
+        threshold=0.9,
+        cells=spark.read.parquet(f"{d}/cells"),
+    )
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "decontamination_report": (
         q_decontamination_report,
@@ -1089,6 +1114,10 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "fuzzy_decon_recall": (q_fuzzy_decon_recall, SQL_FUZZY_DECON_RECALL),
     "decontaminate_semantic": (
         q_decontaminate_semantic,
+        _sql_decontaminate_semantic(),
+    ),
+    "decon_cells_roundtrip": (
+        q_decon_cells_roundtrip,
         _sql_decontaminate_semantic(),
     ),
     "semantic_decon_recall": (

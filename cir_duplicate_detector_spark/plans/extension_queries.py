@@ -214,6 +214,7 @@ _ORDER = [
     "image_screen",
     "image_screen_streaming",
     "semantic_cells_roundtrip",
+    "decon_cells_roundtrip",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (
