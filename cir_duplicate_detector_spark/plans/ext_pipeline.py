@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 from ..functions.text import hash60_sql
-from ..operators import dedup, similarity, textops
+from ..operators import dedup, retrieval, similarity, textops
 from ..sources.derived import (
     BLOOM_SPLIT_DUCK,
     BLOOM_SPLIT_SPARK,
@@ -231,6 +231,82 @@ SELECT query_id, doc_id, rank, n_terms_hit, score FROM (
     PARTITION BY query_id ORDER BY score DESC, doc_id
   )::BIGINT AS rank FROM agg
 ) WHERE rank <= {textops.BM25_TOPK}
+"""
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval (`retrieval.hybrid_search`): the BM25 panel's
+    lexical top-10 and each query's probe-vector cosine top-10, fused
+    by reciprocal-rank fusion (1/(60+rank), missing stage contributes
+    0) — the production corpus-search recipe: keyword recall and
+    semantic recall in ONE ranked list. Scores are fixed two-term
+    double sums of exact-integer reciprocals, bit-reproducible; ties
+    break by doc_id."""
+    panel = spark.createDataFrame(
+        textops.BM25_PANEL, "query_id bigint, term string"
+    )
+    probes = spark.createDataFrame(
+        retrieval.HYBRID_PROBES, "query_id bigint, vec_id bigint"
+    )
+    return retrieval.hybrid_search(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        panel,
+        probes,
+    )
+
+
+def _sql_hybrid_search() -> str:
+    # The lexical CTE reuses the bm25_search oracle verbatim, so the
+    # two stay in lockstep by construction; the registered hybrid runs
+    # both stages at their default depths.
+    assert retrieval.HYBRID_K_EACH == textops.BM25_TOPK
+    from .ext_ann import _DUCK_VEC_N
+
+    probes_vals = ", ".join(
+        f"({q}, {v})" for q, v in retrieval.HYBRID_PROBES
+    )
+    rrf_k = retrieval.HYBRID_RRF_K
+    return f"""
+WITH lex AS ({_sql_bm25_search()}),
+n AS ({_DUCK_VEC_N}),
+probes(query_id, vec_id) AS (VALUES {probes_vals}),
+sem_scored AS (
+  SELECT p.query_id, c.vec_id AS doc_id,
+         list_sum(list_transform(range(1, 65), j -> q.e[j] * c.e[j]))
+           / (q.nrm * c.nrm) AS cosine
+  FROM probes p
+  JOIN n q ON q.vec_id = p.vec_id
+  CROSS JOIN n c
+  WHERE c.vec_id <> p.vec_id
+),
+sem AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, doc_id
+    )::BIGINT AS rank FROM sem_scored
+  ) WHERE rank <= {retrieval.HYBRID_K_EACH}
+),
+fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank
+  FROM (SELECT query_id, doc_id, rank AS lex_rank FROM lex) l
+  FULL JOIN (SELECT query_id, doc_id, rank AS sem_rank FROM sem) s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, lex_rank, sem_rank,
+         coalesce(1.0::DOUBLE / ({rrf_k} + lex_rank), 0.0::DOUBLE)
+       + coalesce(1.0::DOUBLE / ({rrf_k} + sem_rank), 0.0::DOUBLE)
+           AS rrf_score
+  FROM fused
+)
+SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+  )::BIGINT AS rank FROM scored
+) WHERE rank <= {retrieval.HYBRID_TOPK}
 """
 
 
@@ -1137,6 +1213,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dsir_score": (q_dsir_score, _sql_dsir_score()),
     "dsir_score_streaming": (q_dsir_score_streaming, _sql_dsir_score()),
     "bm25_search": (q_bm25_search, _sql_bm25_search()),
+    "hybrid_search": (q_hybrid_search, _sql_hybrid_search()),
     "bm25_route": (q_bm25_route, _sql_bm25_route()),
     "bm25_route_streaming": (q_bm25_route_streaming, _sql_bm25_route()),
     "bm25_index_roundtrip": (q_bm25_index_roundtrip, _sql_bm25_route()),

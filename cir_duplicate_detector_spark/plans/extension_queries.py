@@ -215,6 +215,7 @@ _ORDER = [
     "image_screen_streaming",
     "semantic_cells_roundtrip",
     "decon_cells_roundtrip",
+    "hybrid_search",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (
