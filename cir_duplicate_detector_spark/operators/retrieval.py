@@ -70,40 +70,39 @@ def _rrf_contrib(rank_col: str, rrf_k: int):
     )
 
 
-def hybrid_search(
-    docs: DataFrame,
-    vectors: DataFrame,
-    panel: DataFrame,
-    probes: DataFrame,
-    k_each: int = HYBRID_K_EACH,
-    topk: int = HYBRID_TOPK,
-    rrf_k: int = HYBRID_RRF_K,
-) -> DataFrame:
-    """Per-query top-``topk`` documents under RRF fusion of the BM25
-    lexical ranking (``panel``: (query_id, term) rows over ``docs``)
-    and the cosine semantic ranking (``probes``: (query_id, vec_id)
-    rows — each query's probe vector — against ``vectors``).
-
-    Output: ``(query_id, doc_id, lex_rank, sem_rank, rrf_score,
-    rank)``; ``lex_rank`` / ``sem_rank`` are NULL when that stage did
-    not rank the document within its top-``k_each``; rank by
-    (rrf_score desc, doc_id asc). Document ids and vector ids share
-    one id space (the corpus convention: embeddings.vec_id ==
-    documents.doc_id).
-    """
-    lex = bm25_search(docs, panel, topk=k_each).select(
-        "query_id", "doc_id", F.col("rank").alias("lex_rank")
-    )
+def map_probe_ranks(knn_out: DataFrame, probes: DataFrame) -> DataFrame:
+    """Map a kNN stage's output — whose ``query_id`` is the PROBE
+    vec_id — back to the panel's query_id via the (query_id, vec_id)
+    probe map, as the ``(query_id, doc_id, sem_rank)`` relation
+    :func:`rrf_fuse` consumes. The probe map is a per-query literal
+    frame, always broadcast."""
     pr = probes.select(
         F.col("query_id").alias("panel_qid"), F.col("vec_id")
     )
-    knn = knn_bruteforce(vectors, pr.select("vec_id"), k=k_each)
-    # knn's query_id IS the probe vec_id; map it back to the panel id.
-    sem = knn.join(F.broadcast(pr), knn["query_id"] == pr["vec_id"]).select(
+    return knn_out.join(
+        F.broadcast(pr), knn_out["query_id"] == pr["vec_id"]
+    ).select(
         F.col("panel_qid").alias("query_id"),
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("sem_rank"),
     )
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    sem: DataFrame,
+    topk: int = HYBRID_TOPK,
+    rrf_k: int = HYBRID_RRF_K,
+) -> DataFrame:
+    """Fuse two per-query rankings by RRF: ``lex`` carries
+    ``(query_id, doc_id, lex_rank)``, ``sem`` carries ``(query_id,
+    doc_id, sem_rank)``. Rank-only fusion — any ranking stage plugs in
+    unchanged (exact brute-force, IVF-PQ serving path, a future
+    cross-encoder re-rank), which is the point of the RRF shape.
+
+    Output: ``(query_id, doc_id, lex_rank, sem_rank, rrf_score,
+    rank)``; stage ranks are NULL where that stage did not rank the
+    document; rank by (rrf_score desc, doc_id asc)."""
     # USING-style full outer join coalesces the key columns on both
     # engines; each side is at most (queries x k_each) rows.
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer")
@@ -121,4 +120,40 @@ def hybrid_search(
             "query_id", "doc_id", "lex_rank", "sem_rank",
             "rrf_score", "rank",
         )
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    vectors: DataFrame,
+    panel: DataFrame,
+    probes: DataFrame,
+    k_each: int = HYBRID_K_EACH,
+    topk: int = HYBRID_TOPK,
+    rrf_k: int = HYBRID_RRF_K,
+) -> DataFrame:
+    """Per-query top-``topk`` documents under RRF fusion of the BM25
+    lexical ranking (``panel``: (query_id, term) rows over ``docs``)
+    and the EXACT cosine semantic ranking (``probes``: (query_id,
+    vec_id) rows — each query's probe vector — against ``vectors``).
+    The exactness baseline; the serving-scale variant swaps the
+    semantic stage only (see the registered ``hybrid_search_served``:
+    refined IVF-PQ from the persisted index through the same
+    :func:`rrf_fuse`).
+
+    Output: ``(query_id, doc_id, lex_rank, sem_rank, rrf_score,
+    rank)``; ``lex_rank`` / ``sem_rank`` are NULL when that stage did
+    not rank the document within its top-``k_each``; rank by
+    (rrf_score desc, doc_id asc). Document ids and vector ids share
+    one id space (the corpus convention: embeddings.vec_id ==
+    documents.doc_id).
+    """
+    lex = bm25_search(docs, panel, topk=k_each).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    knn = knn_bruteforce(
+        vectors, probes.select("vec_id"), k=k_each
+    )
+    return rrf_fuse(
+        lex, map_probe_ranks(knn, probes), topk=topk, rrf_k=rrf_k
     )

@@ -99,12 +99,14 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " registration only (persisted-cells serving twin of"
     " decontaminate_semantic, completing VERDICT r10 item 5; new"
     " query leads the rotation as never-verified) plus NEW"
-    " hybrid_search registration (RRF fusion of bm25_search and"
-    " cosine top-k — new query, leads the rotation); no existing"
-    " query touched",
-    f"{_PKG}/operators/retrieval.py": "NEW module: hybrid_search —"
-    " BM25 lexical + cosine semantic rankings fused by reciprocal-"
-    "rank fusion (new query family); touches no existing operator",
+    " hybrid_search / hybrid_search_served registrations (RRF fusion"
+    " of bm25_search and a semantic top-k — exact brute-force and"
+    " persisted-IVF-PQ serving variants; new queries, lead the"
+    " rotation); no existing query touched",
+    f"{_PKG}/operators/retrieval.py": "NEW module: rrf_fuse /"
+    " map_probe_ranks / hybrid_search — BM25 lexical + cosine"
+    " semantic rankings fused by reciprocal-rank fusion (new query"
+    " family); touches no existing operator",
     f"{_PKG}/operators/pq.py": "packed ADC scoring (VERDICT r10 item"
     " 1): the index stores M-slot code arrays, per-(query, cell)"
     " lookup tables come from transform over the broadcast packed"

@@ -310,6 +310,95 @@ SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score, rank FROM (
 """
 
 
+def q_hybrid_search_served(spark, sf_dir):
+    """Hybrid retrieval ON THE SERVING PATH: the same RRF fusion as
+    `hybrid_search`, with the semantic stage swapped from exact
+    brute-force to the production two-stage ANN — refined IVF-PQ
+    (`pq.knn_ivf_pq_from_index` + `pq.pq_refine`) served from the
+    family-shared PERSISTED index (`_shared_ivfpq_index`: parquet-
+    backed, corpus vectors touched only by the refine stage's
+    refine·|probes| rows). Proves the claim `hybrid_search` makes in
+    prose: rank-only fusion means the ANN serving path plugs into
+    `retrieval.rrf_fuse` without touching the fusion plan — fused
+    retrieval runs end to end from on-disk index artifacts."""
+    from ..operators import pq
+    from .ext_ann import PQ_REFINE, _shared_ivfpq_index
+
+    panel = spark.createDataFrame(
+        textops.BM25_PANEL, "query_id bigint, term string"
+    )
+    probes = spark.createDataFrame(
+        retrieval.HYBRID_PROBES, "query_id bigint, vec_id bigint"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = textops.bm25_search(
+        docs, panel, topk=retrieval.HYBRID_K_EACH
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    short = pq.knn_ivf_pq_from_index(
+        _shared_ivfpq_index(spark, sf_dir),
+        emb,
+        probes.select("vec_id"),
+        k=PQ_REFINE,
+    )
+    sem = retrieval.map_probe_ranks(
+        pq.pq_refine(emb, short, k=retrieval.HYBRID_K_EACH), probes
+    )
+    return retrieval.rrf_fuse(lex, sem)
+
+
+def _sql_hybrid_search_served() -> str:
+    # Lexical CTE = the bm25_search oracle verbatim; semantic CTEs =
+    # the knn_ivf_pq_refined oracle chain verbatim (probe relation
+    # parametrized to the hybrid probe vectors), so the served hybrid
+    # is oracle-locked to exactly the stages it composes.
+    from .ext_ann import PQ_REFINE, _sql_ivf_pq_chain, _sql_refined
+
+    probe_ids = ", ".join(str(v) for _, v in retrieval.HYBRID_PROBES)
+    probes_vals = ", ".join(
+        f"({q}, {v})" for q, v in retrieval.HYBRID_PROBES
+    )
+    rrf_k = retrieval.HYBRID_RRF_K
+    chain = _sql_ivf_pq_chain(
+        probes_body=(
+            "SELECT vec_id AS query_id, e FROM n"
+            f" WHERE vec_id IN ({probe_ids})"
+        ),
+        topk=PQ_REFINE,
+    )
+    return f"""
+WITH lex AS ({_sql_bm25_search()}),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+{chain}
+{_sql_refined(retrieval.HYBRID_K_EACH)},
+probemap(query_id, vec_id) AS (VALUES {probes_vals}),
+sem AS (
+  SELECT pm.query_id, r.neighbor_id AS doc_id, r.rank AS sem_rank
+  FROM refined r JOIN probemap pm ON r.query_id = pm.vec_id
+),
+fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank
+  FROM (SELECT query_id, doc_id, rank AS lex_rank FROM lex) l
+  FULL JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, lex_rank, sem_rank,
+         coalesce(1.0::DOUBLE / ({rrf_k} + lex_rank), 0.0::DOUBLE)
+       + coalesce(1.0::DOUBLE / ({rrf_k} + sem_rank), 0.0::DOUBLE)
+           AS rrf_score
+  FROM fused
+)
+SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+  )::BIGINT AS rank FROM scored
+) WHERE rank <= {retrieval.HYBRID_TOPK}
+"""
+
+
 def q_bm25_route(spark, sf_dir):
     """BM25 percolation, batch form (`textops.bm25_route`): the fixed
     term panel STANDS as queries and documents arrive — the crawl-side
@@ -1214,6 +1303,10 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "dsir_score_streaming": (q_dsir_score_streaming, _sql_dsir_score()),
     "bm25_search": (q_bm25_search, _sql_bm25_search()),
     "hybrid_search": (q_hybrid_search, _sql_hybrid_search()),
+    "hybrid_search_served": (
+        q_hybrid_search_served,
+        _sql_hybrid_search_served(),
+    ),
     "bm25_route": (q_bm25_route, _sql_bm25_route()),
     "bm25_route_streaming": (q_bm25_route_streaming, _sql_bm25_route()),
     "bm25_index_roundtrip": (q_bm25_index_roundtrip, _sql_bm25_route()),

@@ -216,6 +216,7 @@ _ORDER = [
     "semantic_cells_roundtrip",
     "decon_cells_roundtrip",
     "hybrid_search",
+    "hybrid_search_served",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (

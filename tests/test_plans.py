@@ -595,6 +595,19 @@ def test_quality_classifier_learned_scoring_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_hybrid_fusion_inputs_are_bounded_ranked_lists(spark):
+    # The fusion layer must consume only the two per-query top-k
+    # ranked lists: both sides of the full-outer fusion join sit above
+    # a rank<=k window filter (lex, sem, plus the fused re-rank = 3
+    # row_number windows), and the semantic stage streams the corpus
+    # against the BROADCAST probe set — the corpus is never on the
+    # build side of anything.
+    plan = _plan(spark, "hybrid_search")
+    assert "FullOuter" in plan
+    assert plan.count("row_number()") >= 3
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_round_edits_are_declared():
     # The driver's 50-query correctness window orders by staleness plus
     # the hand-kept _PLAN_CHANGED list; the failure mode is an edit
