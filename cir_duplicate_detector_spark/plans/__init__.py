@@ -99,10 +99,11 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " registration only (persisted-cells serving twin of"
     " decontaminate_semantic, completing VERDICT r10 item 5; new"
     " query leads the rotation as never-verified) plus NEW"
-    " hybrid_search / hybrid_search_served registrations (RRF fusion"
-    " of bm25_search and a semantic top-k — exact brute-force and"
-    " persisted-IVF-PQ serving variants; new queries, lead the"
-    " rotation); no existing query touched",
+    " hybrid_search / hybrid_search_served / hybrid_recall"
+    " registrations (RRF fusion of bm25_search and a semantic top-k —"
+    " exact brute-force and persisted-IVF-PQ serving variants, plus"
+    " the served-vs-exact fused-ranking recall diagnostic; new"
+    " queries, lead the rotation); no existing query touched",
     f"{_PKG}/operators/retrieval.py": "NEW module: rrf_fuse /"
     " map_probe_ranks / hybrid_search — BM25 lexical + cosine"
     " semantic rankings fused by reciprocal-rank fusion (new query"

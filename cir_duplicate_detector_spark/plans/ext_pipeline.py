@@ -399,6 +399,105 @@ SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score, rank FROM (
 """
 
 
+def q_hybrid_recall(spark, sf_dir):
+    """Recall of the SERVED hybrid vs the exact hybrid, per query —
+    the self-measuring-diagnostic discipline (`pq_recall`,
+    `ann_recall_*`, `minhash_recall`, `semantic_recall_learned`)
+    applied to the new family: `hybrid_search_served`'s only
+    approximation is its IVF-PQ semantic stage, and this row measures
+    what that approximation costs THE FUSED RANKING (which is what a
+    user consumes — per-stage recall rows already exist). recall =
+    |exact top-10 ∩ served top-10| / |exact top-10|, one division of
+    exact integers.
+
+    The lexical stage is IDENTICAL in both variants (only the semantic
+    stage differs), so it is built and materialized ONCE here — the
+    diagnostic still measures exactly the registered compositions
+    (`retrieval.rrf_fuse` over the same stage outputs), without paying
+    the BM25 pipeline twice."""
+    from ..cache import materialize
+    from ..operators import pq
+    from .ext_ann import PQ_REFINE, _shared_ivfpq_index
+
+    panel = spark.createDataFrame(
+        textops.BM25_PANEL, "query_id bigint, term string"
+    )
+    probes = spark.createDataFrame(
+        retrieval.HYBRID_PROBES, "query_id bigint, vec_id bigint"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = materialize(
+        textops.bm25_search(
+            docs, panel, topk=retrieval.HYBRID_K_EACH
+        ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    )
+    sem_exact = retrieval.map_probe_ranks(
+        similarity.knn_bruteforce(
+            emb, probes.select("vec_id"), k=retrieval.HYBRID_K_EACH
+        ),
+        probes,
+    )
+    short = pq.knn_ivf_pq_from_index(
+        _shared_ivfpq_index(spark, sf_dir),
+        emb,
+        probes.select("vec_id"),
+        k=PQ_REFINE,
+    )
+    sem_served = retrieval.map_probe_ranks(
+        pq.pq_refine(emb, short, k=retrieval.HYBRID_K_EACH), probes
+    )
+    exact = retrieval.rrf_fuse(lex, sem_exact).select(
+        "query_id", "doc_id"
+    )
+    served = retrieval.rrf_fuse(lex, sem_served).select(
+        "query_id", "doc_id"
+    )
+    ex = exact.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    hit = (
+        exact.join(served, ["query_id", "doc_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        ex.join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias(
+                "n_hit"
+            ),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint"))
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+
+
+def _sql_hybrid_recall() -> str:
+    # Both hybrid oracles embed as scoped nested-WITH CTEs, so the
+    # diagnostic measures exactly the two registered queries.
+    return f"""
+WITH exact_h AS ({_sql_hybrid_search()}),
+served_h AS ({_sql_hybrid_search_served()}),
+ex AS (
+  SELECT query_id, count(*)::BIGINT AS n_exact FROM exact_h GROUP BY 1
+),
+hit AS (
+  SELECT e.query_id, count(*)::BIGINT AS n_hit
+  FROM exact_h e JOIN served_h s USING (query_id, doc_id)
+  GROUP BY 1
+)
+SELECT ex.query_id, ex.n_exact,
+       coalesce(hit.n_hit, 0)::BIGINT AS n_hit,
+       coalesce(hit.n_hit, 0)::DOUBLE / ex.n_exact AS recall
+FROM ex LEFT JOIN hit USING (query_id)
+"""
+
+
 def q_bm25_route(spark, sf_dir):
     """BM25 percolation, batch form (`textops.bm25_route`): the fixed
     term panel STANDS as queries and documents arrive — the crawl-side
@@ -1307,6 +1406,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
         q_hybrid_search_served,
         _sql_hybrid_search_served(),
     ),
+    "hybrid_recall": (q_hybrid_recall, _sql_hybrid_recall()),
     "bm25_route": (q_bm25_route, _sql_bm25_route()),
     "bm25_route_streaming": (q_bm25_route_streaming, _sql_bm25_route()),
     "bm25_index_roundtrip": (q_bm25_index_roundtrip, _sql_bm25_route()),

@@ -217,6 +217,7 @@ _ORDER = [
     "decon_cells_roundtrip",
     "hybrid_search",
     "hybrid_search_served",
+    "hybrid_recall",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (
