@@ -71,6 +71,24 @@ def test_hybrid_rrf_fusion_semantics(spark):
     assert both.rrf_score > sem_only.rrf_score
 
 
+def test_hybrid_fused_recall_floor(spark):
+    # The served hybrid's only approximation is its IVF-PQ semantic
+    # stage; the fused ranking must stay close to the exact hybrid
+    # (the test_ann_recall floor discipline — a refactor that hollows
+    # out the probe map, the index serving path, or the fusion join
+    # collapses this to ~0, not to 0.7). Measured: 1.0 per panel query
+    # at sf0.001, 0.9 at sf0.1.
+    from cir_duplicate_detector_spark.plans import ALL_QUERIES
+
+    rows = ALL_QUERIES["hybrid_recall"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 4  # one row per panel query
+    for r in rows:
+        assert r.n_exact == 10
+        assert r.recall >= 0.7, (r.query_id, r.recall)
+
+
 def test_hybrid_topk_bound_and_tiebreak(spark):
     docs, vectors, panel, probes = _tiny(spark)
     out = retrieval.hybrid_search(
