@@ -410,47 +410,14 @@ def q_hybrid_recall(spark, sf_dir):
     |exact top-10 ∩ served top-10| / |exact top-10|, one division of
     exact integers.
 
-    The lexical stage is IDENTICAL in both variants (only the semantic
-    stage differs), so it is built and materialized ONCE here — the
-    diagnostic still measures exactly the registered compositions
-    (`retrieval.rrf_fuse` over the same stage outputs), without paying
-    the BM25 pipeline twice."""
-    from ..cache import materialize
-    from ..operators import pq
-    from .ext_ann import PQ_REFINE, _shared_ivfpq_index
-
-    panel = spark.createDataFrame(
-        textops.BM25_PANEL, "query_id bigint, term string"
-    )
-    probes = spark.createDataFrame(
-        retrieval.HYBRID_PROBES, "query_id bigint, vec_id bigint"
-    )
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    lex = materialize(
-        textops.bm25_search(
-            docs, panel, topk=retrieval.HYBRID_K_EACH
-        ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
-    )
-    sem_exact = retrieval.map_probe_ranks(
-        similarity.knn_bruteforce(
-            emb, probes.select("vec_id"), k=retrieval.HYBRID_K_EACH
-        ),
-        probes,
-    )
-    short = pq.knn_ivf_pq_from_index(
-        _shared_ivfpq_index(spark, sf_dir),
-        emb,
-        probes.select("vec_id"),
-        k=PQ_REFINE,
-    )
-    sem_served = retrieval.map_probe_ranks(
-        pq.pq_refine(emb, short, k=retrieval.HYBRID_K_EACH), probes
-    )
-    exact = retrieval.rrf_fuse(lex, sem_exact).select(
-        "query_id", "doc_id"
-    )
-    served = retrieval.rrf_fuse(lex, sem_served).select(
+    Built by CALLING the two registered query functions, so the
+    diagnostic measures exactly what ships BY CONSTRUCTION — an edit
+    to either hybrid variant propagates here automatically (the
+    `pq_recall`/`_sql_refined` sharing stance). The lexical stage is
+    therefore computed on both sides; measured cost of that honesty:
+    ~0.3 s at sf0.1."""
+    exact = q_hybrid_search(spark, sf_dir).select("query_id", "doc_id")
+    served = q_hybrid_search_served(spark, sf_dir).select(
         "query_id", "doc_id"
     )
     ex = exact.groupBy("query_id").agg(

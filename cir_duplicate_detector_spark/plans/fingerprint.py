@@ -36,7 +36,11 @@ import hashlib
 import re
 
 _EXPR_ID = re.compile(r"#\d+")
-_GEN_NAME = re.compile(r"\b([A-Za-z]\w*?)_\d+\b")
+# Generated-name counters, ANCHORED to the forms Spark actually emits
+# (a blanket `\w*?_\d+` would also collapse a user's foo_1 -> foo_2
+# column rename — a REAL plan change — into the same canonical text):
+# single-letter higher-order-function lambda variables (x_2, y_14).
+_GEN_NAME = re.compile(r"\b([A-Za-z])_\d+\b")
 # memory-sink view names get a random hex suffix (stream_sess_6f4fcd6b)
 _HEX_NAME = re.compile(r"\b([A-Za-z]\w*?)_[0-9a-f]{8,}\b")
 _TMP_PATH = re.compile(r"/tmp/[\w/.+=-]+")

@@ -43,6 +43,9 @@ def main() -> None:
     else:
         rnd = (_latest_tracked_round(Path(REPO)) or 0) + 1
     names = sys.argv[2:] or list(ALL_QUERIES)
+    unknown = [n for n in names if n not in ALL_QUERIES]
+    if unknown:  # fail fast, before any session pays a sweep
+        sys.exit(f"unknown query name(s): {unknown}")
 
     runs: list[dict[str, str]] = []
     for i in range(2):
@@ -74,6 +77,12 @@ def main() -> None:
     for name in names:
         a, b = runs[0][name], runs[1][name]
         merged[name] = a if a == b else f"VOLATILE:{a}:{b}"
+    # A FULL sweep defines the artifact completely: prune fingerprints
+    # of queries no longer registered, or a renamed/removed query's
+    # ghost entry would ride every later artifact and skew the
+    # cross-round lint's record.
+    if not sys.argv[2:]:
+        merged = {n: v for n, v in merged.items() if n in ALL_QUERIES}
 
     with open(out_path, "w") as f:
         json.dump(

@@ -811,6 +811,24 @@ def _tracked_plans_artifacts():
     return arts
 
 
+def test_canonicalizer_keeps_user_counter_names():
+    # Session-generated tokens normalize (lambda vars x_2, hex-suffixed
+    # sink views, expression ids), but a USER identifier ending in
+    # _<digits> is plan-bearing: renaming foo_1 -> foo_2 must CHANGE
+    # the canonical text — a blanket `\w*_\d+` collapse would vouch
+    # "plan unchanged" for a real rename (round-11 review finding).
+    from cir_duplicate_detector_spark.plans import fingerprint as fp
+
+    norm = fp._GEN_NAME.sub(r"\1_", "lambda x_2: foo_1 + band_3")
+    assert "x_" in norm and "x_2" not in norm
+    assert "foo_1" in norm and "band_3" in norm
+    a = fp._EXPR_ID.sub("#", "col_a#12 AS foo_1#34")
+    b = fp._EXPR_ID.sub("#", "col_a#99 AS foo_1#7")
+    assert a == b  # expression ids normalize
+    hx = fp._HEX_NAME.sub(r"\1_", "view stream_sess_6f4fcd6bdead")
+    assert "6f4fcd6b" not in hx
+
+
 def test_fingerprint_lint_catches_mutation():
     # The pure diff rule, exercised with a deliberately-mutated query:
     # a changed fingerprint without a _PLAN_CHANGED entry is a
