@@ -89,8 +89,8 @@ def main() -> None:
             {
                 "round": rnd,
                 "sf_dir": SF_DIR,
-                "canon": "analyzed plan; #ids, name_<digits>, /tmp"
-                " paths, @objhash normalized"
+                "canon": "analyzed plan; #ids, lambda x_<digits>,"
+                " hex-suffixed names, /tmp paths, @objhash normalized"
                 " (plans/fingerprint.canonical_plan)",
                 "fingerprints": dict(sorted(merged.items())),
             },
