@@ -104,6 +104,13 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " exact brute-force and persisted-IVF-PQ serving variants, plus"
     " the served-vs-exact fused-ranking recall diagnostic; new"
     " queries, lead the rotation); no existing query touched",
+    f"{_PKG}/plans/ext_analytics.py": "corpus_bucketed_join staging"
+    " tag made hex (md5 of the unique mkdtemp dir) so the salted"
+    " catalog names normalize under the plan canonicalizer —"
+    " PLAN-ONLY naming change, per-invocation isolation preserved,"
+    " results identical (oracle green); the query's fingerprint goes"
+    " VOLATILE -> stable, closing the registry's last unlintable"
+    " entry",
     f"{_PKG}/operators/retrieval.py": "NEW module: rrf_fuse /"
     " map_probe_ranks / hybrid_search — BM25 lexical + cosine"
     " semantic rankings fused by reciprocal-rank fusion (new query"

@@ -1350,7 +1350,13 @@ def q_corpus_bucketed_join(spark, sf_dir):
     # directory (the lsh/ivf/bm25 index round-trip idiom), and the
     # dir's unique suffix salts the catalog table names the same way.
     stage = tempfile.mkdtemp(prefix="corpus_bucketed_")
-    tag = os.path.basename(stage).removeprefix("corpus_bucketed_")
+    # Hex tag derived from the unique staging dir: same per-invocation
+    # isolation, but a [0-9a-f] suffix the plan canonicalizer's
+    # hex-name rule normalizes — mkdtemp's raw suffix mixes in [g-z_]
+    # and left this query's fingerprint VOLATILE (unlintable).
+    import hashlib as _hl
+
+    tag = _hl.md5(stage.encode()).hexdigest()[:12]
     tables = {f"corpus_docs_bkt_{tag}": left,
               f"corpus_shingles_bkt_{tag}": right}
     for name, df in tables.items():
