@@ -60,6 +60,8 @@ _PLAN_CHANGED: list[str] = [
     "knn_ivf_pq",
     "knn_ivf_pq_refined",
     "pq_recall",
+    # hex staging tag (VOLATILE -> stable fingerprint); plan-only
+    "corpus_bucketed_join",
 ]
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
