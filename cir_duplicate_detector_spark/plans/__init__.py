@@ -62,6 +62,25 @@ _PLAN_CHANGED: list[str] = [
     "pq_recall",
     # hex staging tag (VOLATILE -> stable fingerprint); plan-only
     "corpus_bucketed_join",
+    # family-shared parquet-backed shingle inverted index (the
+    # _shared_ivfpq_index posture applied to the exact-Jaccard /
+    # containment family): plans now scan the persisted index instead
+    # of re-running the shingle explode + df-cap tree per reference.
+    # Deterministic build -> identical results; re-verify regardless.
+    "dedup_ngram_jaccard",
+    "doc_topk_similar",
+    "dedup_containment",
+    # truth-side restructure: per-row set sizes from the shingle
+    # arrays (no explode+groupBy shuffle) and probe filter BEFORE the
+    # explode — same uncapped shingle universe, same truth set.
+    "minhash_recall",
+    # family-shared persisted MinHash+connected-components label table
+    # (each previously re-ran the identical closure; deterministic
+    # build -> identical results).
+    "dup_clusters",
+    "cluster_representatives",
+    "dup_weighting",
+    "dataset_split",
 ]
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
@@ -125,6 +144,19 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " adc_dist is bit-equal (knn_ivf_pq/_refined/pq_recall parity"
     " re-run green, index-roundtrip identity test green); 10x growth"
     " 7.65x -> 1.53x",
+    f"{_PKG}/plans/ext_dedup.py": (
+        "dedup_ngram_jaccard",
+        "doc_topk_similar",
+        "dedup_containment",
+        "minhash_recall",
+        "dup_clusters",
+        "cluster_representatives",
+        "dup_weighting",
+    ),  # family-shared parquet-backed shingle index + dup-label table +
+    # recall truth-side restructure (see _PLAN_CHANGED)
+    f"{_PKG}/plans/ext_text.py": (
+        "dataset_split",
+    ),  # dataset_split serves from the shared dup-label table
 }
 
 

@@ -508,12 +508,10 @@ def q_dataset_split(spark, sf_dir):
     across runs, engines, and partitionings (unlike randomSplit).
     """
     from ..functions.text import hash60
+    from .ext_dedup import _shared_dup_labels
 
     docs = _docs_nd(spark, sf_dir)
-    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5).select(
-        "a", "b"
-    )
-    cc = dedup.connected_components(pairs, check_every=2)  # duplicate graphs converge in 2-3 rounds; halve the count jobs
+    cc = _shared_dup_labels(spark, sf_dir)
     members = cc.select(
         F.col("node").alias("doc_id"), F.col("label").alias("gid")
     )
