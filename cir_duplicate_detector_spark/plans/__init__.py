@@ -105,8 +105,8 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     f"{_PKG}/streaming/windows.py": "NEW streaming_image_screen twin"
     " only; no existing streaming result touched",
     f"{_PKG}/plans/ext_multimodal.py": "NEW image_screen (+streaming"
-    " twin) registrations only (new queries lead the rotation as"
-    " never-verified); no existing query touched",
+    " twin) and image_index_roundtrip registrations only (new queries"
+    " lead the rotation as never-verified); no existing query touched",
     f"{_PKG}/plans/extension_queries.py": "round-11 _ORDER additions"
     " for the new registrations only; no existing query touched",
     f"{_PKG}/plans/fingerprint.py": "NEW module: canonical logical-"

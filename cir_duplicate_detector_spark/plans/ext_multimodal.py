@@ -490,6 +490,37 @@ def q_image_screen(spark, sf_dir):
     )
 
 
+def q_image_index_roundtrip(spark, sf_dir):
+    """The image band index AS A PERSISTED INDEX — completing the
+    persisted-index story for the image family (IVF, LSH bands, Bloom,
+    BM25 stats, semantic/decon cells all have round-trip rows): build
+    the existing split's distinct ahash ``(band_id, band_key)``
+    relation (`multimodal.image_band_index` — two small deterministic
+    string/int columns, lossless on parquet), WRITE it to parquet, READ
+    it back, and screen the incoming split purely from the on-disk
+    relation (`multimodal.image_screen_from_index`). Proof the image
+    membership gate is DATA, not session state: a crawl fleet builds
+    the index once per wave and every later admission job probes
+    parquet. Output identical to `image_screen` (round-trip identity) —
+    one oracle string by the registry guard."""
+    import tempfile
+
+    from ..sources.derived import BLOOM_SPLIT_SPARK
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = multimodal.image_band_index(
+        _ppm_media(docs.where(F.expr(BLOOM_SPLIT_SPARK) == 0))
+    )
+    d = tempfile.mkdtemp(prefix="image_index_")
+    idx.write.mode("overwrite").parquet(f"{d}/bands")
+    return multimodal.image_screen_from_index(
+        spark.read.parquet(f"{d}/bands"),
+        _ppm_media(docs.where(F.expr(BLOOM_SPLIT_SPARK) == 1)),
+        index_is_distinct=True,
+    )
+
+
 def q_image_screen_streaming(spark, sf_dir):
     """`streaming.windows.streaming_image_screen`: the same screen
     with the incoming split arriving on a file stream — per-row
@@ -567,4 +598,5 @@ MULTIMODAL_QUERIES: dict[str, tuple] = {
     ),
     "image_screen": (q_image_screen, SQL_IMAGE_SCREEN),
     "image_screen_streaming": (q_image_screen_streaming, SQL_IMAGE_SCREEN),
+    "image_index_roundtrip": (q_image_index_roundtrip, SQL_IMAGE_SCREEN),
 }

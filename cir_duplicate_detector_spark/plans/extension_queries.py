@@ -218,6 +218,7 @@ _ORDER = [
     "hybrid_search",
     "hybrid_search_served",
     "hybrid_recall",
+    "image_index_roundtrip",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (

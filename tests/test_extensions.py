@@ -468,6 +468,53 @@ def test_ivf_pq_index_roundtrip_identical(spark, tmp_path):
     assert rows(composed) == rows(direct)
 
 
+def test_image_index_roundtrip_identical(spark, tmp_path):
+    # The persisted ahash band index must answer EXACTLY like the
+    # in-session build — the soundness claim behind the registered
+    # image_index_roundtrip identity guard (and copies must hit, fresh
+    # rasters may legitimately miss).
+    def media(rows):
+        return spark.createDataFrame(
+            [
+                (i, multimodal.PPM_MEDIA_TYPE, bytearray(p), len(p))
+                for i, p in rows
+            ],
+            "doc_id long, media_type string, payload binary, n_bytes long",
+        )
+
+    def raster(seed):
+        return _ppm(
+            8, 8, [((seed * (i + 3)) % 256,) * 3 for i in range(64)]
+        )
+
+    existing = media([(i, raster(i + 1)) for i in range(12)])
+    incoming = media(
+        [(100 + i, raster(i + 1)) for i in range(6)]  # exact copies
+        + [(200 + i, raster(97 + i)) for i in range(6)]  # fresh
+    )
+    idx = multimodal.image_band_index(existing)
+    direct = multimodal.image_screen_from_index(
+        idx, incoming, index_is_distinct=True
+    ).collect()
+    idx.write.parquet(str(tmp_path / "bands"))
+    served = multimodal.image_screen_from_index(
+        spark.read.parquet(str(tmp_path / "bands")),
+        incoming,
+        index_is_distinct=True,
+    ).collect()
+
+    def rows(rs):
+        return sorted((r.doc_id, r.n_bands_hit, r.img_hit) for r in rs)
+
+    assert rows(direct) == rows(served)
+    by_id = {r.doc_id: r for r in direct}
+    for i in range(6):  # every exact copy hits all 8 bands
+        assert by_id[100 + i].n_bands_hit == 8 and by_id[100 + i].img_hit
+    # And the composed image_screen agrees too.
+    composed = multimodal.image_screen(existing, incoming).collect()
+    assert rows(composed) == rows(direct)
+
+
 def test_retention_cohorts_ages_and_sizes(spark):
     DAY = events.DAY_US
     rows = [
