@@ -229,6 +229,7 @@ def kmeans_ivf_assign(
     sample_mod: int = KM_IVF_SAMPLE_MOD,
     fine_mod: int = KM_IVF_FINE_MOD,
     vec_col: str = "embedding",
+    coarse: DataFrame | None = None,
 ) -> DataFrame:
     """Two-level quantizer assignment — the kmeans→IVF composition the
     module docstring promises for k beyond the broadcast ceiling (~10^5
@@ -261,18 +262,24 @@ def kmeans_ivf_assign(
     the fixed-granularity trap `similarity.sqrt_centroid_mod`
     documents (re-measured this round: 8× time at 10× data with k=8 on
     the search twin).
+
+    ``coarse`` (optional) supplies a prebuilt ``(coarse, c)`` centroid
+    table — e.g. read back from parquet — and skips the sample-Lloyd
+    learn entirely; parquet doubles round-trip exactly, so assignments
+    are identical to an in-session build with the same parameters.
     """
     from ..cache import materialize
 
     e = embs.select(
         "vec_id", F.col(vec_col).cast("array<double>").alias("e")
     )
-    sample = embs.where(F.col("vec_id") % sample_mod == 0)
-    if k is None:
-        k = sqrt_sample_k(sample)
-    coarse = kmeans_centroids(sample, k, iters, vec_col).select(
-        F.col("cluster").alias("coarse"), "c"
-    )
+    if coarse is None:
+        sample = embs.where(F.col("vec_id") % sample_mod == 0)
+        if k is None:
+            k = sqrt_sample_k(sample)
+        coarse = kmeans_centroids(sample, k, iters, vec_col).select(
+            F.col("cluster").alias("coarse"), "c"
+        )
     # Both fine-stage branches (the fine-centroid table and the probe
     # side of the bucketed join) consume the coarse assignment;
     # materialize it once or the whole sample-Lloyd + scoring subplan

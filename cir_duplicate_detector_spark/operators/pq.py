@@ -589,6 +589,7 @@ def build_ivf_pq_index(
     coarse_iters: int | None = None,
     sample_mod: int | None = None,
     cb_train_mod: int | None = None,
+    coarse_cents: "DataFrame | None" = None,
 ) -> IvfPqIndex:
     """Index-build phase of :func:`knn_ivf_pq` (see its docstring for
     the full recipe): learn the coarse quantizer, assign cells, form
@@ -596,7 +597,10 @@ def build_ivf_pq_index(
     Split out so diagnostic families can build ONCE and serve several
     probe-phase queries from the same index (VERDICT r9 item 2 — the
     three `knn_ivf_pq`-family queries each re-learned ~8 s of identical
-    quantizer before this)."""
+    quantizer before this). ``coarse_cents`` (optional) supplies a
+    prebuilt ``(coarse, c)`` centroid table — e.g. the family-shared
+    persisted build — and skips the coarse Lloyd learn; parquet doubles
+    round-trip exactly, so cells/residuals/codes are identical."""
     from ..cache import materialize
     from .kmeans import (
         KM_ITERS,
@@ -610,14 +614,17 @@ def build_ivf_pq_index(
     e = vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    sample = vectors.where(F.col("vec_id") % smod == 0)
-    cents = materialize(
-        kmeans_centroids(
-            sample,
-            k=sqrt_sample_k(sample) if coarse_k is None else coarse_k,
-            iters=KM_ITERS if coarse_iters is None else coarse_iters,
-        ).select(F.col("cluster").alias("coarse"), "c")
-    )
+    if coarse_cents is not None:
+        cents = coarse_cents.select("coarse", "c")
+    else:
+        sample = vectors.where(F.col("vec_id") % smod == 0)
+        cents = materialize(
+            kmeans_centroids(
+                sample,
+                k=sqrt_sample_k(sample) if coarse_k is None else coarse_k,
+                iters=KM_ITERS if coarse_iters is None else coarse_iters,
+            ).select(F.col("cluster").alias("coarse"), "c")
+        )
     assigned = materialize(
         e.crossJoin(F.broadcast(cents))
         .select(

@@ -367,6 +367,7 @@ def knn_ivf_learned(
     iters: int | None = None,
     sample_mod: int | None = None,
     nprobe: int = 3,
+    centroids: "DataFrame | None" = None,
 ) -> DataFrame:
     """:func:`knn_ivf` with LEARNED centroids — the upgrade its
     docstring defers ("a real deployment would k-means them"):
@@ -376,7 +377,13 @@ def knn_ivf_learned(
     so the oracle stays value-hash exact), then the identical
     :func:`_ivf_search` probe path runs. Centroid selection is the only
     difference; the join shape — broadcast centroid scoring, argmax
-    member assignment, ``cid`` equi-join probe — is shared code."""
+    member assignment, ``cid`` equi-join probe — is shared code.
+
+    ``centroids`` (optional) supplies a prebuilt ``(cluster, c)``
+    table — e.g. read back from parquet — and skips the sample-Lloyd
+    learn; parquet doubles round-trip exactly, so the inverted lists
+    (and therefore the search result) are identical to an in-session
+    build with the same parameters."""
     from .kmeans import (
         KM_ITERS,
         KM_IVF_SAMPLE_MOD,
@@ -384,17 +391,20 @@ def knn_ivf_learned(
         sqrt_sample_k,
     )
 
-    smod = KM_IVF_SAMPLE_MOD if sample_mod is None else sample_mod
-    sample = vectors.where(F.col("vec_id") % smod == 0)
-    # √-scaled coarse k by default (one eager count; pass coarse_k to
-    # stay lazy): with a FIXED k, inverted lists grow linearly with the
-    # corpus and the probe re-rank turns quadratic — measured 8× time
-    # at 10× data with k=8 before this default.
-    cents = kmeans_centroids(
-        sample,
-        k=sqrt_sample_k(sample) if coarse_k is None else coarse_k,
-        iters=KM_ITERS if iters is None else iters,
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        smod = KM_IVF_SAMPLE_MOD if sample_mod is None else sample_mod
+        sample = vectors.where(F.col("vec_id") % smod == 0)
+        # √-scaled coarse k by default (one eager count; pass coarse_k
+        # to stay lazy): with a FIXED k, inverted lists grow linearly
+        # with the corpus and the probe re-rank turns quadratic —
+        # measured 8× time at 10× data with k=8 before this default.
+        cents = kmeans_centroids(
+            sample,
+            k=sqrt_sample_k(sample) if coarse_k is None else coarse_k,
+            iters=KM_ITERS if iters is None else iters,
+        )
     cent = cents.select(
         F.col("cluster").alias("cid"),
         F.col("c").alias("c_emb"),

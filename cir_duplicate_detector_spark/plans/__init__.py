@@ -81,6 +81,11 @@ _PLAN_CHANGED: list[str] = [
     "cluster_representatives",
     "dup_weighting",
     "dataset_split",
+    # family-shared persisted coarse-centroid table (kmeans_ivf_assign
+    # / knn_ivf_learned / build_ivf_pq_index each learned an identical
+    # sample-Lloyd quantizer; parquet doubles round-trip exactly).
+    "kmeans_ivf_assign",
+    "knn_cosine_ivf_learned",
 ]
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
@@ -112,10 +117,14 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     f"{_PKG}/plans/fingerprint.py": "NEW module: canonical logical-"
     "plan fingerprints + the pure diff rule consumed by the"
     " fingerprint lint (VERDICT r10 item 2); no query touched",
-    f"{_PKG}/plans/ext_ann.py": "NEW semantic_cells_roundtrip"
-    " registration only (persisted-cells serving twin of"
-    " semantic_dedup_learned, VERDICT r10 item 5; new query leads the"
-    " rotation as never-verified); no existing query touched",
+    f"{_PKG}/plans/ext_ann.py": (
+        "kmeans_ivf_assign",
+        "knn_cosine_ivf_learned",
+    ),  # NEW semantic_cells_roundtrip registration (r11 item 5, new
+    # query) + family-shared persisted coarse-centroid table serving
+    # kmeans_ivf_assign / knn_cosine_ivf_learned / the IVF-PQ build
+    # (see _PLAN_CHANGED; IVF-PQ probe plans scan the persisted index
+    # either way and their family is already queued)
     f"{_PKG}/plans/ext_pipeline.py": "NEW decon_cells_roundtrip"
     " registration only (persisted-cells serving twin of"
     " decontaminate_semantic, completing VERDICT r10 item 5; new"
@@ -136,6 +145,13 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " map_probe_ranks / hybrid_search — BM25 lexical + cosine"
     " semantic rankings fused by reciprocal-rank fusion (new query"
     " family); touches no existing operator",
+    f"{_PKG}/operators/kmeans.py": "kmeans_ivf_assign grew an optional"
+    " prebuilt-coarse parameter (skips the sample-Lloyd learn when the"
+    " family-shared persisted table is supplied); default path"
+    " untouched, identity pinned by unit test",
+    f"{_PKG}/operators/similarity.py": "knn_ivf_learned grew an"
+    " optional prebuilt-centroids parameter (same shared-quantizer"
+    " move); default path untouched",
     f"{_PKG}/operators/pq.py": "packed ADC scoring (VERDICT r10 item"
     " 1): the index stores M-slot code arrays, per-(query, cell)"
     " lookup tables come from transform over the broadcast packed"
@@ -143,7 +159,9 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " the same doubles fold in the same left-assoc subspace order, so"
     " adc_dist is bit-equal (knn_ivf_pq/_refined/pq_recall parity"
     " re-run green, index-roundtrip identity test green); 10x growth"
-    " 7.65x -> 1.53x",
+    " 7.65x -> 1.53x; build_ivf_pq_index additionally grew an optional"
+    " prebuilt-coarse-centroids parameter (parquet doubles round-trip"
+    " exactly, so cells/residuals/codes are identical)",
     f"{_PKG}/plans/ext_dedup.py": (
         "dedup_ngram_jaccard",
         "doc_topk_similar",

@@ -616,6 +616,60 @@ def test_kmeans_ivf_assign_two_level_contract(spark):
         assert r.d is not None and r.d < 64 * 0.1
 
 
+def test_kmeans_ivf_assign_prebuilt_coarse_identical(spark, tmp_path):
+    # The family-shared persisted coarse-centroid table
+    # (plans.ext_ann._shared_coarse_centroids) is sound only if
+    # assigning against a parquet round-trip of the learned table gives
+    # EXACTLY the in-session result (doubles serialize exactly), for
+    # both kmeans_ivf_assign and knn_ivf_learned.
+    from pyspark.sql import functions as F
+
+    from cir_duplicate_detector_spark.operators import kmeans, similarity
+
+    rows = []
+    for i in range(16):
+        rows.append((i, [10.0 + 0.01 * i] * 64))
+        rows.append((100 + i, [-10.0 - 0.01 * i] * 64))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    sample = embs.where(F.col("vec_id") % 2 == 0)
+    cents = kmeans.kmeans_centroids(sample, k=2, iters=2).select(
+        F.col("cluster").alias("coarse"), "c"
+    )
+    direct = kmeans.kmeans_ivf_assign(
+        embs, k=2, iters=2, sample_mod=2, fine_mod=4
+    ).collect()
+    cents.write.parquet(str(tmp_path / "cents"))
+    reread = spark.read.parquet(str(tmp_path / "cents"))
+    served = kmeans.kmeans_ivf_assign(
+        embs, fine_mod=4, coarse=reread
+    ).collect()
+
+    def rows_of(rs):
+        return sorted((r.vec_id, r.coarse, r.fine, r.d) for r in rs)
+
+    assert rows_of(direct) == rows_of(served)
+
+    probe = embs.select("vec_id").where("vec_id % 8 = 0")
+    knn_direct = similarity.knn_ivf_learned(
+        embs, probe, k=3, coarse_k=2, iters=2, sample_mod=2
+    ).collect()
+    knn_served = similarity.knn_ivf_learned(
+        embs,
+        probe,
+        k=3,
+        centroids=reread.select(F.col("coarse").alias("cluster"), "c"),
+    ).collect()
+
+    def knn_rows(rs):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cosine) for r in rs
+        )
+
+    assert knn_rows(knn_direct) == knn_rows(knn_served)
+
+
 def test_kmeans_ivf_assign_marks_fine_less_cells(spark):
     from cir_duplicate_detector_spark.operators import kmeans
 
