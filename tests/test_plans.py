@@ -934,3 +934,38 @@ def test_plan_fingerprint_artifact_freshness(spark):
         f"PLANS_r{cur_round:02d}.json is stale for {stale} — re-run "
         "scripts/plan_fingerprints.py after the last package edit"
     )
+
+
+def test_shared_artifacts_build_once_and_serve_from_parquet(spark):
+    # The round-11 shared artifacts (shingle index, dup-label table,
+    # coarse centroids) must (a) memoize per (application, sf_dir) —
+    # the second call returns the SAME relation without rebuilding —
+    # and (b) hand consumers a parquet scan, so every reference reads
+    # the persisted index instead of re-running the build tree.
+    from cir_duplicate_detector_spark.plans.ext_ann import (
+        _shared_coarse_centroids,
+    )
+    from cir_duplicate_detector_spark.plans.ext_dedup import (
+        _shared_dup_labels,
+        _shared_shingle_index,
+    )
+
+    for builder in (
+        _shared_shingle_index,
+        _shared_dup_labels,
+        _shared_coarse_centroids,
+    ):
+        first = builder(spark, SF)
+        assert builder(spark, SF) is first, builder.__name__
+        scan = first._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan parquet" in scan, (builder.__name__, scan[:400])
+
+
+def test_ngram_jaccard_serves_index_scan_no_explode(spark):
+    # With the family-shared persisted shingle index, the registered
+    # Jaccard plan must contain NO Generate (explode) and no df-cap
+    # re-aggregation — the three index references (probe filter, size
+    # aggregate, corpus join side) all scan the same parquet relation.
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "Generate" not in plan, plan[:600]
+    assert plan.count("FileScan parquet") >= 3
