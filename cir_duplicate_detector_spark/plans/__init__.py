@@ -117,10 +117,16 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     f"{_PKG}/plans/fingerprint.py": "NEW module: canonical logical-"
     "plan fingerprints + the pure diff rule consumed by the"
     " fingerprint lint (VERDICT r10 item 2); no query touched",
+    f"{_PKG}/operators/opq.py": "NEW module (r9/r10 stretch item):"
+    " OPQ-lite sample-learned dimension permutation — energy ranking,"
+    " balanced snake-deal assignment, lazy one-row-broadcast apply;"
+    " touches no existing operator",
     f"{_PKG}/plans/ext_ann.py": (
         "kmeans_ivf_assign",
         "knn_cosine_ivf_learned",
-    ),  # NEW semantic_cells_roundtrip registration (r11 item 5, new
+        "opq_balance",
+    ),  # NEW semantic_cells_roundtrip + opq_balance registrations
+    # (new queries lead the rotation), plus: (r11 item 5, new
     # query) + family-shared persisted coarse-centroid table serving
     # kmeans_ivf_assign / knn_cosine_ivf_learned / the IVF-PQ build
     # (see _PLAN_CHANGED; IVF-PQ probe plans scan the persisted index

@@ -1593,7 +1593,95 @@ def q_semantic_cells_roundtrip(spark, sf_dir):
     )
 
 
+def q_opq_balance(spark, sf_dir):
+    """The OPQ-lite diagnostic (round 11, the r9/r10 stretch item made
+    measurable): per-subspace ENERGY under the identity dimension
+    layout vs under the sample-learned balanced permutation
+    (`operators.opq`). On a corpus where a few dimensions dominate,
+    vanilla PQ's identity layout concentrates energy in few subspaces
+    (codebooks wasted on near-constant coordinates); the snake-deal
+    permutation balances it — and on THIS ~isotropic corpus the row
+    shows before ≈ after, which is the measured justification for NOT
+    wiring the permutation into the shipped IVF-PQ config (the recall
+    sweeps bind on the candidate ceiling instead; `pq.IVFPQ_M`). All
+    doubles are two-phase sorted folds; the subspace rollups fold in
+    pos/newpos order — value-hash exact."""
+    from ..operators import opq
+    from ..operators.kmeans import _sorted_fold as _kmeans_fold
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    en = opq.dim_energy(emb)
+    asg = opq.opq_assignment(emb)
+    sub_b = (F.col("pos") / opq.IVFPQ_SUBDIM).cast("bigint")
+    before = (
+        en.withColumn("subspace", sub_b)
+        .groupBy("subspace")
+        .agg(
+            _kmeans_fold(
+                F.collect_list(F.struct("pos", "energy")), "energy"
+            ).alias("energy_before")
+        )
+    )
+    after = asg.groupBy("subspace").agg(
+        _kmeans_fold(
+            F.collect_list(F.struct("newpos", "energy")), "energy"
+        ).alias("energy_after")
+    )
+    return before.join(after, "subspace").select(
+        "subspace", "energy_before", "energy_after"
+    )
+
+
+def _sql_opq_balance() -> str:
+    from ..operators.kmeans import KM_IVF_SAMPLE_MOD, KM_SALTS
+    from ..operators.pq import IVFPQ_M, IVFPQ_SUBDIM
+
+    m, sd = IVFPQ_M, IVFPQ_SUBDIM
+    return f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, e FROM n WHERE vec_id % {KM_IVF_SAMPLE_MOD} = 0),
+pe AS (
+  SELECT vec_id, j.j - 1 AS pos, s.e[j.j] * s.e[j.j] AS v2
+  FROM s CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+),
+p1 AS (
+  SELECT pos, vec_id % {KM_SALTS} AS salt,
+         list_sum(list(v2 ORDER BY vec_id)) AS psum
+  FROM pe GROUP BY 1, 2
+),
+en AS (
+  SELECT pos, list_sum(list(psum ORDER BY salt)) AS energy
+  FROM p1 GROUP BY pos
+),
+ranked AS (
+  SELECT pos, energy,
+         row_number() OVER (ORDER BY energy DESC, pos) - 1 AS r
+  FROM en
+),
+asg AS (
+  SELECT pos, energy, r // {m} AS block,
+         CASE WHEN (r // {m}) % 2 = 0 THEN r % {m}
+              ELSE {m - 1} - (r % {m}) END AS subspace
+  FROM ranked
+),
+eb AS (
+  SELECT (pos // {sd})::BIGINT AS subspace,
+         list_sum(list(energy ORDER BY pos)) AS energy_before
+  FROM en GROUP BY 1
+),
+ea AS (
+  SELECT subspace::BIGINT AS subspace,
+         list_sum(list(energy ORDER BY subspace * {sd} + block))
+           AS energy_after
+  FROM asg GROUP BY 1
+)
+SELECT eb.subspace, eb.energy_before, ea.energy_after
+FROM eb JOIN ea USING (subspace)
+"""
+
+
 ANN_QUERIES: dict[str, tuple] = {
+    "opq_balance": (q_opq_balance, _sql_opq_balance()),
     "knn_cosine_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_cosine_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "knn_cosine_ivf": (q_knn_ivf, SQL_KNN_IVF),

@@ -219,6 +219,7 @@ _ORDER = [
     "hybrid_search_served",
     "hybrid_recall",
     "image_index_roundtrip",
+    "opq_balance",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (

@@ -1441,3 +1441,54 @@ def test_quality_classifier_agreement_floor(spark):
         f"held-out agreement collapsed: {agree}/{total} = "
         f"{agree / total:.4f} (floor 0.93, measured 0.9813)"
     )
+
+
+# ------------------------------------------------- OPQ-lite permutation
+
+def test_opq_permutation_is_bijection(spark):
+    from cir_duplicate_detector_spark.operators import opq
+
+    rows = [(i, [float((i * 7 + j * 13) % 29) for j in range(64)])
+            for i in range(40)]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    perm = opq.opq_permutation(embs).collect()[0].perm
+    assert sorted(perm) == list(range(1, 65))
+    # apply ∘ perm touches every source slot exactly once: re-ordering
+    # preserves the multiset of values per row
+    out = opq.apply_permutation(embs, opq.opq_permutation(embs)).collect()
+    src = {r[0]: sorted(r[1]) for r in rows}
+    for r in out:
+        assert sorted(r.embedding) == src[r.vec_id]
+
+
+def test_opq_balances_planted_skew(spark):
+    # Dims 0..15 carry ~all the energy; the identity layout packs them
+    # into subspaces 0..3 (pos // 4), so max/min subspace energy is
+    # huge. The snake-deal permutation must spread them one per
+    # subspace — the balance OPQ exists to buy.
+    from cir_duplicate_detector_spark.operators import opq
+
+    rows = []
+    for i in range(64):
+        v = [10.0 + (i % 5) if j < 16 else 0.01 * ((i + j) % 3 + 1)
+             for j in range(64)]
+        rows.append((i, v))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    asg = {r.pos: (r.subspace, r.energy)
+           for r in opq.opq_assignment(embs).collect()}
+    per_sub_before: dict[int, float] = {}
+    per_sub_after: dict[int, float] = {}
+    for pos, (sub, en) in asg.items():
+        per_sub_before[pos // 4] = per_sub_before.get(pos // 4, 0.0) + en
+        per_sub_after[sub] = per_sub_after.get(sub, 0.0) + en
+    ratio_before = max(per_sub_before.values()) / min(per_sub_before.values())
+    ratio_after = max(per_sub_after.values()) / min(per_sub_after.values())
+    assert ratio_before > 100, ratio_before  # the planted skew is real
+    assert ratio_after < 3, ratio_after      # and the deal removes it
+    # every subspace got exactly 4 dims (bijection at the slot level)
+    from collections import Counter
+    assert set(Counter(s for s, _ in asg.values()).values()) == {4}
