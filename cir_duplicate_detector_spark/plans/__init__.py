@@ -151,6 +151,10 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " map_probe_ranks / hybrid_search — BM25 lexical + cosine"
     " semantic rankings fused by reciprocal-rank fusion (new query"
     " family); touches no existing operator",
+    f"{_PKG}/operators/dedup.py": "NEW label_upsert operator only"
+    " (incremental duplicate-cluster maintenance: band-probe + exact"
+    " Jaccard verify + min-label adoption); no existing operator"
+    " touched",
     f"{_PKG}/operators/kmeans.py": "kmeans_ivf_assign grew an optional"
     " prebuilt-coarse parameter (skips the sample-Lloyd learn when the"
     " family-shared persisted table is supplied); default path"
@@ -176,8 +180,10 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
         "dup_clusters",
         "cluster_representatives",
         "dup_weighting",
+        "dup_labels_upsert",
     ),  # family-shared parquet-backed shingle index + dup-label table +
-    # recall truth-side restructure (see _PLAN_CHANGED)
+    # recall truth-side restructure (see _PLAN_CHANGED) + NEW
+    # dup_labels_upsert registration (brand-new, leads the rotation)
     f"{_PKG}/plans/ext_text.py": (
         "dataset_split",
     ),  # dataset_split serves from the shared dup-label table

@@ -784,6 +784,96 @@ def q_dedup_lsh_screen_streaming(spark, sf_dir):
     return streaming_lsh_screen(spark, sf_dir)
 
 
+def q_dup_labels_upsert(spark, sf_dir):
+    """Incremental duplicate-cluster maintenance
+    (`dedup.label_upsert`, round 11): the incoming split's docs adopt
+    the existing split's cluster labels through band-probe + exact
+    Jaccard verify + min-label adoption — the per-wave path that
+    amortizes away re-running connected components over the full
+    corpus (the approximation contract — batch-internal pairs and
+    cross-cluster merges defer to the next full-closure compaction —
+    is in the operator docstring). Split by the shared even/odd rule
+    (`sources.derived.BLOOM_SPLIT_*`), over the nd corpus so planted
+    near-dups straddle the split and real adoptions happen."""
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(BLOOM_SPLIT_SPARK)
+    return dedup.label_upsert(
+        docs.where(split == 0), docs.where(split == 1)
+    )
+
+
+_SPLIT_D = BLOOM_SPLIT_DUCK
+
+SQL_DUP_LABELS_UPSERT = f"""
+WITH RECURSIVE {_DUCK_SHINGLE_SET},
+sigs AS (
+  SELECT doc_id, {_LANES}
+  FROM shh GROUP BY doc_id
+),
+bands AS (
+  {_BAND_SELECTS}
+),
+exb AS (SELECT * FROM bands WHERE {_SPLIT_D} = 0),
+incb AS (SELECT * FROM bands WHERE {_SPLIT_D} = 1),
+excand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM exb l JOIN exb r USING (band_id, band_key)
+  WHERE l.doc_id < r.doc_id
+),
+exinter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM excand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
+  GROUP BY c.a, c.b
+),
+expairs AS (
+  SELECT i2.a, i2.b
+  FROM exinter i2
+  JOIN sizes sa ON sa.doc_id = i2.a
+  JOIN sizes sb ON sb.doc_id = i2.b
+  WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
+),
+dedges AS (
+  SELECT a, b FROM expairs UNION ALL SELECT b AS a, a AS b FROM expairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM dedges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN dedges e ON e.a = w.node
+),
+cc AS (SELECT node, min(label) AS label FROM walk GROUP BY node),
+cand AS (
+  SELECT DISTINCT i.doc_id AS a, e.doc_id AS b
+  FROM incb i JOIN exb e USING (band_id, band_key)
+),
+vinter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
+  GROUP BY c.a, c.b
+),
+verified AS (
+  SELECT v.a, v.b
+  FROM vinter v
+  JOIN sizes sa ON sa.doc_id = v.a
+  JOIN sizes sb ON sb.doc_id = v.b
+  WHERE v.i / (sa.n + sb.n - v.i) >= 0.5
+),
+adopted AS (
+  SELECT a, min(coalesce(cc.label, verified.b)) AS m
+  FROM verified LEFT JOIN cc ON cc.node = verified.b
+  GROUP BY a
+)
+SELECT d.doc_id,
+       coalesce(ad.m, d.doc_id)::BIGINT AS label,
+       ad.m IS NOT NULL AS matched
+FROM (SELECT doc_id FROM docs_nd WHERE {_SPLIT_D} = 1) d
+LEFT JOIN adopted ad ON ad.a = d.doc_id
+"""
+
+
 def q_lsh_index_roundtrip(spark, sf_dir):
     """The LSH band index AS A PERSISTED INDEX — the near-dup serving
     path, completing the persisted-index story `ivf_index_roundtrip`
@@ -1283,6 +1373,7 @@ DEDUP_QUERIES: dict[str, tuple] = {
     ),
     "substring_dup": (q_substring_dup, SQL_SUBSTRING_DUP),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dup_labels_upsert": (q_dup_labels_upsert, SQL_DUP_LABELS_UPSERT),
     "chunk_dedup": (q_chunk_dedup, _sql_chunk_dedup()),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "bloom_dedup_streaming": (q_bloom_dedup_streaming, SQL_BLOOM_DEDUP),

@@ -220,6 +220,7 @@ _ORDER = [
     "hybrid_recall",
     "image_index_roundtrip",
     "opq_balance",
+    "dup_labels_upsert",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (

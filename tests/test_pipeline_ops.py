@@ -899,3 +899,35 @@ def test_decontaminate_scrub_fully_contaminated_doc_kept_empty(spark):
     assert [(r.doc_id, r.n_kept_tokens, r.clean_text) for r in out] == [
         (1, 0, "")
     ]
+
+
+def test_label_upsert_adopts_existing_labels(spark):
+    # Incoming near-dups adopt the EXISTING cluster's label (min-label,
+    # singleton fallback = existing doc_id); unmatched self-label.
+    from cir_duplicate_detector_spark.operators import dedup
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    t_b = "one two three four five six seven eight nine ten eleven " * 4
+    t_c = "red orange yellow green blue indigo violet crimson amber " * 4
+    existing = spark.createDataFrame(
+        [(0, t_a), (1, t_a), (2, t_b)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(10, t_a), (11, t_c), (12, t_b)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.label_upsert(existing, incoming).collect()}
+    assert len(out) == 3
+    assert out[10].matched and out[10].label == 0  # joins cluster {0,1}
+    assert not out[11].matched and out[11].label == 11  # self-label
+    assert out[12].matched and out[12].label == 2  # existing singleton
+    # prebuilt labels path gives the identical answer (the persisted
+    # snapshot serving shape)
+    pairs = dedup.minhash_near_duplicates(existing, 0.5).select("a", "b")
+    labels = dedup.connected_components(pairs, check_every=2)
+    served = {
+        r.doc_id: r
+        for r in dedup.label_upsert(existing, incoming, labels=labels).collect()
+    }
+    assert {k: (v.label, v.matched) for k, v in out.items()} == {
+        k: (v.label, v.matched) for k, v in served.items()
+    }
