@@ -190,12 +190,19 @@ def minhash_signatures(
     return hashed.select("doc_id", *lanes)
 
 
-def banded_keys(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
-    """``(doc_id, band_id, band_key)`` — one row per LSH band per doc;
-    band key = md5 of the band's signature rows. Pure per-row
+def banded_keys(
+    signatures: DataFrame,
+    bands: int = LSH_BANDS,
+    keep: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """``(doc_id, *keep, band_id, band_key)`` — one row per LSH band per
+    doc; band key = md5 of the band's signature rows. Pure per-row
     projection + explode (streaming-safe: no shuffle, no state), shared
     by :func:`lsh_candidates` (self-join both sides) and
-    :func:`lsh_screen` (stream-static probe side)."""
+    :func:`lsh_screen` (stream-static probe side). ``keep`` passes
+    extra columns through the explode — the streaming label-upsert twin
+    carries the per-row shingle array alongside its band keys because a
+    stream cannot self-join to fetch it back."""
     rows = MINHASH_K // bands
     band_cols = []
     for b in range(bands):
@@ -206,8 +213,8 @@ def banded_keys(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
         )
         band_cols.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
     return signatures.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+        "doc_id", *keep, F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", *keep, "band.band_id", "band.band_key")
 
 
 def lsh_candidates(signatures: DataFrame, bands: int = LSH_BANDS) -> DataFrame:

@@ -107,8 +107,9 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " image_screen_from_index / image_screen operators only (the"
     " lsh_screen posture applied to the image path, VERDICT r10 item"
     " 4); no existing operator touched",
-    f"{_PKG}/streaming/windows.py": "NEW streaming_image_screen twin"
-    " only; no existing streaming result touched",
+    f"{_PKG}/streaming/windows.py": "NEW streaming_image_screen and"
+    " streaming_label_upsert twins only; no existing streaming result"
+    " touched",
     f"{_PKG}/plans/ext_multimodal.py": "NEW image_screen (+streaming"
     " twin) and image_index_roundtrip registrations only (new queries"
     " lead the rotation as never-verified); no existing query touched",
@@ -151,10 +152,11 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " map_probe_ranks / hybrid_search — BM25 lexical + cosine"
     " semantic rankings fused by reciprocal-rank fusion (new query"
     " family); touches no existing operator",
-    f"{_PKG}/operators/dedup.py": "NEW label_upsert operator only"
+    f"{_PKG}/operators/dedup.py": "NEW label_upsert operator"
     " (incremental duplicate-cluster maintenance: band-probe + exact"
-    " Jaccard verify + min-label adoption); no existing operator"
-    " touched",
+    " Jaccard verify + min-label adoption) and an optional passthrough"
+    " `keep` parameter on banded_keys (default () = identical"
+    " expressions); no existing operator result touched",
     f"{_PKG}/operators/kmeans.py": "kmeans_ivf_assign grew an optional"
     " prebuilt-coarse parameter (skips the sample-Lloyd learn when the"
     " family-shared persisted table is supplied); default path"
@@ -181,9 +183,11 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
         "cluster_representatives",
         "dup_weighting",
         "dup_labels_upsert",
+        "dup_labels_upsert_streaming",
     ),  # family-shared parquet-backed shingle index + dup-label table +
     # recall truth-side restructure (see _PLAN_CHANGED) + NEW
-    # dup_labels_upsert registration (brand-new, leads the rotation)
+    # dup_labels_upsert (+streaming twin) registrations (brand-new,
+    # lead the rotation)
     f"{_PKG}/plans/ext_text.py": (
         "dataset_split",
     ),  # dataset_split serves from the shared dup-label table

@@ -802,6 +802,18 @@ def q_dup_labels_upsert(spark, sf_dir):
     )
 
 
+def q_dup_labels_upsert_streaming(spark, sf_dir):
+    """`streaming.windows.streaming_label_upsert`: the same incremental
+    label adoption with the incoming split arriving on a file stream —
+    per-row signatures/bands (shingle array carried through the band
+    explode), three stream-static joins, ONE min-label aggregation,
+    self-label fill post-drain. Shares the batch oracle via the twin
+    guard."""
+    from ..streaming.windows import streaming_label_upsert
+
+    return streaming_label_upsert(spark, sf_dir)
+
+
 _SPLIT_D = BLOOM_SPLIT_DUCK
 
 SQL_DUP_LABELS_UPSERT = f"""
@@ -1374,6 +1386,10 @@ DEDUP_QUERIES: dict[str, tuple] = {
     "substring_dup": (q_substring_dup, SQL_SUBSTRING_DUP),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dup_labels_upsert": (q_dup_labels_upsert, SQL_DUP_LABELS_UPSERT),
+    "dup_labels_upsert_streaming": (
+        q_dup_labels_upsert_streaming,
+        SQL_DUP_LABELS_UPSERT,
+    ),
     "chunk_dedup": (q_chunk_dedup, _sql_chunk_dedup()),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),
     "bloom_dedup_streaming": (q_bloom_dedup_streaming, SQL_BLOOM_DEDUP),

@@ -221,6 +221,7 @@ _ORDER = [
     "image_index_roundtrip",
     "opq_balance",
     "dup_labels_upsert",
+    "dup_labels_upsert_streaming",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (

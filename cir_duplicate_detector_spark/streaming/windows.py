@@ -1040,6 +1040,112 @@ def streaming_quality_classifier_learned(
     return spark.table(name)
 
 
+def streaming_label_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-cluster maintenance AS A STREAM — the
+    streaming twin of `operators.dedup.label_upsert`: the existing
+    split's banded keys, shingle arrays, and cluster-label table build
+    ONCE batch-side (the persisted-snapshot posture); incoming docs
+    arrive on a file stream, compute shingle arrays + minhash lanes +
+    band keys per-row (pure projections — zero stream state before the
+    final rollup, with the shingle array CARRIED through the band
+    explode because a stream cannot self-join it back), probe the
+    static band keys through one stream-static equi-join, verify by
+    exact per-row Jaccard against the static shingle arrays, pick up
+    the matched doc's cluster label by one more stream-static left
+    join, and fold to min-adopted-label per incoming doc in ONE
+    aggregation. Duplicate (a, b) band collisions need no distinct —
+    the min fold absorbs them. Unmatched docs never reach the
+    aggregation, so the self-label fill joins the drained table against
+    the source relation batch-side (the `streaming_ivf_upsert_assign`
+    post-drain convention). Output identical to the batch
+    `dup_labels_upsert` entry — one oracle string by the twin guard."""
+    from ..operators.dedup import (
+        MINHASH_K,
+        banded_keys,
+        connected_components,
+        hashed_shingle_arrays,
+        lane_hash,
+        minhash_near_duplicates,
+        minhash_signatures,
+    )
+    from ..sources.derived import BLOOM_SPLIT_SPARK, derive_near_dup_corpus
+
+    split = F.expr(BLOOM_SPLIT_SPARK)
+    nd_b = derive_near_dup_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    existing = nd_b.where(split == 0)
+    ex_hashed = hashed_shingle_arrays(existing)
+    ex_bands = banded_keys(minhash_signatures(ex_hashed)).select(
+        F.col("doc_id").alias("b"), "band_id", "band_key"
+    )
+    pairs = minhash_near_duplicates(existing, 0.5).select("a", "b")
+    lab_b = connected_components(pairs, check_every=2).select(
+        F.col("node").alias("b"), F.col("label").alias("ex_label")
+    )
+
+    incoming = _stream_near_dup_corpus(
+        spark, sf_dir, "docs_labup_stream_"
+    ).where(split == 1)
+    inc_h = hashed_shingle_arrays(incoming)
+    # One-arg lambda only: F.transform passes the ARRAY INDEX as a
+    # second argument to two-arg lambdas, which would silently replace
+    # the lane number (`minhash_signatures` has the same shape).
+    lanes = [
+        F.array_min(
+            F.transform("hs", lambda h: lane_hash(h, j))  # noqa: B023
+        ).alias(f"m{j}")
+        for j in range(MINHASH_K)
+    ]
+    sigs = inc_h.select("doc_id", "hs", *lanes)
+    inc_bands = banded_keys(sigs, keep=("hs",)).select(
+        F.col("doc_id").alias("a"),
+        F.col("hs").alias("hs_a"),
+        "band_id",
+        "band_key",
+    )
+    cand = inc_bands.join(ex_bands, ["band_id", "band_key"])
+    full = cand.join(
+        ex_hashed.select(
+            F.col("doc_id").alias("b"), F.col("hs").alias("hs_b")
+        ),
+        "b",
+    )
+    i = F.size(F.array_intersect("hs_a", "hs_b"))
+    verified = full.where(
+        i / (F.size("hs_a") + F.size("hs_b") - i) >= 0.5
+    ).select("a", "b")
+    adopted = (
+        verified.join(lab_b, "b", "left")
+        .select(
+            "a",
+            F.coalesce(F.col("ex_label"), F.col("b")).alias("cand_label"),
+        )
+        .groupBy("a")
+        .agg(F.min("cand_label").alias("m"))
+    )
+    name = f"stream_labup_{uuid.uuid4().hex[:8]}"
+    query = (
+        adopted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    drained = spark.table(name).withColumnRenamed("a", "doc_id")
+    return (
+        nd_b.where(split == 1)
+        .select("doc_id")
+        .join(drained, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("m"), F.col("doc_id")).alias("label"),
+            F.col("m").isNotNull().alias("matched"),
+        )
+    )
+
+
 def streaming_image_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image-ingest membership screen AS A STREAM — the image
     analogue of :func:`streaming_lsh_screen` and the production shape
