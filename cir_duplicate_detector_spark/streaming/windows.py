@@ -1040,7 +1040,9 @@ def streaming_quality_classifier_learned(
     return spark.table(name)
 
 
-def streaming_label_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_label_upsert(
+    spark: SparkSession, sf_dir: str, labels: "DataFrame | None" = None
+) -> DataFrame:
     """Incremental duplicate-cluster maintenance AS A STREAM — the
     streaming twin of `operators.dedup.label_upsert`: the existing
     split's banded keys, shingle arrays, and cluster-label table build
@@ -1079,8 +1081,13 @@ def streaming_label_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex_bands = banded_keys(minhash_signatures(ex_hashed)).select(
         F.col("doc_id").alias("b"), "band_id", "band_key"
     )
-    pairs = minhash_near_duplicates(existing, 0.5).select("a", "b")
-    lab_b = connected_components(pairs, check_every=2).select(
+    # ``labels`` shares the batch-built (possibly parquet-reread)
+    # snapshot with the batch twin; deterministic build, identical
+    # results either way.
+    if labels is None:
+        pairs = minhash_near_duplicates(existing, 0.5).select("a", "b")
+        labels = connected_components(pairs, check_every=2)
+    lab_b = labels.select(
         F.col("node").alias("b"), F.col("label").alias("ex_label")
     )
 
