@@ -184,10 +184,11 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
         "dup_weighting",
         "dup_labels_upsert",
         "dup_labels_upsert_streaming",
+        "upsert_labels_agreement",
     ),  # family-shared parquet-backed shingle index + dup-label table +
     # recall truth-side restructure (see _PLAN_CHANGED) + NEW
-    # dup_labels_upsert (+streaming twin) registrations (brand-new,
-    # lead the rotation)
+    # dup_labels_upsert (+streaming twin, +agreement diagnostic)
+    # registrations (brand-new, lead the rotation)
     f"{_PKG}/plans/ext_text.py": (
         "dataset_split",
     ),  # dataset_split serves from the shared dup-label table

@@ -922,6 +922,133 @@ LEFT JOIN adopted ad ON ad.a = d.doc_id
 """
 
 
+def q_upsert_labels_agreement(spark, sf_dir):
+    """The self-measuring row for the incremental labeler — every
+    approximation in this engine ships one (`minhash_recall`,
+    `pq_recall`, `hybrid_recall`, ...): per incoming doc, compare the
+    per-wave adoption (`dup_labels_upsert`) against the FULL closure
+    over existing ∪ incoming (`_shared_dup_labels` — the compaction the
+    contract defers to). Output (doc_id, matched, label_equals_full,
+    reaches_existing):
+
+    * ``label_equals_full = false`` on a MATCHED doc marks a deferred
+      MERGE/rename — the full closure united clusters (or found a
+      smaller min id via a bridge doc) that the wave could not;
+    * ``reaches_existing = true`` on an UNMATCHED doc is a deferred
+      TRANSITIVE adoption — the full closure connects it to the
+      existing split only through other incoming docs (the
+      batch-internal edges the wave deliberately skips).
+
+    Everything is id comparisons over the two label relations — no
+    floats, value-hash exact."""
+    docs = _docs_nd(spark, sf_dir)
+    split = F.expr(BLOOM_SPLIT_SPARK)
+    up = dedup.label_upsert(
+        docs.where(split == 0),
+        docs.where(split == 1),
+        labels=_shared_existing_labels(spark, sf_dir),
+    )
+    fc = _shared_dup_labels(spark, sf_dir)
+    f_doc = fc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("_f_doc")
+    )
+    ex_clusters = (
+        fc.where(F.expr(BLOOM_SPLIT_SPARK.replace("doc_id", "node")) == 0)
+        .select(F.col("label").alias("_f_doc"))
+        .dropDuplicates()
+        .withColumn("_has_ex", F.lit(True))
+    )
+    out = (
+        up.join(f_doc, "doc_id", "left")
+        .withColumn("_f_doc", F.coalesce("_f_doc", F.col("doc_id")))
+        .join(ex_clusters, "_f_doc", "left")
+    )
+    return out.select(
+        "doc_id",
+        "matched",
+        (F.col("label") == F.col("_f_doc")).alias("label_equals_full"),
+        F.coalesce(F.col("_has_ex"), F.lit(False)).alias(
+            "reaches_existing"
+        ),
+    )
+
+
+SQL_UPSERT_LABELS_AGREEMENT = f"""
+WITH RECURSIVE {_DUCK_CC_CTES},
+exb AS (SELECT * FROM bands WHERE {_SPLIT_D} = 0),
+incb AS (SELECT * FROM bands WHERE {_SPLIT_D} = 1),
+excand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM exb l JOIN exb r USING (band_id, band_key)
+  WHERE l.doc_id < r.doc_id
+),
+exinter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM excand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
+  GROUP BY c.a, c.b
+),
+expairs AS (
+  SELECT i2.a, i2.b
+  FROM exinter i2
+  JOIN sizes sa ON sa.doc_id = i2.a
+  JOIN sizes sb ON sb.doc_id = i2.b
+  WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
+),
+exdedges AS (
+  SELECT a, b FROM expairs UNION ALL SELECT b AS a, a AS b FROM expairs
+),
+exwalk(node, label) AS (
+  SELECT a, a FROM exdedges
+  UNION
+  SELECT e.b, w.label FROM exwalk w JOIN exdedges e ON e.a = w.node
+),
+excc AS (SELECT node, min(label) AS label FROM exwalk GROUP BY node),
+ucand AS (
+  SELECT DISTINCT i.doc_id AS a, e.doc_id AS b
+  FROM incb i JOIN exb e USING (band_id, band_key)
+),
+uvinter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM ucand c
+  JOIN shh x ON x.doc_id = c.a
+  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
+  GROUP BY c.a, c.b
+),
+uverified AS (
+  SELECT v.a, v.b
+  FROM uvinter v
+  JOIN sizes sa ON sa.doc_id = v.a
+  JOIN sizes sb ON sb.doc_id = v.b
+  WHERE v.i / (sa.n + sb.n - v.i) >= 0.5
+),
+uadopted AS (
+  SELECT a, min(coalesce(excc.label, uverified.b)) AS m
+  FROM uverified LEFT JOIN excc ON excc.node = uverified.b
+  GROUP BY a
+),
+up AS (
+  SELECT d.doc_id, coalesce(ad.m, d.doc_id) AS label,
+         ad.m IS NOT NULL AS matched
+  FROM (SELECT doc_id FROM docs_nd WHERE {_SPLIT_D} = 1) d
+  LEFT JOIN uadopted ad ON ad.a = d.doc_id
+),
+fdoc AS (
+  SELECT up.doc_id, up.label, up.matched,
+         coalesce(cc.cluster_id, up.doc_id) AS f_doc
+  FROM up LEFT JOIN cc ON cc.doc_id = up.doc_id
+),
+excl AS (
+  SELECT DISTINCT cluster_id FROM cc WHERE {_SPLIT_D} = 0
+)
+SELECT f.doc_id, f.matched,
+       f.label = f.f_doc AS label_equals_full,
+       e.cluster_id IS NOT NULL AS reaches_existing
+FROM fdoc f LEFT JOIN excl e ON e.cluster_id = f.f_doc
+"""
+
+
 def q_lsh_index_roundtrip(spark, sf_dir):
     """The LSH band index AS A PERSISTED INDEX — the near-dup serving
     path, completing the persisted-index story `ivf_index_roundtrip`
@@ -1425,6 +1552,10 @@ DEDUP_QUERIES: dict[str, tuple] = {
     "dup_labels_upsert_streaming": (
         q_dup_labels_upsert_streaming,
         SQL_DUP_LABELS_UPSERT,
+    ),
+    "upsert_labels_agreement": (
+        q_upsert_labels_agreement,
+        SQL_UPSERT_LABELS_AGREEMENT,
     ),
     "chunk_dedup": (q_chunk_dedup, _sql_chunk_dedup()),
     "bloom_dedup": (q_bloom_dedup, SQL_BLOOM_DEDUP),

@@ -222,6 +222,7 @@ _ORDER = [
     "opq_balance",
     "dup_labels_upsert",
     "dup_labels_upsert_streaming",
+    "upsert_labels_agreement",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (
