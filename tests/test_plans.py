@@ -969,3 +969,23 @@ def test_ngram_jaccard_serves_index_scan_no_explode(spark):
     plan = _plan(spark, "dedup_ngram_jaccard")
     assert "Generate" not in plan, plan[:600]
     assert plan.count("FileScan parquet") >= 3
+
+
+def test_dup_labels_upsert_shape(spark):
+    # The incremental labeler must serve labels from the persisted
+    # snapshot (a parquet scan, not an inline closure) and contain no
+    # cartesian product anywhere — the band probe and verify are
+    # equi-joins by construction.
+    plan = _plan(spark, "dup_labels_upsert")
+    assert "CartesianProduct" not in plan
+    assert "FileScan parquet" in plan
+    # the closure's iterative label propagation never appears in the
+    # registered per-wave plan (no localCheckpoint scan of CC rounds
+    # re-running: the snapshot is read, not recomputed)
+    from cir_duplicate_detector_spark.plans.ext_dedup import (
+        _shared_existing_labels,
+    )
+    lab_scan = _shared_existing_labels(
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in lab_scan
