@@ -172,14 +172,20 @@ def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(
-    hashed: DataFrame, k: int = MINHASH_K
+    hashed: DataFrame, k: int = MINHASH_K, keep: "tuple[str, ...]" = ()
 ) -> DataFrame:
-    """(doc_id, m0..m{k-1}): k-way minhash signature, computed entirely
-    per-row — each lane is an ``array_min`` over an arithmetic rehash of
-    the shingle-hash array (:func:`hashed_shingle_arrays`). No explode,
-    no aggregation: signature construction is shuffle-free regardless of
-    corpus size, which is what lets the LSH band join be the FIRST
-    shuffle of the whole pipeline.
+    """(doc_id, *keep, m0..m{k-1}): k-way minhash signature, computed
+    entirely per-row — each lane is an ``array_min`` over an arithmetic
+    rehash of the shingle-hash array (:func:`hashed_shingle_arrays`).
+    No explode, no aggregation: signature construction is shuffle-free
+    regardless of corpus size, which is what lets the LSH band join be
+    the FIRST shuffle of the whole pipeline. ``keep`` passes extra
+    columns through (the streaming label-upsert twin carries ``hs``
+    alongside its lanes — a stream cannot self-join it back).
+
+    NOTE the one-arg lambda: ``F.transform`` passes the ARRAY INDEX as
+    a second argument to two-arg lambdas, which would silently replace
+    a default-bound lane number.
     """
     lanes = [
         F.array_min(
@@ -187,7 +193,7 @@ def minhash_signatures(
         ).alias(f"m{j}")
         for j in range(k)
     ]
-    return hashed.select("doc_id", *lanes)
+    return hashed.select("doc_id", *keep, *lanes)
 
 
 def banded_keys(
@@ -256,6 +262,7 @@ def jaccard_pairs(
     *,
     candidate_count: int | None = None,
     broadcast_max_pairs: int = JACCARD_BROADCAST_MAX_PAIRS,
+    hashed_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs.
 
@@ -287,6 +294,11 @@ def jaccard_pairs(
 
     Jaccard = i / (|A| + |B| - i) over exact ints — bitwise equal to the
     DuckDB oracle.
+
+    ``hashed_b`` supplies a SEPARATE relation for the ``b`` side — the
+    cross-corpus case (:func:`label_upsert`: incoming ``a`` vs existing
+    ``b``). Default ``None`` keeps the self-join form; the join shapes
+    and the broadcast gate are identical either way.
     """
     cand = candidates.select("a", "b")
     if candidate_count is None:
@@ -299,7 +311,7 @@ def jaccard_pairs(
     with_a = hashed.select(
         F.col("doc_id").alias("a"), F.col("hs").alias("hs_a")
     ).join(hint(cand), "a")
-    full = hashed.select(
+    full = (hashed if hashed_b is None else hashed_b).select(
         F.col("doc_id").alias("b"), F.col("hs").alias("hs_b")
     ).join(hint(with_a), "b")
     i = F.size(F.array_intersect("hs_a", "hs_b"))
@@ -541,26 +553,16 @@ def label_upsert(
         .dropDuplicates(["a", "b"])
     )
     cand = materialize(cand, checkpoint_dir)
-    hint = (
-        F.broadcast
-        if cand.count() <= JACCARD_BROADCAST_MAX_PAIRS
-        else (lambda df: df)
-    )
-    with_a = inc_hashed.select(
-        F.col("doc_id").alias("a"), F.col("hs").alias("hs_a")
-    ).join(hint(cand), "a")
-    full = ex_hashed.select(
-        F.col("doc_id").alias("b"), F.col("hs").alias("hs_b")
-    ).join(hint(with_a), "b")
-    i = F.size(F.array_intersect("hs_a", "hs_b"))
-    verified = (
-        full.withColumn("i", i)
-        .where(
-            F.col("i") / (F.size("hs_a") + F.size("hs_b") - F.col("i"))
-            >= threshold
-        )
-        .select("a", "b")
-    )
+    # Cross-corpus exact-Jaccard verify: jaccard_pairs' size-gated
+    # broadcast-vs-shuffle strategy (and its OOM-guard rationale) is
+    # the single definition; only the b side's relation differs here.
+    verified = jaccard_pairs(
+        inc_hashed,
+        cand,
+        threshold,
+        candidate_count=cand.count(),
+        hashed_b=ex_hashed,
+    ).select("a", "b")
     lab = labels.select(
         F.col("node").alias("b"), F.col("label").alias("ex_label")
     )

@@ -154,9 +154,11 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " family); touches no existing operator",
     f"{_PKG}/operators/dedup.py": "NEW label_upsert operator"
     " (incremental duplicate-cluster maintenance: band-probe + exact"
-    " Jaccard verify + min-label adoption) and an optional passthrough"
-    " `keep` parameter on banded_keys (default () = identical"
-    " expressions); no existing operator result touched",
+    " Jaccard verify via jaccard_pairs' size-gated strategy with an"
+    " optional hashed_b cross-corpus side + min-label adoption) and"
+    " optional passthrough `keep` parameters on banded_keys /"
+    " minhash_signatures (defaults () / None = identical expressions);"
+    " no existing operator result touched",
     f"{_PKG}/operators/kmeans.py": "kmeans_ivf_assign grew an optional"
     " prebuilt-coarse parameter (skips the sample-Lloyd learn when the"
     " family-shared persisted table is supplied); default path"
@@ -302,6 +304,8 @@ for _batch, _streaming in [
     ("events_anomaly", "events_anomaly_streaming"),
     ("quality_classifier_learned", "quality_classifier_learned_streaming"),
     ("image_screen", "image_screen_streaming"),
+    ("image_screen", "image_index_roundtrip"),
+    ("dup_labels_upsert", "dup_labels_upsert_streaming"),
     ("semantic_dedup_learned", "semantic_cells_roundtrip"),
     ("decontaminate_semantic", "decon_cells_roundtrip"),
     # salted_join is a physical-plan rewrite only — same answer, same

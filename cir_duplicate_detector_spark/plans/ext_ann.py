@@ -1610,11 +1610,15 @@ def q_opq_balance(spark, sf_dir):
     from ..operators.kmeans import _sorted_fold as _kmeans_fold
 
     emb = load_table(spark, sf_dir, "embeddings")
-    en = opq.dim_energy(emb)
+    # One energy scan: the assignment already carries (pos, energy),
+    # so the identity-layout rollup derives from it instead of
+    # embedding a second dim_energy subtree (Spark recomputes uncached
+    # subtrees per reference).
     asg = opq.opq_assignment(emb)
     sub_b = (F.col("pos") / opq.IVFPQ_SUBDIM).cast("bigint")
     before = (
-        en.withColumn("subspace", sub_b)
+        asg.select("pos", "energy")
+        .withColumn("subspace", sub_b)
         .groupBy("subspace")
         .agg(
             _kmeans_fold(

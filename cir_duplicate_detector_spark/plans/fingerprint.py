@@ -46,8 +46,13 @@ _HEX_NAME = re.compile(r"\b([A-Za-z]\w*?)_[0-9a-f]{8,}\b")
 _TMP_PATH = re.compile(r"/tmp/[\w/.+=-]+")
 _OBJ_HASH = re.compile(r"@[0-9a-f]{6,}")
 # repartition counts derive from defaultParallelism (cluster width) —
-# physical layout only, environment-dependent by design
-_REPART = re.compile(r"\b(Repartition(?:ByExpression)?\b[^\n]*?) \d+")
+# physical layout only, environment-dependent by design. Two anchored
+# forms (a lazy `[^\n]*? \d+` would grab the FIRST number on the line,
+# which for RepartitionByExpression is a plan-bearing expression
+# literal, not the count): `Repartition N, shuffle` puts the count
+# first; `RepartitionByExpression [exprs], N` puts it last.
+_REPART = re.compile(r"\b(Repartition) \d+")
+_REPART_EXPR = re.compile(r"\b(RepartitionByExpression \[[^\n\]]*\]), \d+")
 
 
 def canonical_plan(df) -> str:
@@ -62,6 +67,7 @@ def canonical_plan(df) -> str:
     s = _TMP_PATH.sub("/TMP", s)
     s = _OBJ_HASH.sub("@", s)
     s = _REPART.sub(r"\1 N", s)
+    s = _REPART_EXPR.sub(r"\1, N", s)
     return s
 
 
@@ -77,18 +83,21 @@ def fingerprint_violations(
     """The lint rule, as pure dict logic (no Spark — testable with a
     deliberately-mutated simulation): queries present in BOTH rounds
     whose fingerprint changed and which are NOT queued in
-    ``_PLAN_CHANGED``. Entries recorded as volatile (value starts with
-    ``VOLATILE``) or errored (``ERR``) on either side are skipped —
-    they carry no stable signal. Brand-new queries (absent from
+    ``_PLAN_CHANGED``. Entries whose PREVIOUS value was volatile
+    (``VOLATILE``) or errored (``ERR``) are skipped — there is no
+    stable baseline to diff against. A query that goes stable →
+    VOLATILE/ERR is a VIOLATION, not a skip: an edit that makes a plan
+    session-random (or unbuildable) absolutely changed the plan, and
+    letting it escape the queue would reopen the silent-edit hole this
+    module exists to close (a result-changing edit could hide behind a
+    deliberately-volatile plan). Brand-new queries (absent from
     ``prev``) are fine: never-verified queries lead the rotation."""
     bad = []
     for name, fp in cur.items():
         old = prev.get(name)
         if old is None:
             continue
-        if old.startswith(("VOLATILE", "ERR")) or fp.startswith(
-            ("VOLATILE", "ERR")
-        ):
+        if old.startswith(("VOLATILE", "ERR")):
             continue
         if fp != old and name not in plan_changed:
             bad.append(name)

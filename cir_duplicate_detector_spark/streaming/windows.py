@@ -1062,11 +1062,9 @@ def streaming_label_upsert(
     post-drain convention). Output identical to the batch
     `dup_labels_upsert` entry — one oracle string by the twin guard."""
     from ..operators.dedup import (
-        MINHASH_K,
         banded_keys,
         connected_components,
         hashed_shingle_arrays,
-        lane_hash,
         minhash_near_duplicates,
         minhash_signatures,
     )
@@ -1095,16 +1093,7 @@ def streaming_label_upsert(
         spark, sf_dir, "docs_labup_stream_"
     ).where(split == 1)
     inc_h = hashed_shingle_arrays(incoming)
-    # One-arg lambda only: F.transform passes the ARRAY INDEX as a
-    # second argument to two-arg lambdas, which would silently replace
-    # the lane number (`minhash_signatures` has the same shape).
-    lanes = [
-        F.array_min(
-            F.transform("hs", lambda h: lane_hash(h, j))  # noqa: B023
-        ).alias(f"m{j}")
-        for j in range(MINHASH_K)
-    ]
-    sigs = inc_h.select("doc_id", "hs", *lanes)
+    sigs = minhash_signatures(inc_h, keep=("hs",))
     inc_bands = banded_keys(sigs, keep=("hs",)).select(
         F.col("doc_id").alias("a"),
         F.col("hs").alias("hs_a"),

@@ -856,9 +856,18 @@ def test_fingerprint_lint_catches_mutation():
     }
     assert fingerprint_violations(prev, cur, []) == ["q_mutated", "q_queued"]
     assert fingerprint_violations(prev, cur, ["q_mutated", "q_queued"]) == []
-    # volatile/err on the CURRENT side is skipped too
+    # stable -> VOLATILE/ERR is a VIOLATION, not a skip: an edit that
+    # makes a plan session-random (or unbuildable) changed the plan,
+    # and skipping it would reopen the silent-edit hole (a
+    # result-changing edit could hide behind a deliberately-volatile
+    # plan). Queued, it passes like any other change.
     cur2 = dict(cur, q_mutated="VOLATILE:a:b", q_queued="ERR:Py4JError")
-    assert fingerprint_violations(prev, cur2, []) == []
+    assert fingerprint_violations(prev, cur2, []) == [
+        "q_mutated", "q_queued",
+    ]
+    assert fingerprint_violations(
+        prev, cur2, ["q_mutated", "q_queued"]
+    ) == []
 
 
 def test_plan_fingerprints_vs_previous_round():
