@@ -23,7 +23,61 @@ stage boundary — that is exactly the right time.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+from typing import Any, Callable
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Temp dirs backing shared artifacts, removed at interpreter exit (and
+# eagerly when their Spark application is superseded — see
+# `shared_artifact`). One registry instead of N ad-hoc mkdtemp leaks.
+_SHARED_DIRS: list[str] = []
+
+
+def _cleanup_shared_dirs() -> None:
+    while _SHARED_DIRS:
+        shutil.rmtree(_SHARED_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_shared_dirs)
+
+
+def shared_artifact(
+    cache: dict,
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    build: Callable[[str], Any],
+) -> Any:
+    """Memoized parquet-backed shared artifact — the single definition
+    of the build-once pattern every index family uses (`_shared_
+    ivfpq_index`, `_shared_dup_labels`, ...): build once per (Spark
+    application, corpus dir), persist to a temp dir, serve the
+    parquet-backed handle to every consumer in the application.
+
+    ``build(tmpdir)`` writes the artifact under ``tmpdir`` and returns
+    the handle to cache (a DataFrame read back from parquet, a tuple of
+    them, an index object — caller's choice). Lifecycle: the temp dir
+    is registered for atexit removal, and entries keyed to a PREVIOUS
+    Spark application are evicted (and their dirs deleted) when a new
+    application first builds — so one long-lived process running many
+    Spark apps does not accumulate dirs (ADVICE r11)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit[1]
+    for k in [k for k in cache if k[0] != key[0]]:
+        old_dir, _ = cache.pop(k)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if old_dir in _SHARED_DIRS:
+            _SHARED_DIRS.remove(old_dir)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SHARED_DIRS.append(d)
+    val = build(d)
+    cache[key] = (d, val)
+    return val
 
 
 def materialize(

@@ -587,6 +587,136 @@ def label_upsert(
     )
 
 
+def label_compact(
+    existing: DataFrame,
+    incoming: DataFrame,
+    old_labels: DataFrame | None = None,
+    wave_labels: DataFrame | None = None,
+    full_labels: DataFrame | None = None,
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Full-closure label-table compaction — the OTHER half of
+    :func:`label_upsert`'s approximation contract: the per-wave
+    labeler defers batch-internal pairs and cross-cluster merges "to
+    the next full-closure compaction"; this IS that compaction. Runs
+    the complete MinHash + connected-components closure over
+    ``existing ∪ incoming`` (the weekly/periodic job a production
+    pipeline amortizes the per-wave path against) and returns the new
+    snapshot WITH a per-document churn report:
+
+    ``(doc_id, is_incoming, old_label, label, churn)`` where
+    ``old_label`` is the pre-compaction view (existing docs: the prior
+    snapshot's label; incoming docs: the wave's adopted label) and
+    ``churn`` classifies what the full closure changed:
+
+    * ``unchanged`` — old and new label agree (incl. true singletons);
+    * ``merged`` — the label moved: for a wave-MATCHED incoming doc
+      this is a deferred cross-cluster merge (or a smaller min id via
+      a bridge doc) realized; for an existing doc, clusters united by
+      incoming bridge docs (full-closure labels only ever move DOWN —
+      the union graph is a supergraph, so components grow and min ids
+      shrink);
+    * ``adopted_existing`` — a wave-UNMATCHED incoming doc whose full
+      cluster reaches the existing corpus only through other incoming
+      docs (the deferred TRANSITIVE adoption the wave deliberately
+      skips);
+    * ``adopted_internal`` — a wave-unmatched incoming doc in an
+      all-incoming cluster (a batch-internal pair realized).
+
+    The churn categories reconcile 1:1 with the agreement diagnostic's
+    predictions (``upsert_labels_agreement``): ``matched AND NOT
+    label_equals_full`` ↔ incoming ``merged``; ``NOT matched AND
+    reaches_existing`` ↔ ``adopted_existing`` — pinned by
+    ``tests/test_extensions.py``. Optional prebuilt tables
+    (``old_labels``, ``wave_labels``, ``full_labels``) let callers
+    serve the three relations from persisted snapshots; ``None``
+    computes each with the standard pipeline. Everything is id
+    comparison over label relations — no floats, value-hash exact."""
+    if old_labels is None:
+        pairs = minhash_near_duplicates(
+            existing, threshold, checkpoint_dir
+        ).select("a", "b")
+        old_labels = connected_components(pairs, check_every=2)
+    if wave_labels is None:
+        wave_labels = label_upsert(
+            existing,
+            incoming,
+            labels=old_labels,
+            threshold=threshold,
+            checkpoint_dir=checkpoint_dir,
+        )
+    if full_labels is None:
+        union = existing.select("doc_id", "text").unionByName(
+            incoming.select("doc_id", "text")
+        )
+        pairs = minhash_near_duplicates(
+            union, threshold, checkpoint_dir
+        ).select("a", "b")
+        full_labels = connected_components(pairs, check_every=2)
+    fl = full_labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("_fl")
+    )
+    # Cluster ids (post-compaction) that contain >= 1 existing doc —
+    # the membership test behind `adopted_existing`. Closure output
+    # only lists docs with edges, so singletons never appear here.
+    excl = (
+        fl.join(
+            existing.select("doc_id"), "doc_id"
+        )
+        .select("_fl")
+        .dropDuplicates()
+        .withColumn("_re", F.lit(True))
+    )
+    ex_side = (
+        existing.select("doc_id")
+        .join(
+            old_labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("_ol")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.lit(False).alias("is_incoming"),
+            F.coalesce("_ol", F.col("doc_id")).alias("old_label"),
+            F.lit(None).cast("boolean").alias("_matched"),
+        )
+    )
+    inc_side = wave_labels.select(
+        "doc_id",
+        F.lit(True).alias("is_incoming"),
+        F.col("label").alias("old_label"),
+        F.col("matched").alias("_matched"),
+    )
+    out = (
+        ex_side.unionByName(inc_side)
+        .join(fl, "doc_id", "left")
+        .withColumn("_in_cc", F.col("_fl").isNotNull())
+        .withColumn("label", F.coalesce("_fl", F.col("doc_id")))
+        .join(excl, "_fl", "left")
+        .withColumn("_re", F.coalesce("_re", F.lit(False)))
+    )
+    same = F.col("label") == F.col("old_label")
+    churn = (
+        F.when(
+            ~F.col("is_incoming"),
+            F.when(same, F.lit("unchanged")).otherwise(F.lit("merged")),
+        )
+        .when(
+            F.col("_matched"),
+            F.when(same, F.lit("unchanged")).otherwise(F.lit("merged")),
+        )
+        .when(F.col("_re"), F.lit("adopted_existing"))
+        .when(F.col("_in_cc"), F.lit("adopted_internal"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return out.select(
+        "doc_id", "is_incoming", "old_label", "label", churn.alias("churn")
+    )
+
+
 # Bloom parameters for the membership screen. m = 2^14 bits / k = 3
 # hashes holds ~2.7k keys at sf0.1 with a measurable-but-small false-
 # positive rate (the demonstration point); production sizes m from the

@@ -267,7 +267,17 @@ def kmeans_ivf_assign(
     table — e.g. read back from parquet — and skips the sample-Lloyd
     learn entirely; parquet doubles round-trip exactly, so assignments
     are identical to an in-session build with the same parameters.
+    Combining ``coarse`` with explicit learn parameters raises
+    (ADVICE r11) — the prebuilt table would silently win otherwise.
     """
+    if coarse is not None and (
+        k is not None or iters != KM_ITERS or sample_mod != KM_IVF_SAMPLE_MOD
+    ):
+        raise ValueError(
+            "kmeans_ivf_assign: coarse supplies a prebuilt centroid "
+            "table; k/iters/sample_mod would be ignored — pass one or "
+            "the other"
+        )
     from ..cache import materialize
 
     e = embs.select(

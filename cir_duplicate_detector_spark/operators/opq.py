@@ -151,4 +151,17 @@ def apply_permutation(
             F.col(vec_col), F.element_at(F.col("perm"), i).cast("int")
         ),
     )
-    return out.withColumn(vec_col, permuted).drop("perm")
+    # Fail loudly on a malformed permutation (ADVICE r11): if the
+    # learning sample matched no vectors, `opq_permutation`'s global
+    # agg yields one row with an EMPTY perm, and non-ANSI element_at
+    # would silently turn every embedding into an array of NULLs.
+    guarded = F.when(F.size("perm") == d, permuted).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"apply_permutation: perm length != d={d} (got "),
+                F.size("perm").cast("string"),
+                F.lit("); was the learning sample empty?"),
+            )
+        )
+    )
+    return out.withColumn(vec_col, guarded).drop("perm")

@@ -600,7 +600,20 @@ def build_ivf_pq_index(
     quantizer before this). ``coarse_cents`` (optional) supplies a
     prebuilt ``(coarse, c)`` centroid table — e.g. the family-shared
     persisted build — and skips the coarse Lloyd learn; parquet doubles
-    round-trip exactly, so cells/residuals/codes are identical."""
+    round-trip exactly, so cells/residuals/codes are identical.
+    Combining ``coarse_cents`` with explicit coarse-learn parameters is
+    an error (ADVICE r11): the prebuilt table wins and the parameters
+    would be silently ignored, so the conflict raises instead."""
+    if coarse_cents is not None and (
+        coarse_k is not None
+        or coarse_iters is not None
+        or sample_mod is not None
+    ):
+        raise ValueError(
+            "build_ivf_pq_index: coarse_cents supplies a prebuilt "
+            "coarse quantizer; coarse_k/coarse_iters/sample_mod would "
+            "be ignored — pass one or the other"
+        )
     from ..cache import materialize
     from .kmeans import (
         KM_ITERS,

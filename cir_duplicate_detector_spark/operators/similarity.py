@@ -383,7 +383,17 @@ def knn_ivf_learned(
     table — e.g. read back from parquet — and skips the sample-Lloyd
     learn; parquet doubles round-trip exactly, so the inverted lists
     (and therefore the search result) are identical to an in-session
-    build with the same parameters."""
+    build with the same parameters. Combining ``centroids`` with
+    explicit learn parameters raises (ADVICE r11) — the prebuilt table
+    would silently win otherwise."""
+    if centroids is not None and (
+        coarse_k is not None or iters is not None or sample_mod is not None
+    ):
+        raise ValueError(
+            "knn_ivf_learned: centroids supplies a prebuilt table; "
+            "coarse_k/iters/sample_mod would be ignored — pass one or "
+            "the other"
+        )
     from .kmeans import (
         KM_ITERS,
         KM_IVF_SAMPLE_MOD,

@@ -50,42 +50,20 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Queries whose ROUND-11 edits change their PLAN (the packed-ADC
-# rewrite of the IVF-PQ probe phase). The builder's evidence says
-# results are identical (parity + identity tests), but under the new
-# fingerprint-lint semantics (plans/fingerprint.py) a changed logical
-# plan re-verifies at the driver regardless — cheap insurance that a
-# "physical-only" claim can never be wrong silently:
+# Queries whose ROUND-12 edits change their PLAN. The builder's
+# evidence says results are identical (or the query is brand-new), but
+# under the fingerprint-lint semantics (plans/fingerprint.py) a changed
+# logical plan re-verifies at the driver regardless — cheap insurance
+# that a "physical-only" claim can never be wrong silently:
 _PLAN_CHANGED: list[str] = [
-    "knn_ivf_pq",
-    "knn_ivf_pq_refined",
-    "pq_recall",
-    # hex staging tag (VOLATILE -> stable fingerprint); plan-only
-    "corpus_bucketed_join",
-    # family-shared parquet-backed shingle inverted index (the
-    # _shared_ivfpq_index posture applied to the exact-Jaccard /
-    # containment family): plans now scan the persisted index instead
-    # of re-running the shingle explode + df-cap tree per reference.
-    # Deterministic build -> identical results; re-verify regardless.
-    "dedup_ngram_jaccard",
-    "doc_topk_similar",
+    # probe band selected modulo the replica id-block (VERDICT r11
+    # item 5): `doc_id % 50 == 0 OR doc_id >= 1e6` became
+    # `... OR doc_id % 10_000_000 >= 1e6`. Identity at every provided
+    # scale (all testdata ids < 10M — oracle strings updated in
+    # lockstep and parity re-run green); only the 10x replica, whose
+    # copies live at offsets i*10M, now keeps its ~2% probe rate.
     "dedup_containment",
-    # truth-side restructure: per-row set sizes from the shingle
-    # arrays (no explode+groupBy shuffle) and probe filter BEFORE the
-    # explode — same uncapped shingle universe, same truth set.
-    "minhash_recall",
-    # family-shared persisted MinHash+connected-components label table
-    # (each previously re-ran the identical closure; deterministic
-    # build -> identical results).
-    "dup_clusters",
-    "cluster_representatives",
-    "dup_weighting",
-    "dataset_split",
-    # family-shared persisted coarse-centroid table (kmeans_ivf_assign
-    # / knn_ivf_learned / build_ivf_pq_index each learned an identical
-    # sample-Lloyd quantizer; parquet doubles round-trip exactly).
-    "kmeans_ivf_assign",
-    "knn_cosine_ivf_learned",
+    "dedup_containment_canonical",
 ]
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
@@ -100,100 +78,50 @@ _PLAN_CHANGED: list[str] = [
 # the round's artifacts) are harmless and cleared opportunistically.
 _PKG = "cir_duplicate_detector_spark"
 _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
-    f"{_PKG}/plans/__init__.py": "round-11 rotation metadata reset"
-    " (cleared round-10 _ROUND_EDITS — all r10 entries driver-verified"
-    " and committed); no query plan or result touched",
-    f"{_PKG}/operators/multimodal.py": "NEW image_band_index /"
-    " image_screen_from_index / image_screen operators only (the"
-    " lsh_screen posture applied to the image path, VERDICT r10 item"
-    " 4); no existing operator touched",
-    f"{_PKG}/streaming/windows.py": "NEW streaming_image_screen and"
-    " streaming_label_upsert twins only; no existing streaming result"
+    f"{_PKG}/plans/__init__.py": "round-12 rotation metadata reset"
+    " (cleared round-11 _ROUND_EDITS/_PLAN_CHANGED — all r11 entries"
+    " driver-verified and committed); no query plan or result touched",
+    f"{_PKG}/cache.py": "NEW shared_artifact helper (ADVICE r11): the"
+    " memoize-to-parquet pattern factored to one definition with"
+    " atexit temp-dir cleanup + stale-application eviction; no query"
+    " plan or result touched",
+    f"{_PKG}/plans/ext_ann.py": "shared-artifact sites"
+    " (_shared_coarse_centroids/_shared_ivfpq_index/"
+    "_shared_upsert_quantizer/_shared_semantic_cells) rehosted onto"
+    " cache.shared_artifact — identical build expressions, identical"
+    " parquet contents, lifecycle only; no plan or result touched",
+    f"{_PKG}/plans/ext_pipeline.py": "_shared_decon_cells rehosted"
+    " onto cache.shared_artifact (same move); no plan or result"
     " touched",
-    f"{_PKG}/plans/ext_multimodal.py": "NEW image_screen (+streaming"
-    " twin) and image_index_roundtrip registrations only (new queries"
-    " lead the rotation as never-verified); no existing query touched",
-    f"{_PKG}/plans/extension_queries.py": "round-11 _ORDER additions"
-    " for the new registrations only; no existing query touched",
-    f"{_PKG}/plans/fingerprint.py": "NEW module: canonical logical-"
-    "plan fingerprints + the pure diff rule consumed by the"
-    " fingerprint lint (VERDICT r10 item 2); no query touched",
-    f"{_PKG}/operators/opq.py": "NEW module (r9/r10 stretch item):"
-    " OPQ-lite sample-learned dimension permutation — energy ranking,"
-    " balanced snake-deal assignment, lazy one-row-broadcast apply;"
-    " touches no existing operator",
-    f"{_PKG}/plans/ext_ann.py": (
-        "kmeans_ivf_assign",
-        "knn_cosine_ivf_learned",
-        "opq_balance",
-    ),  # NEW semantic_cells_roundtrip + opq_balance registrations
-    # (new queries lead the rotation), plus: (r11 item 5, new
-    # query) + family-shared persisted coarse-centroid table serving
-    # kmeans_ivf_assign / knn_cosine_ivf_learned / the IVF-PQ build
-    # (see _PLAN_CHANGED; IVF-PQ probe plans scan the persisted index
-    # either way and their family is already queued)
-    f"{_PKG}/plans/ext_pipeline.py": "NEW decon_cells_roundtrip"
-    " registration only (persisted-cells serving twin of"
-    " decontaminate_semantic, completing VERDICT r10 item 5; new"
-    " query leads the rotation as never-verified) plus NEW"
-    " hybrid_search / hybrid_search_served / hybrid_recall"
-    " registrations (RRF fusion of bm25_search and a semantic top-k —"
-    " exact brute-force and persisted-IVF-PQ serving variants, plus"
-    " the served-vs-exact fused-ranking recall diagnostic; new"
-    " queries, lead the rotation); no existing query touched",
-    f"{_PKG}/plans/ext_analytics.py": "corpus_bucketed_join staging"
-    " tag made hex (md5 of the unique mkdtemp dir) so the salted"
-    " catalog names normalize under the plan canonicalizer —"
-    " PLAN-ONLY naming change, per-invocation isolation preserved,"
-    " results identical (oracle green); the query's fingerprint goes"
-    " VOLATILE -> stable, closing the registry's last unlintable"
-    " entry",
-    f"{_PKG}/operators/retrieval.py": "NEW module: rrf_fuse /"
-    " map_probe_ranks / hybrid_search — BM25 lexical + cosine"
-    " semantic rankings fused by reciprocal-rank fusion (new query"
-    " family); touches no existing operator",
-    f"{_PKG}/operators/dedup.py": "NEW label_upsert operator"
-    " (incremental duplicate-cluster maintenance: band-probe + exact"
-    " Jaccard verify via jaccard_pairs' size-gated strategy with an"
-    " optional hashed_b cross-corpus side + min-label adoption) and"
-    " optional passthrough `keep` parameters on banded_keys /"
-    " minhash_signatures (defaults () / None = identical expressions);"
-    " no existing operator result touched",
-    f"{_PKG}/operators/kmeans.py": "kmeans_ivf_assign grew an optional"
-    " prebuilt-coarse parameter (skips the sample-Lloyd learn when the"
-    " family-shared persisted table is supplied); default path"
-    " untouched, identity pinned by unit test",
-    f"{_PKG}/operators/similarity.py": "knn_ivf_learned grew an"
-    " optional prebuilt-centroids parameter (same shared-quantizer"
-    " move); default path untouched",
-    f"{_PKG}/operators/pq.py": "packed ADC scoring (VERDICT r10 item"
-    " 1): the index stores M-slot code arrays, per-(query, cell)"
-    " lookup tables come from transform over the broadcast packed"
-    " codebook, and scoring is O(1) element_at lookups — PLAN-ONLY:"
-    " the same doubles fold in the same left-assoc subspace order, so"
-    " adc_dist is bit-equal (knn_ivf_pq/_refined/pq_recall parity"
-    " re-run green, index-roundtrip identity test green); 10x growth"
-    " 7.65x -> 1.53x; build_ivf_pq_index additionally grew an optional"
-    " prebuilt-coarse-centroids parameter (parquet doubles round-trip"
-    " exactly, so cells/residuals/codes are identical)",
+    f"{_PKG}/plans/fingerprint.py": "_REPART_EXPR anchored to the"
+    " trailing ', N' at line end (ADVICE r11 — bracket-bearing"
+    " expression lists no longer leak the partition count); lint"
+    " infrastructure only, no query touched",
+    f"{_PKG}/operators/opq.py": "apply_permutation fails loudly on a"
+    " malformed permutation (ADVICE r11 when/raise_error guard);"
+    " consumed by no registered query (opq_balance uses"
+    " opq_assignment/opq_permutation only)",
+    f"{_PKG}/operators/pq.py": "build_ivf_pq_index raises when a"
+    " prebuilt coarse table is combined with explicit learn"
+    " parameters (ADVICE r11); plan-time validation only",
+    f"{_PKG}/operators/similarity.py": "knn_ivf_learned conflicting-"
+    "parameter guard (same ADVICE item); plan-time validation only",
+    f"{_PKG}/operators/kmeans.py": "kmeans_ivf_assign conflicting-"
+    "parameter guard (same ADVICE item); plan-time validation only",
     f"{_PKG}/plans/ext_dedup.py": (
-        "dedup_ngram_jaccard",
-        "doc_topk_similar",
         "dedup_containment",
-        "minhash_recall",
-        "dup_clusters",
-        "cluster_representatives",
-        "dup_weighting",
-        "dup_labels_upsert",
-        "dup_labels_upsert_streaming",
-        "upsert_labels_agreement",
-    ),  # family-shared parquet-backed shingle index + dup-label table +
-    # recall truth-side restructure (see _PLAN_CHANGED) + NEW
-    # dup_labels_upsert (+streaming twin, +agreement diagnostic)
-    # registrations (brand-new, lead the rotation)
-    f"{_PKG}/plans/ext_text.py": (
-        "dataset_split",
-    ),  # dataset_split serves from the shared dup-label table
+        "dedup_containment_canonical",
+        "dup_labels_compact",
+        "dup_labels_roundtrip",
+    ),  # shared-artifact rehost (lifecycle only) + replica-safe probe
+    # band (see _PLAN_CHANGED) + NEW dup_labels_compact /
+    # dup_labels_roundtrip registrations (brand-new, lead rotation)
+    f"{_PKG}/operators/dedup.py": "NEW label_compact operator (the"
+    " full-closure compaction half of label_upsert's contract) only;"
+    " no existing operator touched",
+    f"{_PKG}/plans/extension_queries.py": "round-12 _ORDER additions"
+    " for the new dup_labels_compact / dup_labels_roundtrip"
+    " registrations only; no existing query touched",
 }
 
 
@@ -306,6 +234,7 @@ for _batch, _streaming in [
     ("image_screen", "image_screen_streaming"),
     ("image_screen", "image_index_roundtrip"),
     ("dup_labels_upsert", "dup_labels_upsert_streaming"),
+    ("dup_labels_upsert", "dup_labels_roundtrip"),
     ("semantic_dedup_learned", "semantic_cells_roundtrip"),
     ("decontaminate_semantic", "decon_cells_roundtrip"),
     # salted_join is a physical-plan rewrite only — same answer, same

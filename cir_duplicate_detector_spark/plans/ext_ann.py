@@ -478,8 +478,7 @@ _COARSE_CENTS_SHARED: dict[tuple, object] = {}
 
 
 def _shared_coarse_centroids(spark, sf_dir):
-    import tempfile
-
+    from ..cache import shared_artifact
     from ..operators.kmeans import (
         KM_ITERS,
         KM_IVF_SAMPLE_MOD,
@@ -487,38 +486,35 @@ def _shared_coarse_centroids(spark, sf_dir):
         sqrt_sample_k,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cents = _COARSE_CENTS_SHARED.get(key)
-    if cents is None:
+    def build(d):
         emb = load_table(spark, sf_dir, "embeddings")
         sample = emb.where(F.col("vec_id") % KM_IVF_SAMPLE_MOD == 0)
         built = kmeans_centroids(
             sample, k=sqrt_sample_k(sample), iters=KM_ITERS
         ).select(F.col("cluster").alias("coarse"), "c")
-        d = tempfile.mkdtemp(prefix="coarse_cents_")
         built.write.mode("overwrite").parquet(f"{d}/cents")
-        cents = spark.read.parquet(f"{d}/cents")
-        _COARSE_CENTS_SHARED[key] = cents
-    return cents
+        return spark.read.parquet(f"{d}/cents")
+
+    return shared_artifact(
+        _COARSE_CENTS_SHARED, spark, sf_dir, "coarse_cents_", build
+    )
 
 
 def _shared_ivfpq_index(spark, sf_dir):
-    import tempfile
-
+    from ..cache import shared_artifact
     from ..operators import pq
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    idx = _IVFPQ_SHARED.get(key)
-    if idx is None:
+    def build(d):
         emb = load_table(spark, sf_dir, "embeddings")
         built = pq.build_ivf_pq_index(
             emb, coarse_cents=_shared_coarse_centroids(spark, sf_dir)
         )
-        d = tempfile.mkdtemp(prefix="ivfpq_shared_")
         pq.persist_ivf_pq_index(built, d)
-        idx = pq.read_ivf_pq_index(spark, d)
-        _IVFPQ_SHARED[key] = idx
-    return idx
+        return pq.read_ivf_pq_index(spark, d)
+
+    return shared_artifact(
+        _IVFPQ_SHARED, spark, sf_dir, "ivfpq_shared_", build
+    )
 
 
 def q_knn_ivf_pq(spark, sf_dir):
@@ -1068,24 +1064,22 @@ _UPSERT_Q_SHARED: dict[tuple, object] = {}
 
 
 def _shared_upsert_quantizer(spark, sf_dir):
-    import tempfile
-
+    from ..cache import shared_artifact
     from ..operators import kmeans
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    q = _UPSERT_Q_SHARED.get(key)
-    if q is None:
+    def build(d):
         emb = load_table(spark, sf_dir, "embeddings")
         coarse, fine = kmeans.ivf_quantizer(emb.where("vec_id % 2 = 0"))
-        d = tempfile.mkdtemp(prefix="upsert_q_")
         coarse.write.mode("overwrite").parquet(f"{d}/coarse")
         fine.write.mode("overwrite").parquet(f"{d}/fine")
-        q = (
+        return (
             spark.read.parquet(f"{d}/coarse"),
             spark.read.parquet(f"{d}/fine"),
         )
-        _UPSERT_Q_SHARED[key] = q
-    return q
+
+    return shared_artifact(
+        _UPSERT_Q_SHARED, spark, sf_dir, "upsert_q_", build
+    )
 
 
 def q_ivf_upsert_assign(spark, sf_dir):
@@ -1511,24 +1505,22 @@ _SEM_CELLS_SHARED: dict[tuple, object] = {}
 
 
 def _shared_semantic_cells(spark, sf_dir):
-    import tempfile
-
+    from ..cache import shared_artifact
     from ..operators.kmeans import kmeans_ivf_assign
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cells = _SEM_CELLS_SHARED.get(key)
-    if cells is None:
+    def build(d):
         corpus = derive_near_dup_embeddings(
             load_table(spark, sf_dir, "embeddings")
         )
         built = kmeans_ivf_assign(corpus).select(
             "vec_id", "coarse", "fine"
         )
-        d = tempfile.mkdtemp(prefix="sem_cells_")
         built.write.mode("overwrite").parquet(f"{d}/cells")
-        cells = spark.read.parquet(f"{d}/cells")
-        _SEM_CELLS_SHARED[key] = cells
-    return cells
+        return spark.read.parquet(f"{d}/cells")
+
+    return shared_artifact(
+        _SEM_CELLS_SHARED, spark, sf_dir, "sem_cells_", build
+    )
 
 
 def q_semantic_dedup_learned(spark, sf_dir):

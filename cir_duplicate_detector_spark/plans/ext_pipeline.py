@@ -854,13 +854,10 @@ _DECON_CELLS_SHARED: dict[tuple, object] = {}
 
 
 def _shared_decon_cells(spark, sf_dir):
-    import tempfile
-
+    from ..cache import shared_artifact
     from ..operators.kmeans import ivf_assign_from_index, ivf_quantizer
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cells = _DECON_CELLS_SHARED.get(key)
-    if cells is None:
+    def build(d):
         corpus = derive_near_dup_embeddings(
             load_table(spark, sf_dir, "embeddings")
         )
@@ -869,11 +866,12 @@ def _shared_decon_cells(spark, sf_dir):
         built = ivf_assign_from_index(coarse, fine, corpus).select(
             "vec_id", "coarse", "fine"
         )
-        d = tempfile.mkdtemp(prefix="decon_cells_")
         built.write.mode("overwrite").parquet(f"{d}/cells")
-        cells = spark.read.parquet(f"{d}/cells")
-        _DECON_CELLS_SHARED[key] = cells
-    return cells
+        return spark.read.parquet(f"{d}/cells")
+
+    return shared_artifact(
+        _DECON_CELLS_SHARED, spark, sf_dir, "decon_cells_", build
+    )
 
 
 def q_decontaminate_semantic(spark, sf_dir):

@@ -223,6 +223,8 @@ _ORDER = [
     "dup_labels_upsert",
     "dup_labels_upsert_streaming",
     "upsert_labels_agreement",
+    "dup_labels_compact",
+    "dup_labels_roundtrip",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (

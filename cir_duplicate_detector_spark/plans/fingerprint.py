@@ -52,7 +52,13 @@ _OBJ_HASH = re.compile(r"@[0-9a-f]{6,}")
 # literal, not the count): `Repartition N, shuffle` puts the count
 # first; `RepartitionByExpression [exprs], N` puts it last.
 _REPART = re.compile(r"\b(Repartition) \d+")
-_REPART_EXPR = re.compile(r"\b(RepartitionByExpression \[[^\n\]]*\]), \d+")
+# Anchored to the trailing `, N` at end-of-line (ADVICE r11): a lazy
+# `\[[^\]]*\]` stops at the FIRST `]`, so an expression list that
+# itself prints brackets (array indexing a#1[0], nested sort orders)
+# would leak the environment-dependent partition count.
+_REPART_EXPR = re.compile(
+    r"\b(RepartitionByExpression .*), \d+$", re.MULTILINE
+)
 
 
 def canonical_plan(df) -> str:

@@ -931,3 +931,89 @@ def test_label_upsert_adopts_existing_labels(spark):
     assert {k: (v.label, v.matched) for k, v in out.items()} == {
         k: (v.label, v.matched) for k, v in served.items()
     }
+
+
+def test_label_compact_churn_categories(spark):
+    # The full-closure compaction realizes exactly what the per-wave
+    # labeler defers: batch-internal pairs (adopted_internal) and
+    # merges/renames via bridge docs (merged) — while untouched docs
+    # stay 'unchanged'. Labels only ever move DOWN (union graph is a
+    # supergraph of the wave's existing-only view).
+    from cir_duplicate_detector_spark.operators import dedup
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    t_b = "one two three four five six seven eight nine ten eleven " * 4
+    t_c = "red orange yellow green blue indigo violet crimson amber " * 4
+    t_e = "north south east west up down left right front back mid " * 4
+    existing = spark.createDataFrame(
+        [(0, t_a), (1, t_a), (4, t_b)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(3, t_b), (10, t_a), (11, t_c), (12, t_c), (13, t_b), (20, t_e)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.label_compact(existing, incoming).collect()
+    }
+    assert len(out) == 9
+    # existing cluster {0,1} untouched
+    assert (out[0].label, out[0].churn) == (0, "unchanged")
+    assert (out[1].label, out[1].churn) == (0, "unchanged")
+    assert not out[0].is_incoming
+    # existing singleton 4: incoming 3 (smaller id) joins its cluster,
+    # so the full-closure label moves down — a rename the wave could
+    # not see (it had adopted label 4).
+    assert (out[4].old_label, out[4].label, out[4].churn) == (
+        4, 3, "merged",
+    )
+    assert (out[3].old_label, out[3].label, out[3].churn) == (
+        4, 3, "merged",
+    )
+    assert (out[13].old_label, out[13].label, out[13].churn) == (
+        4, 3, "merged",
+    )
+    # matched incoming whose wave label survives compaction
+    assert (out[10].old_label, out[10].label, out[10].churn) == (
+        0, 0, "unchanged",
+    )
+    # batch-internal pair the wave deliberately skipped
+    assert (out[11].label, out[11].churn) == (11, "adopted_internal")
+    assert (out[12].label, out[12].churn) == (11, "adopted_internal")
+    # true singleton
+    assert (out[20].label, out[20].churn) == (20, "unchanged")
+    assert out[20].is_incoming
+
+
+def test_label_compact_reconciles_agreement(spark):
+    # VERDICT r11 item 2's done-criterion: the agreement diagnostic's
+    # deferred-merge and deferred-transitive-adoption counts must equal
+    # the compaction's churn counts — two independent implementations
+    # of the same contract (per-doc joins vs CASE classification)
+    # agreeing on the real derived corpus.
+    from cir_duplicate_detector_spark.plans.ext_dedup import (
+        q_dup_labels_compact,
+        q_upsert_labels_agreement,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    agree = q_upsert_labels_agreement(spark, sf).collect()
+    compact = q_dup_labels_compact(spark, sf).collect()
+    deferred_merges = sum(
+        1 for r in agree if r.matched and not r.label_equals_full
+    )
+    transitive_adoptions = sum(
+        1 for r in agree if not r.matched and r.reaches_existing
+    )
+    inc = [r for r in compact if r.is_incoming]
+    assert deferred_merges == sum(1 for r in inc if r.churn == "merged")
+    assert transitive_adoptions == sum(
+        1 for r in inc if r.churn == "adopted_existing"
+    )
+    # and the wave adoptions the compaction reports as unchanged really
+    # are the agreement's label_equals_full rows
+    agree_ok = {r.doc_id for r in agree if r.matched and r.label_equals_full}
+    compact_ok = {
+        r.doc_id for r in inc if r.churn == "unchanged" and r.old_label != r.doc_id
+    }
+    assert compact_ok <= agree_ok
