@@ -311,15 +311,21 @@ def main() -> None:
     # have no baseline to compare against — exactly the entries whose
     # FIRST recorded number matters most (round-6 advice): fall back to
     # an absolute trigger and re-measure any prev-less query over 12 s.
+    # Round-12 tightening (VERDICT r11 item 1): ~19 rows drifted
+    # 1.3-2.0x vs r10 with unchanged plan fingerprints — under the old
+    # >2.5x trigger that band of shared-JVM/load noise survived two
+    # consecutive rounds of min-merge. Re-time anything >1.35x (and
+    # >0.2 s absolute) over the previous artifact; a real regression
+    # stays slow on the fresh-GC re-run, a noise hit recovers.
     RECHECK_ABS_NEW = 12.0
-    RECHECK_CAP = 8
+    RECHECK_CAP = 24
     rechecked = 0
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
         p = prev.get(name)
         if p is None:
             if t <= RECHECK_ABS_NEW:
                 continue
-        elif t <= max(2.5 * p, p + 2.0):
+        elif t <= max(1.35 * p, p + 0.2):
             continue
         if rechecked >= RECHECK_CAP:
             print(f"# recheck cap hit; {name} kept at {t:.3f}s", file=sys.stderr)

@@ -677,6 +677,67 @@ def build_ivf_pq_index(
     return IvfPqIndex(cents, assigned, codebook, codes, m, subdim)
 
 
+def ivf_pq_upsert(
+    index: IvfPqIndex, incoming: DataFrame
+) -> "tuple[DataFrame, DataFrame]":
+    """Index maintenance for IVF-ADC (round 12): assign INCOMING
+    vectors to the index's existing coarse cells and residual-encode
+    them against its existing codebook — never a relearn. Returns
+    ``(assigned_new, codes_new)`` in exactly the index's relation
+    shapes, so :func:`merge_ivf_pq_index` can append them. The
+    expressions are byte-identical to :func:`build_ivf_pq_index`'s
+    assign/residual/encode tail (broadcast argmin, element-wise
+    subtract, packed M-slot codes), so a merged index equals a from-
+    scratch build whose LEARN samples were restricted to the original
+    corpus — the property the `hybrid_search_fresh` oracle checks."""
+    from ..cache import materialize
+    from .kmeans import _sq_dist
+
+    m, subdim = index.m, index.subdim
+    e = incoming.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = index.cents.select("coarse", "c")
+    assigned = materialize(
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "coarse", _sq_dist(F.col("e"), F.col("c")).alias("dc")
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dc", "coarse")).alias("mn"))
+        .select("vec_id", F.col("mn.coarse").alias("coarse"))
+    )
+    resid = (
+        e.join(assigned, "vec_id")
+        .join(F.broadcast(cents), "coarse")
+        .select(
+            "vec_id",
+            _minus(F.col("e"), F.col("c"), m * subdim).alias("embedding"),
+        )
+    )
+    codes = _pack_codes(
+        pq_encode(resid, index.codebook, m, subdim), index.codebook
+    )
+    return assigned, codes
+
+
+def merge_ivf_pq_index(
+    index: IvfPqIndex, assigned_new: DataFrame, codes_new: DataFrame
+) -> IvfPqIndex:
+    """Append an upsert wave's assignments/codes to a (possibly
+    persisted) index — pure relation union, no learned structure
+    touched: the merged index serves fresh vectors through the same
+    probe path (`knn_ivf_pq_from_index`) immediately."""
+    return IvfPqIndex(
+        index.cents,
+        index.assigned.unionByName(assigned_new),
+        index.codebook,
+        index.codes.unionByName(codes_new),
+        index.m,
+        index.subdim,
+    )
+
+
 _IVFPQ_PARTS = ("cents", "assigned", "codebook", "codes")
 
 

@@ -85,14 +85,21 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " memoize-to-parquet pattern factored to one definition with"
     " atexit temp-dir cleanup + stale-application eviction; no query"
     " plan or result touched",
-    f"{_PKG}/plans/ext_ann.py": "shared-artifact sites"
-    " (_shared_coarse_centroids/_shared_ivfpq_index/"
-    "_shared_upsert_quantizer/_shared_semantic_cells) rehosted onto"
-    " cache.shared_artifact — identical build expressions, identical"
-    " parquet contents, lifecycle only; no plan or result touched",
-    f"{_PKG}/plans/ext_pipeline.py": "_shared_decon_cells rehosted"
-    " onto cache.shared_artifact (same move); no plan or result"
-    " touched",
+    f"{_PKG}/plans/ext_ann.py": (
+        "pq_recall_skewed",
+        "pq_recall_skewed_opq",
+    ),  # NEW skewed-corpus OPQ A/B registrations (brand-new, lead the
+    # rotation); plus shared-artifact sites rehosted onto
+    # cache.shared_artifact — identical build expressions, identical
+    # parquet contents, lifecycle only, no existing plan or result
+    # touched
+    f"{_PKG}/plans/ext_pipeline.py": (
+        "hybrid_search_fresh",
+    ),  # NEW hybrid-over-continuous-ingest registration (brand-new,
+    # leads the rotation: stale-idf BM25 over all docs + even-half
+    # persisted IVF-PQ merged with the odd wave's upsert); plus
+    # _shared_decon_cells rehosted onto cache.shared_artifact
+    # (lifecycle only, no existing plan or result touched)
     f"{_PKG}/plans/fingerprint.py": "_REPART_EXPR anchored to the"
     " trailing ', N' at line end (ADVICE r11 — bracket-bearing"
     " expression lists no longer leak the partition count); lint"
@@ -103,7 +110,10 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " opq_assignment/opq_permutation only)",
     f"{_PKG}/operators/pq.py": "build_ivf_pq_index raises when a"
     " prebuilt coarse table is combined with explicit learn"
-    " parameters (ADVICE r11); plan-time validation only",
+    " parameters (ADVICE r11, plan-time validation only) + NEW"
+    " ivf_pq_upsert / merge_ivf_pq_index operators (assign+encode"
+    " against an existing index, relation-union merge) consumed only"
+    " by the new hybrid_search_fresh query",
     f"{_PKG}/operators/similarity.py": "knn_ivf_learned conflicting-"
     "parameter guard (same ADVICE item); plan-time validation only",
     f"{_PKG}/operators/kmeans.py": "kmeans_ivf_assign conflicting-"
@@ -120,7 +130,8 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " full-closure compaction half of label_upsert's contract) only;"
     " no existing operator touched",
     f"{_PKG}/plans/extension_queries.py": "round-12 _ORDER additions"
-    " for the new dup_labels_compact / dup_labels_roundtrip"
+    " for the new dup_labels_compact / dup_labels_roundtrip /"
+    " pq_recall_skewed / pq_recall_skewed_opq / hybrid_search_fresh"
     " registrations only; no existing query touched",
 }
 

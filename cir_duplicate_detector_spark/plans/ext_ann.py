@@ -332,6 +332,7 @@ def _sql_ivf_pq_chain(
     probes_body: str = "SELECT vec_id AS query_id, e FROM n"
     " WHERE vec_id % 100 = 0",
     topk: int = 5,
+    train_pred: "str | None" = None,
 ) -> str:
     """CTE chain (appends to an open WITH providing ``n``) ending in
     ``ivfpq`` = (query_id, neighbor_id, rank, adc_dist) — the SQL twin
@@ -349,6 +350,10 @@ def _sql_ivf_pq_chain(
     cb_iters = _pq.PQ_LLOYD_ITERS
     iters, salts = kmeans.KM_ITERS, kmeans.KM_SALTS
     smod = kmeans.KM_IVF_SAMPLE_MOD
+    # Learn-sample predicate: default is the whole-corpus mod sample;
+    # hybrid_search_fresh restricts learning to the INDEXED half while
+    # assign/encode still cover all of n (the upsert-merge identity).
+    tp = train_pred or f"vec_id % {smod} = 0"
     dim = m * sd
     k_sqrt = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM s)"
     pd_pivots = ", ".join(
@@ -370,7 +375,7 @@ def _sql_ivf_pq_chain(
         f" * (q.e[c.subspace * {sd} + j] - c.csub[j])))"
     )
     return f""",
-s AS (SELECT vec_id, e FROM n WHERE vec_id % {smod} = 0)
+s AS (SELECT vec_id, e FROM n WHERE {tp})
 {_sql_kmeans_lloyd('s', k_sqrt, iters, salts)},
 coarse AS (SELECT cluster AS coarse, c FROM cent{iters}),
 assigned AS (
@@ -387,7 +392,7 @@ resid AS (
          list_transform(range(1, {dim + 1}), j -> n.e[j] - co.c[j]) AS e
   FROM n JOIN assigned a USING (vec_id) JOIN coarse co USING (coarse)
 ),
-rs AS (SELECT vec_id, e FROM resid WHERE vec_id % {smod} = 0),
+rs AS (SELECT vec_id, e FROM resid WHERE {tp}),
 probes AS ({probes_body}),
 pcells AS (
   SELECT query_id, coarse FROM (
@@ -411,7 +416,7 @@ sub AS (
          list_transform(range(1, {sd + 1}), j -> e[sp.m * {sd} + j]) AS sub
   FROM resid, subspaces sp
 ),
-tsub AS (SELECT * FROM sub WHERE vec_id % {smod} = 0)
+tsub AS (SELECT * FROM sub WHERE {tp})
 {_sql_pq_lloyd(cb_iters, salts, sd, kcw, sub_src='tsub', seed_src='rs')},
 codes AS (
   SELECT vec_id, subspace, cid AS code FROM (
@@ -683,6 +688,210 @@ def _sql_pq_recall() -> str:
     panel = f"SELECT vec_id, e FROM n ORDER BY {h}, vec_id LIMIT 32"
     return f"""
 WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+{_sql_ivf_pq_chain(
+    probes_body=f"SELECT vec_id AS query_id, e FROM ({panel})",
+    topk=PQ_REFINE,
+)}
+{_sql_refined(5)},
+adc AS (SELECT query_id, neighbor_id FROM ivfpq WHERE rank <= 5),
+bfs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SQL_L2_QC} AS l2sq
+  FROM ({panel}) q, n c
+  WHERE q.vec_id <> c.vec_id
+),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY l2sq, neighbor_id
+    ) AS rank FROM bfs
+  ) WHERE rank <= 5
+)
+SELECT bf.query_id, count(*) AS n_true,
+       sum(CASE WHEN adc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit_adc,
+       sum(CASE WHEN adc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         / count(*) AS recall_adc,
+       sum(CASE WHEN refined.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit_refined,
+       sum(CASE WHEN refined.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         / count(*) AS recall_refined
+FROM bf
+LEFT JOIN adc
+  ON bf.query_id = adc.query_id AND bf.neighbor_id = adc.neighbor_id
+LEFT JOIN refined
+  ON bf.query_id = refined.query_id AND bf.neighbor_id = refined.neighbor_id
+GROUP BY bf.query_id
+"""
+
+
+def _skewed_embeddings(spark, sf_dir):
+    """Deterministically SKEWED embedding corpus: dimensions 0-3
+    scaled ×8 (exact in binary, so both engines multiply the same
+    double), concentrating ~64× of the per-subspace energy into
+    subspace 0 under PQ's identity dimension layout — the corpus shape
+    OPQ exists for. The `_ppm_media` fixture stance: the provided
+    testdata is ~isotropic (`opq_balance` measures before ≈ after), so
+    the skewed variant is derived, not synthesized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, i: F.when(i < 4, x * F.lit(8.0)).otherwise(x),
+    )
+    return emb.select("vec_id", scaled.alias("embedding"))
+
+
+def _pq_recall_panel(corpus):
+    from ..functions.text import hash60
+
+    return (
+        corpus.select(
+            "vec_id",
+            hash60(F.col("vec_id").cast("string"), seed="pqr").alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(32)
+        .select("vec_id")
+    )
+
+
+def _pq_recall_over(spark, corpus):
+    """`pq_recall`'s exact shape (fixed 32-probe panel, shared ADC
+    shortlist, brute-force L2 truth) over an arbitrary corpus — the
+    harness behind the skewed-corpus OPQ A/B rows."""
+    from ..cache import materialize
+    from ..operators import pq
+
+    probe = _pq_recall_panel(corpus)
+    bf = pq.knn_l2_bruteforce(corpus, probe, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    short = materialize(
+        pq.knn_ivf_pq_from_index(
+            pq.build_ivf_pq_index(corpus), corpus, probe, k=PQ_REFINE
+        )
+    )
+    adc = short.where(F.col("rank") <= 5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_adc")
+    )
+    ref = pq.pq_refine(corpus, short, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit_ref")
+    )
+    return (
+        bf.join(adc, ["query_id", "neighbor_id"], "left")
+        .join(ref, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit_adc"), F.lit(0))).alias("n_hit_adc"),
+            F.sum(F.coalesce(F.col("hit_ref"), F.lit(0))).alias(
+                "n_hit_refined"
+            ),
+        )
+        .select(
+            "query_id",
+            "n_true",
+            "n_hit_adc",
+            (F.col("n_hit_adc") / F.col("n_true")).alias("recall_adc"),
+            "n_hit_refined",
+            (F.col("n_hit_refined") / F.col("n_true")).alias(
+                "recall_refined"
+            ),
+        )
+    )
+
+
+def q_pq_recall_skewed(spark, sf_dir):
+    """IVF-PQ recall on the SKEWED corpus under the IDENTITY dimension
+    layout — the A side of the end-to-end OPQ A/B (VERDICT r11 item 7):
+    with dims 0-3 carrying ~64× energy, vanilla PQ spends ONE
+    256-codeword codebook on all four hot dimensions (subspace 0) and
+    fifteen codebooks on near-noise — the allocation failure
+    `opq_balance` quantifies and the B row (`pq_recall_skewed_opq`)
+    corrects. Same fixed 32-probe panel and shortlist shape as
+    `pq_recall`, so the three rows compare directly."""
+    from ..cache import materialize
+
+    return _pq_recall_over(
+        spark, materialize(_skewed_embeddings(spark, sf_dir))
+    )
+
+
+def q_pq_recall_skewed_opq(spark, sf_dir):
+    """The B side of the OPQ A/B: the identical IVF-PQ recall harness
+    after `opq.apply_permutation` re-orders dimensions by the
+    sample-learned balanced snake-deal (`opq.opq_permutation`) — the
+    hot dims 0-3 rank top-4 by energy and deal onto FOUR different
+    subspaces, so each gets its own codebook's resolution. Exact-L2
+    truth is permutation-invariant (the panel and neighbor ids are
+    unchanged), so the recall delta vs `pq_recall_skewed` is exactly
+    what the permutation buys on a corpus that needs it — measured
+    end-to-end, completing the unit-level claim (planted-skew balance
+    >100× → <3×, `tests/test_extensions.py`). The shipped isotropic
+    config stays unpermuted (`opq_balance` shows before ≈ after
+    there)."""
+    from ..cache import materialize
+    from ..operators import opq
+
+    emb = _skewed_embeddings(spark, sf_dir)
+    perm = opq.opq_permutation(emb)
+    return _pq_recall_over(
+        spark, materialize(opq.apply_permutation(emb, perm))
+    )
+
+
+def _sql_pq_recall_skewed(permuted: bool) -> str:
+    """DuckDB twin of the skewed-corpus recall rows: the skew scaling,
+    the (optional) learned permutation (the `opq_balance` oracle's
+    energy-rank + snake-deal chain), then the standard IVF-PQ chain +
+    refine + recall tail over the transformed corpus ``n``."""
+    from ..operators.kmeans import KM_IVF_SAMPLE_MOD, KM_SALTS
+    from ..operators.pq import IVFPQ_M, IVFPQ_SUBDIM
+
+    m, sd = IVFPQ_M, IVFPQ_SUBDIM
+    skew = (
+        "list_transform(range(1, 65),"
+        " j -> CASE WHEN j <= 4 THEN (embedding::DOUBLE[])[j] * 8.0"
+        " ELSE (embedding::DOUBLE[])[j] END)"
+    )
+    if permuted:
+        n_def = f""",
+op_s AS (SELECT vec_id, e FROM n0 WHERE vec_id % {KM_IVF_SAMPLE_MOD} = 0),
+op_pe AS (
+  SELECT vec_id, j.j - 1 AS pos, op_s.e[j.j] * op_s.e[j.j] AS v2
+  FROM op_s CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+),
+op_p1 AS (
+  SELECT pos, vec_id % {KM_SALTS} AS salt,
+         list_sum(list(v2 ORDER BY vec_id)) AS psum
+  FROM op_pe GROUP BY 1, 2
+),
+op_en AS (
+  SELECT pos, list_sum(list(psum ORDER BY salt)) AS energy
+  FROM op_p1 GROUP BY pos
+),
+op_ranked AS (
+  SELECT pos, row_number() OVER (ORDER BY energy DESC, pos) - 1 AS r
+  FROM op_en
+),
+op_asg AS (
+  SELECT pos, r // {m} AS block,
+         CASE WHEN (r // {m}) % 2 = 0 THEN r % {m}
+              ELSE {m - 1} - (r % {m}) END AS subspace
+  FROM op_ranked
+),
+op_perm AS (
+  SELECT list(pos + 1 ORDER BY subspace * {sd} + block) AS pm FROM op_asg
+),
+n AS (
+  SELECT vec_id, list_transform(range(1, 65), i -> e[pm[i]]) AS e
+  FROM n0, op_perm
+)"""
+    else:
+        n_def = ",\nn AS (SELECT vec_id, e FROM n0)"
+    h = hash60_sql("vec_id::VARCHAR", "'pqr'")
+    panel = f"SELECT vec_id, e FROM n ORDER BY {h}, vec_id LIMIT 32"
+    return f"""
+WITH n0 AS (SELECT vec_id, {skew} AS e FROM embeddings){n_def}
 {_sql_ivf_pq_chain(
     probes_body=f"SELECT vec_id AS query_id, e FROM ({panel})",
     topk=PQ_REFINE,
@@ -1686,6 +1895,11 @@ ANN_QUERIES: dict[str, tuple] = {
     "knn_ivf_pq": (q_knn_ivf_pq, _sql_knn_ivf_pq()),
     "knn_ivf_pq_refined": (q_knn_ivf_pq_refined, _sql_knn_ivf_pq_refined()),
     "pq_recall": (q_pq_recall, _sql_pq_recall()),
+    "pq_recall_skewed": (q_pq_recall_skewed, _sql_pq_recall_skewed(False)),
+    "pq_recall_skewed_opq": (
+        q_pq_recall_skewed_opq,
+        _sql_pq_recall_skewed(True),
+    ),
     "ann_recall_lsh": (q_ann_recall_lsh, SQL_ANN_RECALL_LSH),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),

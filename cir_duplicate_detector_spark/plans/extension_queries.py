@@ -86,6 +86,8 @@ _ORDER = [
     "knn_ivf_pq",
     "knn_ivf_pq_refined",
     "pq_recall",
+    "pq_recall_skewed",
+    "pq_recall_skewed_opq",
     "ann_recall_lsh",
     "embedding_near_dup",
     "text_quality",
@@ -218,6 +220,7 @@ _ORDER = [
     "hybrid_search",
     "hybrid_search_served",
     "hybrid_recall",
+    "hybrid_search_fresh",
     "image_index_roundtrip",
     "opq_balance",
     "dup_labels_upsert",
