@@ -882,7 +882,7 @@ op_asg AS (
 op_perm AS (
   SELECT list(pos + 1 ORDER BY subspace * {sd} + block) AS pm FROM op_asg
 ),
-n AS (
+n AS MATERIALIZED (
   SELECT vec_id, list_transform(range(1, 65), i -> e[pm[i]]) AS e
   FROM n0, op_perm
 )"""

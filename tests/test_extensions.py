@@ -468,6 +468,41 @@ def test_ivf_pq_index_roundtrip_identical(spark, tmp_path):
     assert rows(composed) == rows(direct)
 
 
+def test_ivf_pq_upsert_merge_serves_fresh(spark):
+    # The continuous-ingest claim behind hybrid_search_fresh: a wave
+    # upserted into a prebuilt index (assign to existing cells +
+    # residual-encode against the existing codebook, pure relation
+    # union) becomes retrievable through the unchanged probe path. The
+    # base index alone can only ever answer with indexed (even-id)
+    # neighbors; the merged index surfaces fresh (odd-id) ones. The
+    # full merged-equals-rebuilt identity is pinned by the registered
+    # query's oracle (train_pred-restricted chain).
+    from cir_duplicate_detector_spark.operators import pq
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = pq.build_ivf_pq_index(
+        emb.where("vec_id % 2 = 0"), n_codewords=32
+    )
+    a_new, c_new = pq.ivf_pq_upsert(base, emb.where("vec_id % 2 = 1"))
+    merged = pq.merge_ivf_pq_index(base, a_new, c_new)
+    probe = emb.select("vec_id").where("vec_id % 100 = 0")
+    res_base = pq.knn_ivf_pq_from_index(base, emb, probe, k=5).collect()
+    res_merged = pq.knn_ivf_pq_from_index(
+        merged, emb, probe, k=5
+    ).collect()
+    assert res_base and all(r.neighbor_id % 2 == 0 for r in res_base)
+    assert any(r.neighbor_id % 2 == 1 for r in res_merged)
+    # Upsert is deterministic (broadcast argmin + tie-to-smaller-cid
+    # encode): a second pass produces identical relations.
+    a2, c2 = pq.ivf_pq_upsert(base, emb.where("vec_id % 2 = 1"))
+    assert sorted(map(tuple, a_new.collect())) == sorted(
+        map(tuple, a2.collect())
+    )
+    assert sorted((r.vec_id, tuple(r.ca)) for r in c_new.collect()) == (
+        sorted((r.vec_id, tuple(r.ca)) for r in c2.collect())
+    )
+
+
 def test_image_index_roundtrip_identical(spark, tmp_path):
     # The persisted ahash band index must answer EXACTLY like the
     # in-session build — the soundness claim behind the registered
@@ -1492,3 +1527,34 @@ def test_opq_balances_planted_skew(spark):
     # every subspace got exactly 4 dims (bijection at the slot level)
     from collections import Counter
     assert set(Counter(s for s, _ in asg.values()).values()) == {4}
+
+
+def test_opq_ab_recall_improves_on_skew(spark):
+    # The end-to-end claim behind the pq_recall_skewed A/B rows
+    # (VERDICT r11 item 7): on a corpus where a few dimensions carry
+    # the energy (dims 0-3 scaled x8), the sample-learned balanced
+    # permutation materially improves RAW ADC recall@5 — measured
+    # 0.581 -> 0.775 at sf0.001 and 0.550 -> 0.725 at sf0.1 — while
+    # the exact refine stage saturates both variants at 1.0 here (the
+    # 64-candidate shortlist covers the truth at this corpus size).
+    # Floor at +0.10 to allow corpus variation without letting the
+    # delta silently collapse.
+    from cir_duplicate_detector_spark.plans.ext_ann import (
+        q_pq_recall_skewed,
+        q_pq_recall_skewed_opq,
+    )
+
+    def agg(rows):
+        return (
+            sum(r.n_hit_adc for r in rows) / sum(r.n_true for r in rows),
+            sum(r.n_hit_refined for r in rows)
+            / sum(r.n_true for r in rows),
+        )
+
+    adc_id, ref_id = agg(q_pq_recall_skewed(spark, SF_DIR).collect())
+    adc_opq, ref_opq = agg(q_pq_recall_skewed_opq(spark, SF_DIR).collect())
+    assert adc_opq >= adc_id + 0.10, (
+        f"OPQ permutation stopped helping ADC recall on the skewed "
+        f"corpus: identity={adc_id:.3f} opq={adc_opq:.3f}"
+    )
+    assert ref_opq >= ref_id - 1e-9
