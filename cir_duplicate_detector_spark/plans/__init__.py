@@ -95,6 +95,7 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     # touched
     f"{_PKG}/plans/ext_pipeline.py": (
         "hybrid_search_fresh",
+        "hybrid_fresh_recall",
     ),  # NEW hybrid-over-continuous-ingest registration (brand-new,
     # leads the rotation: stale-idf BM25 over all docs + even-half
     # persisted IVF-PQ merged with the odd wave's upsert); plus

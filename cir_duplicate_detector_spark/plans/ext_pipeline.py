@@ -650,6 +650,68 @@ FROM ex LEFT JOIN hit USING (query_id)
 """
 
 
+def q_hybrid_fresh_recall(spark, sf_dir):
+    """The self-measuring row for hybrid-over-ingest — the family
+    discipline (`hybrid_recall`, `pq_recall`, `minhash_recall`)
+    applied to `hybrid_search_fresh`'s TWO approximations at once:
+    fresh documents score against STALE background statistics (idf
+    from the indexed half) and fresh vectors carry residual codes from
+    the indexed half's codebook. recall = per-query |exact hybrid
+    top-10 ∩ fresh-serving hybrid top-10| / |exact top-10| against the
+    all-exact `hybrid_search` truth (exact BM25 over the full corpus +
+    exact brute-force cosine). Built by CALLING the two registered
+    query functions, so an edit to either propagates here
+    automatically. One division of exact integers per query."""
+    exact = q_hybrid_search(spark, sf_dir).select("query_id", "doc_id")
+    fresh = q_hybrid_search_fresh(spark, sf_dir).select(
+        "query_id", "doc_id"
+    )
+    ex = exact.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    hit = (
+        exact.join(fresh, ["query_id", "doc_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        ex.join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias(
+                "n_hit"
+            ),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint"))
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+
+
+def _sql_hybrid_fresh_recall() -> str:
+    # Both hybrid oracles embed as scoped nested-WITH CTEs (the
+    # hybrid_recall pattern), so the diagnostic measures exactly the
+    # two registered queries.
+    return f"""
+WITH exact_h AS ({_sql_hybrid_search()}),
+fresh_h AS ({_sql_hybrid_search_fresh()}),
+ex AS (
+  SELECT query_id, count(*)::BIGINT AS n_exact FROM exact_h GROUP BY 1
+),
+hit AS (
+  SELECT e.query_id, count(*)::BIGINT AS n_hit
+  FROM exact_h e JOIN fresh_h s USING (query_id, doc_id)
+  GROUP BY 1
+)
+SELECT ex.query_id, ex.n_exact,
+       coalesce(hit.n_hit, 0)::BIGINT AS n_hit,
+       coalesce(hit.n_hit, 0)::DOUBLE / ex.n_exact AS recall
+FROM ex LEFT JOIN hit USING (query_id)
+"""
+
+
 def q_bm25_route(spark, sf_dir):
     """BM25 percolation, batch form (`textops.bm25_route`): the fixed
     term panel STANDS as queries and documents arrive — the crawl-side
@@ -1560,6 +1622,10 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "hybrid_search_fresh": (
         q_hybrid_search_fresh,
         _sql_hybrid_search_fresh(),
+    ),
+    "hybrid_fresh_recall": (
+        q_hybrid_fresh_recall,
+        _sql_hybrid_fresh_recall(),
     ),
     "bm25_route": (q_bm25_route, _sql_bm25_route()),
     "bm25_route_streaming": (q_bm25_route_streaming, _sql_bm25_route()),

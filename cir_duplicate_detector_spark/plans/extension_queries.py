@@ -221,6 +221,7 @@ _ORDER = [
     "hybrid_search_served",
     "hybrid_recall",
     "hybrid_search_fresh",
+    "hybrid_fresh_recall",
     "image_index_roundtrip",
     "opq_balance",
     "dup_labels_upsert",
