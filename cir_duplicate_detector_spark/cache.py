@@ -44,6 +44,17 @@ def _cleanup_shared_dirs() -> None:
 atexit.register(_cleanup_shared_dirs)
 
 
+def tracked_mkdtemp(prefix: str) -> str:
+    """``tempfile.mkdtemp`` registered for atexit removal — for the
+    per-invocation roundtrip queries (build → parquet → read → serve),
+    which deliberately stay OFF the memoized `shared_artifact` path
+    (their build cost is the thing on the clock) but must not leak a
+    /tmp dir per bench run (review r12)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SHARED_DIRS.append(d)
+    return d
+
+
 def shared_artifact(
     cache: dict,
     spark: SparkSession,

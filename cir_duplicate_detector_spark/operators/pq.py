@@ -343,6 +343,41 @@ def _minus(a: Column, b: Column, dim: int) -> Column:
     )
 
 
+def _coarse_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Full-corpus coarse-cell assignment: broadcast argmin against the
+    ``(coarse, c)`` centroid table, ties to the lower cell id. THE
+    single definition shared by the index build and the upsert path —
+    the merged-index-equals-rebuilt identity (`ivf_pq_upsert`) is
+    structural because both call this."""
+    from .kmeans import _sq_dist
+
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "coarse", _sq_dist(F.col("e"), F.col("c")).alias("dc")
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dc", "coarse")).alias("mn"))
+        .select("vec_id", F.col("mn.coarse").alias("coarse"))
+    )
+
+
+def _residualize(
+    e: DataFrame, assigned: DataFrame, cents: DataFrame, dim: int
+) -> DataFrame:
+    """Residuals r(v) = v − centroid(cell(v)) — one element-wise
+    subtract against the broadcast centroid table; shared by the build
+    and upsert paths like :func:`_coarse_assign`."""
+    return (
+        e.join(assigned, "vec_id")
+        .join(F.broadcast(cents), "coarse")
+        .select(
+            "vec_id",
+            _minus(F.col("e"), F.col("c"), dim).alias("embedding"),
+        )
+    )
+
+
 def _adc_topk(pd_rows: DataFrame, m: int, k: int) -> DataFrame:
     """Rank candidates by ADC distance. ``pd_rows`` carries one row per
     (query_id, neighbor_id, subspace) with that subspace's partial
@@ -638,27 +673,10 @@ def build_ivf_pq_index(
                 iters=KM_ITERS if coarse_iters is None else coarse_iters,
             ).select(F.col("cluster").alias("coarse"), "c")
         )
-    assigned = materialize(
-        e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "coarse", _sq_dist(F.col("e"), F.col("c")).alias("dc")
-        )
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("dc", "coarse")).alias("mn"))
-        .select("vec_id", F.col("mn.coarse").alias("coarse"))
-    )
-    # Residuals r(v) = v − centroid(cell(v)): the thing PQ quantizes.
-    # One element-wise subtract against the broadcast centroid table;
-    # materialized because both codebook training and the encode pass
-    # read it.
-    resid = materialize(
-        e.join(assigned, "vec_id")
-        .join(F.broadcast(cents), "coarse")
-        .select(
-            "vec_id",
-            _minus(F.col("e"), F.col("c"), m * subdim).alias("embedding"),
-        )
-    )
+    assigned = materialize(_coarse_assign(e, cents))
+    # Residuals materialized because both codebook training and the
+    # encode pass read them.
+    resid = materialize(_residualize(e, assigned, cents, m * subdim))
     codebook = materialize(
         pq_codebook_learned(
             resid,
@@ -685,36 +703,21 @@ def ivf_pq_upsert(
     them against its existing codebook — never a relearn. Returns
     ``(assigned_new, codes_new)`` in exactly the index's relation
     shapes, so :func:`merge_ivf_pq_index` can append them. The
-    expressions are byte-identical to :func:`build_ivf_pq_index`'s
-    assign/residual/encode tail (broadcast argmin, element-wise
-    subtract, packed M-slot codes), so a merged index equals a from-
+    assign/residual/encode tail is SHARED CODE with
+    :func:`build_ivf_pq_index` (`_coarse_assign` / `_residualize` /
+    `_pack_codes(pq_encode(...))`), so a merged index equals a from-
     scratch build whose LEARN samples were restricted to the original
-    corpus — the property the `hybrid_search_fresh` oracle checks."""
+    corpus structurally, not by convention — the property the
+    `hybrid_search_fresh` oracle checks."""
     from ..cache import materialize
-    from .kmeans import _sq_dist
 
     m, subdim = index.m, index.subdim
     e = incoming.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     cents = index.cents.select("coarse", "c")
-    assigned = materialize(
-        e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "coarse", _sq_dist(F.col("e"), F.col("c")).alias("dc")
-        )
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("dc", "coarse")).alias("mn"))
-        .select("vec_id", F.col("mn.coarse").alias("coarse"))
-    )
-    resid = (
-        e.join(assigned, "vec_id")
-        .join(F.broadcast(cents), "coarse")
-        .select(
-            "vec_id",
-            _minus(F.col("e"), F.col("c"), m * subdim).alias("embedding"),
-        )
-    )
+    assigned = materialize(_coarse_assign(e, cents))
+    resid = _residualize(e, assigned, cents, m * subdim)
     codes = _pack_codes(
         pq_encode(resid, index.codebook, m, subdim), index.codebook
     )

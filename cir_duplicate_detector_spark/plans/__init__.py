@@ -83,8 +83,9 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " driver-verified and committed); no query plan or result touched",
     f"{_PKG}/cache.py": "NEW shared_artifact helper (ADVICE r11): the"
     " memoize-to-parquet pattern factored to one definition with"
-    " atexit temp-dir cleanup + stale-application eviction; no query"
-    " plan or result touched",
+    " atexit temp-dir cleanup + stale-application eviction, plus"
+    " tracked_mkdtemp for the per-invocation roundtrip dirs (review"
+    " r12); no query plan or result touched",
     f"{_PKG}/plans/ext_ann.py": (
         "pq_recall_skewed",
         "pq_recall_skewed_opq",
@@ -114,7 +115,10 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " parameters (ADVICE r11, plan-time validation only) + NEW"
     " ivf_pq_upsert / merge_ivf_pq_index operators (assign+encode"
     " against an existing index, relation-union merge) consumed only"
-    " by the new hybrid_search_fresh query",
+    " by the new hybrid_search_fresh query; assign/residual tail"
+    " factored to _coarse_assign/_residualize shared by build and"
+    " upsert (review r12 — identical expressions, fingerprints"
+    " unchanged, lint-verified)",
     f"{_PKG}/operators/similarity.py": "knn_ivf_learned conflicting-"
     "parameter guard (same ADVICE item); plan-time validation only",
     f"{_PKG}/operators/kmeans.py": "kmeans_ivf_assign conflicting-"
@@ -134,6 +138,9 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " for the new dup_labels_compact / dup_labels_roundtrip /"
     " pq_recall_skewed / pq_recall_skewed_opq / hybrid_search_fresh"
     " registrations only; no existing query touched",
+    f"{_PKG}/plans/ext_multimodal.py": "image_index_roundtrip's temp"
+    " dir registered for atexit cleanup via cache.tracked_mkdtemp"
+    " (review r12); lifecycle only, no plan or result touched",
 }
 
 

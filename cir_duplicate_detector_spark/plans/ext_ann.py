@@ -633,54 +633,8 @@ def q_pq_recall(spark, sf_dir):
     would make the diagnostic quadratic (measured 154 s at the 10×
     replica under ``% 100``; the panel keeps it linear — the same
     fixed-fraction discipline as `minhash_recall`'s probe sample)."""
-    from ..cache import materialize
-    from ..functions.text import hash60
-    from ..operators import pq
-
     emb = load_table(spark, sf_dir, "embeddings")
-    probe = (
-        emb.select("vec_id", hash60(F.col("vec_id").cast("string"),
-                                    seed="pqr").alias("h"))
-        .orderBy("h", "vec_id")
-        .limit(32)
-        .select("vec_id")
-    )
-    bf = pq.knn_l2_bruteforce(emb, probe, k=5).select(
-        "query_id", "neighbor_id"
-    )
-    short = materialize(
-        pq.knn_ivf_pq_from_index(
-            _shared_ivfpq_index(spark, sf_dir), emb, probe, k=PQ_REFINE
-        )
-    )
-    adc = short.where(F.col("rank") <= 5).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit_adc")
-    )
-    ref = pq.pq_refine(emb, short, k=5).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit_ref")
-    )
-    return (
-        bf.join(adc, ["query_id", "neighbor_id"], "left")
-        .join(ref, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count("*").alias("n_true"),
-            F.sum(F.coalesce(F.col("hit_adc"), F.lit(0))).alias("n_hit_adc"),
-            F.sum(F.coalesce(F.col("hit_ref"), F.lit(0))).alias(
-                "n_hit_refined"
-            ),
-        )
-        .select(
-            "query_id",
-            "n_true",
-            "n_hit_adc",
-            (F.col("n_hit_adc") / F.col("n_true")).alias("recall_adc"),
-            "n_hit_refined",
-            (F.col("n_hit_refined") / F.col("n_true")).alias(
-                "recall_refined"
-            ),
-        )
-    )
+    return _pq_recall_over(emb, index=_shared_ivfpq_index(spark, sf_dir))
 
 
 def _sql_pq_recall() -> str:
@@ -754,10 +708,12 @@ def _pq_recall_panel(corpus):
     )
 
 
-def _pq_recall_over(spark, corpus):
+def _pq_recall_over(corpus, index=None):
     """`pq_recall`'s exact shape (fixed 32-probe panel, shared ADC
-    shortlist, brute-force L2 truth) over an arbitrary corpus — the
-    harness behind the skewed-corpus OPQ A/B rows."""
+    shortlist, brute-force L2 truth) over an arbitrary corpus — ONE
+    definition serving `pq_recall` (pass the family-shared persisted
+    index) and the skewed-corpus OPQ A/B rows (``index=None`` builds
+    from scratch; the build is deliberately on the clock there)."""
     from ..cache import materialize
     from ..operators import pq
 
@@ -765,10 +721,10 @@ def _pq_recall_over(spark, corpus):
     bf = pq.knn_l2_bruteforce(corpus, probe, k=5).select(
         "query_id", "neighbor_id"
     )
+    if index is None:
+        index = pq.build_ivf_pq_index(corpus)
     short = materialize(
-        pq.knn_ivf_pq_from_index(
-            pq.build_ivf_pq_index(corpus), corpus, probe, k=PQ_REFINE
-        )
+        pq.knn_ivf_pq_from_index(index, corpus, probe, k=PQ_REFINE)
     )
     adc = short.where(F.col("rank") <= 5).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit_adc")
@@ -811,9 +767,7 @@ def q_pq_recall_skewed(spark, sf_dir):
     `pq_recall`, so the three rows compare directly."""
     from ..cache import materialize
 
-    return _pq_recall_over(
-        spark, materialize(_skewed_embeddings(spark, sf_dir))
-    )
+    return _pq_recall_over(materialize(_skewed_embeddings(spark, sf_dir)))
 
 
 def q_pq_recall_skewed_opq(spark, sf_dir):
@@ -834,9 +788,7 @@ def q_pq_recall_skewed_opq(spark, sf_dir):
 
     emb = _skewed_embeddings(spark, sf_dir)
     perm = opq.opq_permutation(emb)
-    return _pq_recall_over(
-        spark, materialize(opq.apply_permutation(emb, perm))
-    )
+    return _pq_recall_over(materialize(opq.apply_permutation(emb, perm)))
 
 
 def _sql_pq_recall_skewed(permuted: bool) -> str:
@@ -1783,11 +1735,11 @@ def q_semantic_cells_roundtrip(spark, sf_dir):
     every later pass joins the parquet. Output identical to
     `semantic_dedup_learned` (round-trip identity) — one oracle
     string by the registry guard."""
-    import tempfile
+    from ..cache import tracked_mkdtemp
 
     corpus = derive_near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
     cells = _shared_semantic_cells(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="sem_cells_rt_")
+    d = tracked_mkdtemp("sem_cells_rt_")
     cells.write.mode("overwrite").parquet(f"{d}/cells")
     return similarity.semantic_near_duplicates_learned(
         corpus, threshold=0.9, cells=spark.read.parquet(f"{d}/cells")

@@ -978,9 +978,14 @@ def q_upsert_labels_agreement(spark, sf_dir):
     )
 
 
-SQL_UPSERT_LABELS_AGREEMENT = f"""
-WITH RECURSIVE {_DUCK_CC_CTES},
-exb AS (SELECT * FROM bands WHERE {_SPLIT_D} = 0),
+# Wave-adoption CTE chain shared VERBATIM by the agreement and
+# compaction oracles (review r12): existing-split closure + the
+# incremental adoption — one definition so the two oracles cannot
+# drift from the contract they both measure. (The upsert oracle
+# keeps its own chain: it predates these and uses different CTE
+# names; its equality to this fragment is enforced semantically by
+# the reconciliation test, not textually.)
+_WAVE_ADOPTION_CTES = f"""exb AS (SELECT * FROM bands WHERE {_SPLIT_D} = 0),
 incb AS (SELECT * FROM bands WHERE {_SPLIT_D} = 1),
 excand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -1038,7 +1043,12 @@ up AS (
          ad.m IS NOT NULL AS matched
   FROM (SELECT doc_id FROM docs_nd WHERE {_SPLIT_D} = 1) d
   LEFT JOIN uadopted ad ON ad.a = d.doc_id
-),
+)"""
+
+
+SQL_UPSERT_LABELS_AGREEMENT = f"""
+WITH RECURSIVE {_DUCK_CC_CTES},
+{_WAVE_ADOPTION_CTES},
 fdoc AS (
   SELECT up.doc_id, up.label, up.matched,
          coalesce(cc.cluster_id, up.doc_id) AS f_doc
@@ -1080,65 +1090,7 @@ def q_dup_labels_compact(spark, sf_dir):
 
 SQL_DUP_LABELS_COMPACT = f"""
 WITH RECURSIVE {_DUCK_CC_CTES},
-exb AS (SELECT * FROM bands WHERE {_SPLIT_D} = 0),
-incb AS (SELECT * FROM bands WHERE {_SPLIT_D} = 1),
-excand AS (
-  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-  FROM exb l JOIN exb r USING (band_id, band_key)
-  WHERE l.doc_id < r.doc_id
-),
-exinter AS (
-  SELECT c.a, c.b, count(*) AS i
-  FROM excand c
-  JOIN shh x ON x.doc_id = c.a
-  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
-  GROUP BY c.a, c.b
-),
-expairs AS (
-  SELECT i2.a, i2.b
-  FROM exinter i2
-  JOIN sizes sa ON sa.doc_id = i2.a
-  JOIN sizes sb ON sb.doc_id = i2.b
-  WHERE i2.i / (sa.n + sb.n - i2.i) >= 0.5
-),
-exdedges AS (
-  SELECT a, b FROM expairs UNION ALL SELECT b AS a, a AS b FROM expairs
-),
-exwalk(node, label) AS (
-  SELECT a, a FROM exdedges
-  UNION
-  SELECT e.b, w.label FROM exwalk w JOIN exdedges e ON e.a = w.node
-),
-excc AS (SELECT node, min(label) AS label FROM exwalk GROUP BY node),
-ucand AS (
-  SELECT DISTINCT i.doc_id AS a, e.doc_id AS b
-  FROM incb i JOIN exb e USING (band_id, band_key)
-),
-uvinter AS (
-  SELECT c.a, c.b, count(*) AS i
-  FROM ucand c
-  JOIN shh x ON x.doc_id = c.a
-  JOIN shh y ON y.doc_id = c.b AND y.sh_hash = x.sh_hash
-  GROUP BY c.a, c.b
-),
-uverified AS (
-  SELECT v.a, v.b
-  FROM uvinter v
-  JOIN sizes sa ON sa.doc_id = v.a
-  JOIN sizes sb ON sb.doc_id = v.b
-  WHERE v.i / (sa.n + sb.n - v.i) >= 0.5
-),
-uadopted AS (
-  SELECT a, min(coalesce(excc.label, uverified.b)) AS m
-  FROM uverified LEFT JOIN excc ON excc.node = uverified.b
-  GROUP BY a
-),
-up AS (
-  SELECT d.doc_id, coalesce(ad.m, d.doc_id) AS label,
-         ad.m IS NOT NULL AS matched
-  FROM (SELECT doc_id FROM docs_nd WHERE {_SPLIT_D} = 1) d
-  LEFT JOIN uadopted ad ON ad.a = d.doc_id
-),
+{_WAVE_ADOPTION_CTES},
 excl AS (SELECT DISTINCT cluster_id FROM cc WHERE {_SPLIT_D} = 0),
 exold AS (
   SELECT d.doc_id, coalesce(e.label, d.doc_id) AS old_label
@@ -1190,14 +1142,14 @@ def q_dup_labels_roundtrip(spark, sf_dir):
     amortization denominator next to the 0.1-0.8 s consumer rows.
     Output identical to `dup_labels_upsert` (round-trip identity) —
     one oracle string by the registry guard."""
-    import tempfile
+    from ..cache import tracked_mkdtemp
 
     docs = _docs_nd(spark, sf_dir)
     split = F.expr(BLOOM_SPLIT_SPARK)
     existing = docs.where(split == 0)
     pairs = dedup.minhash_near_duplicates(existing, 0.5).select("a", "b")
     cc = dedup.connected_components(pairs, check_every=2)
-    d = tempfile.mkdtemp(prefix="dup_labels_rt_")
+    d = tracked_mkdtemp("dup_labels_rt_")
     cc.write.mode("overwrite").parquet(f"{d}/labels")
     return dedup.label_upsert(
         existing,
@@ -1218,12 +1170,12 @@ def q_lsh_index_roundtrip(spark, sf_dir):
     later admission job probes parquet. Output identical to
     `dedup_lsh_screen` (round-trip identity) — one oracle string by
     the registry guard."""
-    import tempfile
+    from ..cache import tracked_mkdtemp
 
     docs = _docs_nd(spark, sf_dir)
     split = F.expr(_BLOOM_SPLIT_SPARK)
     idx = dedup.lsh_band_index(docs.where(split == 0))
-    d = tempfile.mkdtemp(prefix="lsh_index_")
+    d = tracked_mkdtemp("lsh_index_")
     idx.write.mode("overwrite").parquet(f"{d}/bands")
     return dedup.lsh_screen_from_index(
         spark.read.parquet(f"{d}/bands"), docs.where(split == 1)
@@ -1242,12 +1194,12 @@ def q_bloom_index_roundtrip(spark, sf_dir):
     exactly this pair, and every admission job broadcasts the reread
     bitset. Output identical to `bloom_dedup` (round-trip identity) —
     one oracle string by the registry guard."""
-    import tempfile
+    from ..cache import tracked_mkdtemp
 
     docs = _docs_nd(spark, sf_dir)
     split = F.expr(_BLOOM_SPLIT_SPARK)
     bits, seen = dedup.bloom_index(docs.where(split == 0))
-    d = tempfile.mkdtemp(prefix="bloom_index_")
+    d = tracked_mkdtemp("bloom_index_")
     bits.write.mode("overwrite").parquet(f"{d}/bits")
     seen.write.mode("overwrite").parquet(f"{d}/keys")
     return dedup.bloom_screen_from_index(

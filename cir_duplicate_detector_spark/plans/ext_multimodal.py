@@ -503,7 +503,7 @@ def q_image_index_roundtrip(spark, sf_dir):
     the index once per wave and every later admission job probes
     parquet. Output identical to `image_screen` (round-trip identity) —
     one oracle string by the registry guard."""
-    import tempfile
+    from ..cache import tracked_mkdtemp
 
     from ..sources.derived import BLOOM_SPLIT_SPARK
     from ..sources.tables import load_table
@@ -512,7 +512,7 @@ def q_image_index_roundtrip(spark, sf_dir):
     idx = multimodal.image_band_index(
         _ppm_media(docs.where(F.expr(BLOOM_SPLIT_SPARK) == 0))
     )
-    d = tempfile.mkdtemp(prefix="image_index_")
+    d = tracked_mkdtemp("image_index_")
     idx.write.mode("overwrite").parquet(f"{d}/bands")
     return multimodal.image_screen_from_index(
         spark.read.parquet(f"{d}/bands"),

@@ -797,7 +797,7 @@ def q_bm25_index_roundtrip(spark, sf_dir):
     persisted-index rule (`ivf_index_roundtrip`, `lsh_index_roundtrip`)
     for the retrieval family. Output identical to `bm25_route`
     (round-trip identity) — one oracle string by the registry guard."""
-    import tempfile
+    from ..cache import tracked_mkdtemp
 
     panel = spark.createDataFrame(
         textops.BM25_PANEL, "query_id bigint, term string"
@@ -806,7 +806,7 @@ def q_bm25_index_roundtrip(spark, sf_dir):
     stats, df_rel = textops.bm25_index_stats(
         docs.where("doc_id % 2 = 0"), panel
     )
-    d = tempfile.mkdtemp(prefix="bm25_index_")
+    d = tracked_mkdtemp("bm25_index_")
     stats.write.mode("overwrite").parquet(f"{d}/stats")
     df_rel.write.mode("overwrite").parquet(f"{d}/df")
     return textops.bm25_route(
@@ -1561,12 +1561,12 @@ def q_decon_cells_roundtrip(spark, sf_dir):
     decontamination screen purely from the on-disk relation. Output
     identical to `decontaminate_semantic` (round-trip identity) — one
     oracle string by the registry guard."""
-    import tempfile
+    from ..cache import tracked_mkdtemp
 
     corpus = derive_near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
     pred = F.col("vec_id") % _SEM_EVAL_MOD == _SEM_EVAL_REM
     cells = _shared_decon_cells(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="decon_cells_rt_")
+    d = tracked_mkdtemp("decon_cells_rt_")
     cells.write.mode("overwrite").parquet(f"{d}/cells")
     return similarity.semantic_cross_decontaminate(
         corpus,

@@ -36,6 +36,16 @@ def main() -> None:
     with open(r11_path) as f:
         r11 = json.load(f)["queries"]
 
+    # A partial sweep must not silently delete rows from the artifact
+    # (review r12): every query the previous round measured has to be
+    # in the sweep, or the merge aborts and names the gap.
+    missing = sorted(set(r11) - set(sweep))
+    if missing:
+        raise SystemExit(
+            f"sweep is missing {len(missing)} queries present in the "
+            f"r11 artifact (partial run?): {missing[:10]}..."
+        )
+
     merged: dict[str, float] = {}
     flagged: list[tuple[str, float, float]] = []
     recovered = 0

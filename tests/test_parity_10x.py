@@ -112,7 +112,10 @@ def _rotating_sample() -> list[str]:
 
 @pytest.fixture(scope="module")
 def replica_dir(spark):
-    if not os.path.isdir(f"{REPLICA}/documents.parquet"):
+    # Gate on the LAST-written table (build order in replica_bench:
+    # documents, embeddings, events) so a partially built replica is
+    # repaired instead of half-trusted (review r12).
+    if not os.path.isdir(f"{REPLICA}/events.parquet"):
         sys.path.insert(0, str(REPO / "scripts"))
         from replica_bench import build_replica
 
