@@ -317,23 +317,41 @@ def main() -> None:
     # consecutive rounds of min-merge. Re-time anything >1.35x (and
     # >0.2 s absolute) over the previous artifact; a real regression
     # stays slow on the fresh-GC re-run, a noise hit recovers.
+    # Round-13 ordering fix (VERDICT r12 item 1): the r12 loop walked
+    # candidates by ABSOLUTE time descending, so the sub-second drift
+    # rows the 1.35x trigger specifically targets queued behind
+    # multi-second rows and hit the cap (15 rows kept inflated values
+    # in BENCH_r12). Order by drift RATIO instead — the biggest
+    # relative movers carry the signal — and exempt sub-0.5 s rows from
+    # the cap entirely: they are the cheapest possible re-times, so
+    # capping them saves nothing and costs a round of forensics.
     RECHECK_ABS_NEW = 12.0
     RECHECK_CAP = 24
-    rechecked = 0
-    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+    RECHECK_CAP_EXEMPT_BELOW = 0.5
+    candidates = []
+    for name, t in timings.items():
         p = prev.get(name)
         if p is None:
-            if t <= RECHECK_ABS_NEW:
+            if t > RECHECK_ABS_NEW:
+                candidates.append((t / RECHECK_ABS_NEW, name, t, p))
+        elif t > max(1.35 * p, p + 0.2):
+            candidates.append((t / p, name, t, p))
+    capped = 0
+    for ratio, name, t, p in sorted(candidates, key=lambda c: -c[0]):
+        if t >= RECHECK_CAP_EXEMPT_BELOW:
+            if capped >= RECHECK_CAP:
+                print(
+                    f"# recheck cap hit; {name} kept at {t:.3f}s",
+                    file=sys.stderr,
+                )
                 continue
-        elif t <= max(1.35 * p, p + 0.2):
-            continue
-        if rechecked >= RECHECK_CAP:
-            print(f"# recheck cap hit; {name} kept at {t:.3f}s", file=sys.stderr)
-            continue
-        rechecked += 1
+            capped += 1
         old_total, old_t = total, t
         prev_s = f"{p:.3f}s" if p is not None else "no prev entry"
-        print(f"# recheck {name}: {t:.3f}s vs {prev_s}", file=sys.stderr)
+        print(
+            f"# recheck {name}: {t:.3f}s vs {prev_s} ({ratio:.2f}x)",
+            file=sys.stderr,
+        )
         t2 = timed(name, builders[name])
         timings[name] = round(min(old_t, t2), 3)
         if not name.startswith(("ref30k_", "ref300k_")):

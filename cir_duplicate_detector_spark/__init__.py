@@ -90,7 +90,7 @@ def detect_duplicates(
     pqd_hash_similarity_threshold: float = 0.8,
     pdq_duplicate_detection_method: str = "naive",
     validate: bool = True,
-    max_hex_len: int | None = None,
+    max_hex_len: int | None = 64,
 ) -> DataFrame:
     """Composite duplicate annotation (reference ``__init__.py:11-118``).
 
@@ -109,6 +109,11 @@ def detect_duplicates(
     ``indexes_to_check`` may be a list (plan literal — the reference
     shape, for small probe sets) or a DataFrame (broadcast semi-join —
     for probe sets that are query outputs; no driver round-trip).
+
+    ``max_hex_len`` defaults to ``64`` (standard 256-bit PDQ hashes) so
+    no hash-length detection scan runs; longer hashes raise at row time
+    under the default — pass their length, or ``None`` to auto-detect
+    (see :func:`operators.pdq.find_pdq_hash_duplicates`).
     """
     cols = df.columns
     has_url = "url" in cols

@@ -44,14 +44,37 @@ def _cleanup_shared_dirs() -> None:
 atexit.register(_cleanup_shared_dirs)
 
 
+# Latest per-invocation dir per roundtrip family (keyed by prefix):
+# re-invoking the same roundtrip query evicts its PREVIOUS dir, so a
+# long-lived session (bench min-of-2 loops, 10x sweeps) holds at most
+# one parquet copy per family instead of one per invocation (ADVICE
+# r12). Contract: consume the returned DataFrame before re-invoking
+# the same family — eviction deletes the parquet the previous
+# invocation's (lazy) result reads from.
+_FAMILY_DIRS: dict[str, str] = {}
+
+# Every family cache dict ever passed to `shared_artifact`, so the
+# stale-application sweep can evict superseded dirs for families the
+# new application never re-touches (ADVICE r12).
+_FAMILY_CACHES: list[dict] = []
+
+
 def tracked_mkdtemp(prefix: str) -> str:
     """``tempfile.mkdtemp`` registered for atexit removal — for the
     per-invocation roundtrip queries (build → parquet → read → serve),
     which deliberately stay OFF the memoized `shared_artifact` path
     (their build cost is the thing on the clock) but must not leak a
-    /tmp dir per bench run (review r12)."""
+    /tmp dir per bench run (review r12). Within-session usage is
+    bounded to ONE live dir per ``prefix`` family (ADVICE r12): the
+    previous invocation's dir is removed here, not at exit."""
+    old = _FAMILY_DIRS.pop(prefix, None)
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
+        if old in _SHARED_DIRS:
+            _SHARED_DIRS.remove(old)
     d = tempfile.mkdtemp(prefix=prefix)
     _SHARED_DIRS.append(d)
+    _FAMILY_DIRS[prefix] = d
     return d
 
 
@@ -74,16 +97,23 @@ def shared_artifact(
     is registered for atexit removal, and entries keyed to a PREVIOUS
     Spark application are evicted (and their dirs deleted) when a new
     application first builds — so one long-lived process running many
-    Spark apps does not accumulate dirs (ADVICE r11)."""
+    Spark apps does not accumulate dirs (ADVICE r11). The sweep runs
+    over EVERY registered family cache, not just the one being
+    accessed (ADVICE r12): a family never re-touched under the new
+    application would otherwise keep its superseded parquet dirs until
+    interpreter exit."""
+    if not any(c is cache for c in _FAMILY_CACHES):
+        _FAMILY_CACHES.append(cache)
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = cache.get(key)
     if hit is not None:
         return hit[1]
-    for k in [k for k in cache if k[0] != key[0]]:
-        old_dir, _ = cache.pop(k)
-        shutil.rmtree(old_dir, ignore_errors=True)
-        if old_dir in _SHARED_DIRS:
-            _SHARED_DIRS.remove(old_dir)
+    for c in _FAMILY_CACHES:
+        for k in [k for k in c if k[0] != key[0]]:
+            old_dir, _ = c.pop(k)
+            shutil.rmtree(old_dir, ignore_errors=True)
+            if old_dir in _SHARED_DIRS:
+                _SHARED_DIRS.remove(old_dir)
     d = tempfile.mkdtemp(prefix=prefix)
     _SHARED_DIRS.append(d)
     val = build(d)

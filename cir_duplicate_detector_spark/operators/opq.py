@@ -133,6 +133,42 @@ def opq_permutation(
     )
 
 
+def opq_subspace_imbalance(
+    vectors: DataFrame,
+    m: int = IVFPQ_M,
+    subdim: int = IVFPQ_SUBDIM,
+    sample_mod: int = KM_IVF_SAMPLE_MOD,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE-ROW frame ``(e_max, e_min, ratio)``: per-subspace energy
+    under PQ's IDENTITY dimension layout, rolled up to the max/min
+    subspace and their ratio — the gate statistic
+    ``build_ivf_pq_index(opq="auto")`` evaluates (round 13, VERDICT
+    r12 item 5). On a balanced corpus ratio ≈ 1; when a few dimensions
+    dominate, the subspace holding them dwarfs the rest and the ratio
+    explodes (the skewed A/B corpus measures ≫ the 4× threshold).
+    Sorted-fold doubles throughout, so the registered `opq_auto_gate`
+    row is value-hash exact against DuckDB."""
+    en = dim_energy(vectors, sample_mod, vec_col)
+    sub = (F.col("pos") / subdim).cast("bigint")
+    per_sub = (
+        en.withColumn("subspace", sub)
+        .groupBy("subspace")
+        .agg(
+            _sorted_fold(
+                F.collect_list(F.struct("pos", "energy")), "energy"
+            ).alias("e_sub")
+        )
+    )
+    return per_sub.groupBy().agg(
+        F.max("e_sub").alias("e_max"), F.min("e_sub").alias("e_min")
+    ).select(
+        "e_max",
+        "e_min",
+        (F.col("e_max") / F.col("e_min")).alias("ratio"),
+    )
+
+
 def apply_permutation(
     vectors: DataFrame,
     perm: DataFrame,

@@ -97,12 +97,43 @@ def drop_literal_series_duplicates(df: DataFrame, subset=None) -> DataFrame:
     return df.dropDuplicates(subset)
 
 
-def decoded_hashes(df: DataFrame) -> DataFrame:
+def decoded_hashes(
+    df: DataFrame, assert_max_hex: int | None = None
+) -> DataFrame:
     """Attach the hash decoding (reference P7): 8×32-bit ``chunks`` array
     (SQL-oracle-friendly form) plus 4 flat 64-bit ``h0..h3`` columns (the
     similarity-join hot path; see :func:`..functions.hashes.hex_to_chunks64`).
+
+    ``assert_max_hex``: when set, a hash LONGER than this raises at row
+    time (one codegen'd length comparison — no extra scan, no job).
+    The chunk decoder left-pads to exactly 64 hex chars, which silently
+    LEFT-TRUNCATES anything longer, so callers that skipped the
+    detection scan on the strength of the 256-bit PDQ contract
+    (``find_pdq_hash_duplicates``'s ``max_hex_len=64`` default,
+    VERDICT r12 item 2) fail loudly if the contract is violated.
     """
     exploded = exploded_hashes(df)
+    if assert_max_hex is not None:
+        exploded = exploded.withColumn(
+            "hash",
+            F.when(
+                F.length("hash") <= assert_max_hex, F.col("hash")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "pdq_hash longer than the assumed "
+                            f"max_hex_len={assert_max_hex} hex chars: "
+                        ),
+                        F.col("hash"),
+                        F.lit(
+                            "; pass max_hex_len explicitly (or None to"
+                            " auto-detect) for longer hashes"
+                        ),
+                    )
+                )
+            ),
+        )
     cols = hex_to_chunks64("hash")
     return exploded.select(
         "index",
@@ -424,7 +455,7 @@ def find_pdq_hash_duplicates(
     indexes_to_check: list[str] | DataFrame | None = None,
     pqd_hash_similarity_threshold: float = 0.2,
     duplicate_detection_method: str = "bk-tree",
-    max_hex_len: int | None = None,
+    max_hex_len: int | None = 64,
 ) -> DataFrame:
     """Entries whose PDQ hash is within the similarity threshold of
     another entry's. ``df`` needs ``index`` (unique string) and
@@ -440,11 +471,17 @@ def find_pdq_hash_duplicates(
     :func:`~cir_duplicate_detector_spark.detect_duplicates` uses t=0.8 and
     "naive", faithfully replicating the reference's inconsistency.
 
-    ``max_hex_len``: longest hash hex length, or None to detect it with
-    a small eager scan. Hashes longer than 64 hex chars route to the
-    general binary-string path (reference parity: longer hashes match,
-    similarity stays normalized by 256); pass ``64`` when the caller can
-    guarantee standard 256-bit hashes to skip the detection scan.
+    ``max_hex_len``: longest hash hex length. Defaults to ``64`` — the
+    PDQ contract's 256-bit hashes — so no detection scan runs on the
+    common path (VERDICT r12 item 2: the eager ``max(length(hash))``
+    scan was one extra full pass over the corpus per call at 100 TB).
+    Hashes longer than ``max_hex_len`` route to the general
+    binary-string path (reference parity: longer hashes match,
+    similarity stays normalized by 256) — callers with longer hashes
+    pass their length explicitly, or ``None`` to detect it with a
+    small eager scan. Under the default, a >64-hex hash failing the
+    contract raises AT ROW TIME (a codegen'd length guard) instead of
+    being silently left-truncated by the chunk decoder's ``lpad``.
     """
     spark = df.sparkSession
     if "pdq_hash" not in df.columns or "index" not in df.columns:
@@ -489,7 +526,8 @@ def find_pdq_hash_duplicates(
         return side, False
 
     exploded = exploded_hashes(df)
-    if max_hex_len is None:
+    detected = max_hex_len is None
+    if detected:
         max_hex_len = (
             exploded.agg(F.max(F.length("hash")).alias("m")).first()["m"] or 0
         )
@@ -499,7 +537,12 @@ def find_pdq_hash_duplicates(
         pairs = _bits_pairs(probe, exploded, n_bits, broadcast_probe)
         return symmetrize_and_aggregate(pairs)
 
-    corpus = decoded_hashes(df)
+    # A detected bound is known-true; an ASSUMED bound (the 64 default,
+    # or a caller-passed value) gets the row-time length guard so a
+    # contract-violating longer hash raises instead of left-truncating.
+    corpus = decoded_hashes(
+        df, assert_max_hex=None if detected else max_hex_len
+    )
     probe, broadcast_probe = _restrict(corpus)
 
     if method == "auto":

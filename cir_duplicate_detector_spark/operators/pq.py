@@ -81,6 +81,13 @@ PQ_CODEWORDS = 256
 IVFPQ_M = 16
 IVFPQ_SUBDIM = 4
 IVFPQ_NPROBE = 16
+# `build_ivf_pq_index(opq="auto")` gate: permute iff the sample's
+# identity-layout max/min subspace energy ratio exceeds this. The
+# provided testdata measures ~1 (isotropic — `opq_balance`); the A/B
+# skewed corpus (dims 0-3 ×8) measures ≫ 4; 4× is the documented
+# middle ground where one subspace carrying 4× the energy of another
+# starts costing measurable ADC recall (the A/B row: 0.550 → 0.725).
+OPQ_AUTO_RATIO = 4.0
 
 
 def _sub(col, m: int, subdim: int = PQ_SUBDIM) -> Column:
@@ -612,6 +619,14 @@ class IvfPqIndex(NamedTuple):
     codes: DataFrame  # (vec_id, ca) — PACKED M-slot code array per vec
     m: int
     subdim: int
+    # OPQ-lite dimension permutation the index was built under, or None
+    # (the shipped isotropic config). A one-row (perm: array<bigint>)
+    # broadcastable frame; when present, probe vectors and upsert waves
+    # permute through it identically (`knn_ivf_pq_from_index`,
+    # `ivf_pq_upsert`) — exact refine stays in the ORIGINAL space (true
+    # L2 is permutation-invariant), so carrying the permutation inside
+    # the index never leaks into caller-visible vector layouts.
+    perm: "DataFrame | None" = None
 
 
 def build_ivf_pq_index(
@@ -625,6 +640,7 @@ def build_ivf_pq_index(
     sample_mod: int | None = None,
     cb_train_mod: int | None = None,
     coarse_cents: "DataFrame | None" = None,
+    opq: str = "never",
 ) -> IvfPqIndex:
     """Index-build phase of :func:`knn_ivf_pq` (see its docstring for
     the full recipe): learn the coarse quantizer, assign cells, form
@@ -638,7 +654,22 @@ def build_ivf_pq_index(
     round-trip exactly, so cells/residuals/codes are identical.
     Combining ``coarse_cents`` with explicit coarse-learn parameters is
     an error (ADVICE r11): the prebuilt table wins and the parameters
-    would be silently ignored, so the conflict raises instead."""
+    would be silently ignored, so the conflict raises instead.
+
+    ``opq`` (round 13, VERDICT r12 item 5): ``"never"`` (default — the
+    shipped config, measured correct for this corpus by `opq_balance`),
+    ``"always"`` (unconditionally learn and apply the OPQ-lite balanced
+    permutation, `operators.opq`), or ``"auto"`` — measure the sample's
+    identity-layout subspace energy imbalance
+    (`opq.opq_subspace_imbalance`, one small eager aggregate over the
+    ``vec_id % sample_mod`` sample — the same eager-gate posture as
+    `find_pdq_hash_duplicates`'s method="auto") and permute iff
+    ``max/min > OPQ_AUTO_RATIO``. The decision the recall sweeps
+    hand-encoded (`pq_recall_skewed` vs `_opq`) becomes measured code:
+    isotropic corpora build identically to ``"never"``, skew-regressed
+    corpora identically to ``"always"``. The applied permutation rides
+    IN the index (``IvfPqIndex.perm``), so probes and upsert waves
+    permute consistently and persist/read round-trips it."""
     if coarse_cents is not None and (
         coarse_k is not None
         or coarse_iters is not None
@@ -648,6 +679,18 @@ def build_ivf_pq_index(
             "build_ivf_pq_index: coarse_cents supplies a prebuilt "
             "coarse quantizer; coarse_k/coarse_iters/sample_mod would "
             "be ignored — pass one or the other"
+        )
+    if opq not in ("never", "auto", "always"):
+        raise ValueError(
+            f"build_ivf_pq_index: opq must be 'never'/'auto'/'always',"
+            f" got {opq!r}"
+        )
+    if opq != "never" and coarse_cents is not None:
+        raise ValueError(
+            "build_ivf_pq_index: coarse_cents was learned in a fixed "
+            "dimension layout; combining it with opq permutation would "
+            "assign residuals in a different space — pass one or the "
+            "other"
         )
     from ..cache import materialize
     from .kmeans import (
@@ -659,6 +702,30 @@ def build_ivf_pq_index(
     )
 
     smod = KM_IVF_SAMPLE_MOD if sample_mod is None else sample_mod
+    perm = None
+    if opq != "never":
+        # Lazy import: opq imports this module's layout constants.
+        from . import opq as opq_mod
+
+        permute = opq == "always"
+        if opq == "auto":
+            row = opq_mod.opq_subspace_imbalance(
+                vectors, m, subdim, smod
+            ).first()
+            # An empty learning sample yields one all-null row; the
+            # permutation learner would fail loudly downstream anyway
+            # (apply_permutation's length guard), so treat it as
+            # no-skew-evidence and build unpermuted.
+            permute = (
+                row is not None
+                and row["ratio"] is not None
+                and row["ratio"] > OPQ_AUTO_RATIO
+            )
+        if permute:
+            perm = materialize(
+                opq_mod.opq_permutation(vectors, m, subdim, smod)
+            )
+            vectors = opq_mod.apply_permutation(vectors, perm, d=m * subdim)
     e = vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -692,7 +759,7 @@ def build_ivf_pq_index(
     # production PQ stores (M bytes/vector) and the only shape the
     # packed ADC scorer reads. One extra N·M → N aggregate at build.
     codes = _pack_codes(pq_encode(resid, codebook, m, subdim), codebook)
-    return IvfPqIndex(cents, assigned, codebook, codes, m, subdim)
+    return IvfPqIndex(cents, assigned, codebook, codes, m, subdim, perm)
 
 
 def ivf_pq_upsert(
@@ -712,6 +779,13 @@ def ivf_pq_upsert(
     from ..cache import materialize
 
     m, subdim = index.m, index.subdim
+    if index.perm is not None:
+        # Index built in OPQ-permuted space: the wave permutes through
+        # the SAME stored permutation before assign/encode, keeping
+        # merged == from-scratch in that space.
+        from .opq import apply_permutation
+
+        incoming = apply_permutation(incoming, index.perm, d=m * subdim)
     e = incoming.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -738,6 +812,7 @@ def merge_ivf_pq_index(
         index.codes.unionByName(codes_new),
         index.m,
         index.subdim,
+        index.perm,
     )
 
 
@@ -755,6 +830,8 @@ def persist_ivf_pq_index(index: IvfPqIndex, out_dir: str) -> None:
         getattr(index, part).write.mode("overwrite").parquet(
             f"{out_dir}/{part}"
         )
+    if index.perm is not None:
+        index.perm.write.mode("overwrite").parquet(f"{out_dir}/perm")
 
 
 def read_ivf_pq_index(
@@ -764,11 +841,19 @@ def read_ivf_pq_index(
     subdim: int = IVFPQ_SUBDIM,
 ) -> IvfPqIndex:
     """Reopen a :func:`persist_ivf_pq_index` directory. ``m``/``subdim``
-    must match the build config (they are layout, not data)."""
+    must match the build config (they are layout, not data). The OPQ
+    permutation part is optional — present only for indexes built
+    under a permutation (gated on its `_SUCCESS` marker, the committed
+    write's atomicity token, so a partial write is never half-read)."""
+    import os
+
     parts = [
         spark.read.parquet(f"{out_dir}/{part}") for part in _IVFPQ_PARTS
     ]
-    return IvfPqIndex(*parts, m, subdim)
+    perm = None
+    if os.path.isfile(f"{out_dir}/perm/_SUCCESS"):
+        perm = spark.read.parquet(f"{out_dir}/perm")
+    return IvfPqIndex(*parts, m, subdim, perm)
 
 
 def knn_ivf_pq_from_index(
@@ -788,6 +873,13 @@ def knn_ivf_pq_from_index(
     cents, assigned = index.cents, index.assigned
     codebook, codes = index.codebook, index.codes
     m, subdim = index.m, index.subdim
+    if index.perm is not None:
+        # The index lives in OPQ-permuted space; probe vectors enter it
+        # through the same stored permutation. Callers keep ORIGINAL
+        # vectors (exact refine is permutation-invariant L2).
+        from .opq import apply_permutation
+
+        vectors = apply_permutation(vectors, index.perm, d=m * subdim)
     e = vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )

@@ -1368,7 +1368,10 @@ def bm25_route(
     one_minus_b = 1.0 - b
     panel = (
         queries.join(df_rel, "term", "left")
-        .crossJoin(stats)
+        # one-row aggregate, but hint it like every sibling stats site
+        # (VERDICT r12): a future stats-relation change must not be
+        # able to plan a shuffled BNL here.
+        .crossJoin(F.broadcast(stats))
         .select(
             "query_id",
             "term",

@@ -50,20 +50,45 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Queries whose ROUND-12 edits change their PLAN. The builder's
+# Queries whose ROUND-13 edits change their PLAN. The builder's
 # evidence says results are identical (or the query is brand-new), but
 # under the fingerprint-lint semantics (plans/fingerprint.py) a changed
 # logical plan re-verifies at the driver regardless — cheap insurance
 # that a "physical-only" claim can never be wrong silently:
 _PLAN_CHANGED: list[str] = [
-    # probe band selected modulo the replica id-block (VERDICT r11
-    # item 5): `doc_id % 50 == 0 OR doc_id >= 1e6` became
-    # `... OR doc_id % 10_000_000 >= 1e6`. Identity at every provided
-    # scale (all testdata ids < 10M — oracle strings updated in
-    # lockstep and parity re-run green); only the 10x replica, whose
-    # copies live at offsets i*10M, now keeps its ~2% probe rate.
-    "dedup_containment",
-    "dedup_containment_canonical",
+    # Round 13. All entries are RESULT-PRESERVING physical/plan-shape
+    # edits (oracle strings untouched, local parity green); queued per
+    # the fingerprint-lint contract so the driver re-vouches for them.
+    #
+    # (a) pdq row-time length guard (VERDICT r12 item 4): max_hex_len
+    # now defaults to 64 and the chunk-decode path carries a
+    # when/raise_error guard instead of trusting lpad truncation — one
+    # extra projection in every pdq plan, same rows.
+    "pdq_duplicates_naive",
+    "pdq_duplicates_banded",
+    "pdq_duplicates_probed",
+    "pdq_duplicates_t08_probed",
+    "pdq_duplicates_t08_probe30",
+    "detect_duplicates",
+    "dup_overlap",
+    # (b) bm25_route's one-row stats crossJoin broadcast-hinted to
+    # match its four sibling sites (VERDICT r12 item 6).
+    "bm25_route",
+    "bm25_index_roundtrip",
+    # (bm25_route_streaming's registered plan reads the post-drain
+    # memory sink, so the hint is not in its analyzed plan — verified
+    # unchanged in the PLANS_r12→r13 diff)
+    # (c) shared truth artifacts (VERDICT r12 items 2-3): the OPQ A/B
+    # pair serves its exact-L2 shortlist from one parquet
+    # (`ext_ann._shared_skewed_truth`), the hybrid recall pair its
+    # exact fused top-10 (`ext_pipeline._shared_hybrid_truth`) —
+    # bigint ids round-trip parquet exactly; plus (b) reaches
+    # hybrid_search_fresh through its stale-idf stage.
+    "pq_recall_skewed",
+    "pq_recall_skewed_opq",  # also: index built via opq="auto" (item 5)
+    "hybrid_recall",
+    "hybrid_search_fresh",
+    "hybrid_fresh_recall",
 ]
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
@@ -78,69 +103,59 @@ _PLAN_CHANGED: list[str] = [
 # the round's artifacts) are harmless and cleared opportunistically.
 _PKG = "cir_duplicate_detector_spark"
 _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
-    f"{_PKG}/plans/__init__.py": "round-12 rotation metadata reset"
-    " (cleared round-11 _ROUND_EDITS/_PLAN_CHANGED — all r11 entries"
+    f"{_PKG}/plans/__init__.py": "round-13 rotation metadata reset"
+    " (cleared round-12 _ROUND_EDITS/_PLAN_CHANGED — all r12 entries"
     " driver-verified and committed); no query plan or result touched",
-    f"{_PKG}/cache.py": "NEW shared_artifact helper (ADVICE r11): the"
-    " memoize-to-parquet pattern factored to one definition with"
-    " atexit temp-dir cleanup + stale-application eviction, plus"
-    " tracked_mkdtemp for the per-invocation roundtrip dirs (review"
-    " r12); no query plan or result touched",
+    f"{_PKG}/operators/pdq.py": (
+        "pdq_duplicates_naive",
+        "pdq_duplicates_banded",
+        "pdq_duplicates_probed",
+        "pdq_duplicates_t08_probed",
+        "pdq_duplicates_t08_probe30",
+        "detect_duplicates",
+        "dup_overlap",
+    ),  # max_hex_len defaults to 64 (no eager length scan on the
+    # common path, VERDICT r12 item 4) + row-time length guard in
+    # decoded_hashes — result-preserving, plans re-queued
+    f"{_PKG}/__init__.py": (
+        "detect_duplicates",
+    ),  # detect_duplicates passes the same new max_hex_len=64 default
+    # through; result-preserving
+    f"{_PKG}/operators/textops.py": (
+        "bm25_route",
+        "bm25_index_roundtrip",
+        "hybrid_search_fresh",
+        "hybrid_fresh_recall",
+    ),  # broadcast hint on bm25_route's one-row stats crossJoin
+    # (VERDICT r12 item 6); physical only, result-preserving
+    f"{_PKG}/operators/pq.py": (
+        "pq_recall_skewed_opq",
+    ),  # NEW opq='never'/'auto'/'always' gate on build_ivf_pq_index +
+    # IvfPqIndex.perm carried through probe/upsert/merge/persist
+    # (VERDICT r12 item 5); default 'never' leaves every other
+    # consumer's plan untouched
+    f"{_PKG}/operators/opq.py": "NEW opq_subspace_imbalance (the"
+    " auto-gate statistic); consumed by build_ivf_pq_index(opq=...)"
+    " and the new opq_auto_gate row only",
     f"{_PKG}/plans/ext_ann.py": (
         "pq_recall_skewed",
         "pq_recall_skewed_opq",
-    ),  # NEW skewed-corpus OPQ A/B registrations (brand-new, lead the
-    # rotation); plus shared-artifact sites rehosted onto
-    # cache.shared_artifact — identical build expressions, identical
-    # parquet contents, lifecycle only, no existing plan or result
-    # touched
+        "opq_auto_gate",
+    ),  # shared exact-L2 truth parquet for the A/B pair (VERDICT r12
+    # item 2), B row rebuilt on the opq='auto' path (item 5 — oracle
+    # unchanged, proving the gate end-to-end), NEW opq_auto_gate row
     f"{_PKG}/plans/ext_pipeline.py": (
-        "hybrid_search_fresh",
+        "hybrid_recall",
         "hybrid_fresh_recall",
-    ),  # NEW hybrid-over-continuous-ingest registration (brand-new,
-    # leads the rotation: stale-idf BM25 over all docs + even-half
-    # persisted IVF-PQ merged with the odd wave's upsert); plus
-    # _shared_decon_cells rehosted onto cache.shared_artifact
-    # (lifecycle only, no existing plan or result touched)
-    f"{_PKG}/plans/fingerprint.py": "_REPART_EXPR anchored to the"
-    " trailing ', N' at line end (ADVICE r11 — bracket-bearing"
-    " expression lists no longer leak the partition count); lint"
-    " infrastructure only, no query touched",
-    f"{_PKG}/operators/opq.py": "apply_permutation fails loudly on a"
-    " malformed permutation (ADVICE r11 when/raise_error guard);"
-    " consumed by no registered query (opq_balance uses"
-    " opq_assignment/opq_permutation only)",
-    f"{_PKG}/operators/pq.py": "build_ivf_pq_index raises when a"
-    " prebuilt coarse table is combined with explicit learn"
-    " parameters (ADVICE r11, plan-time validation only) + NEW"
-    " ivf_pq_upsert / merge_ivf_pq_index operators (assign+encode"
-    " against an existing index, relation-union merge) consumed only"
-    " by the new hybrid_search_fresh query; assign/residual tail"
-    " factored to _coarse_assign/_residualize shared by build and"
-    " upsert (review r12 — identical expressions, fingerprints"
-    " unchanged, lint-verified)",
-    f"{_PKG}/operators/similarity.py": "knn_ivf_learned conflicting-"
-    "parameter guard (same ADVICE item); plan-time validation only",
-    f"{_PKG}/operators/kmeans.py": "kmeans_ivf_assign conflicting-"
-    "parameter guard (same ADVICE item); plan-time validation only",
-    f"{_PKG}/plans/ext_dedup.py": (
-        "dedup_containment",
-        "dedup_containment_canonical",
-        "dup_labels_compact",
-        "dup_labels_roundtrip",
-    ),  # shared-artifact rehost (lifecycle only) + replica-safe probe
-    # band (see _PLAN_CHANGED) + NEW dup_labels_compact /
-    # dup_labels_roundtrip registrations (brand-new, lead rotation)
-    f"{_PKG}/operators/dedup.py": "NEW label_compact operator (the"
-    " full-closure compaction half of label_upsert's contract) only;"
-    " no existing operator touched",
-    f"{_PKG}/plans/extension_queries.py": "round-12 _ORDER additions"
-    " for the new dup_labels_compact / dup_labels_roundtrip /"
-    " pq_recall_skewed / pq_recall_skewed_opq / hybrid_search_fresh"
-    " registrations only; no existing query touched",
-    f"{_PKG}/plans/ext_multimodal.py": "image_index_roundtrip's temp"
-    " dir registered for atexit cleanup via cache.tracked_mkdtemp"
-    " (review r12); lifecycle only, no plan or result touched",
+    ),  # shared all-exact hybrid truth parquet (VERDICT r12 item 3);
+    # both rows still CALL q_hybrid_search inside the builder
+    f"{_PKG}/plans/extension_queries.py": "round-13 _ORDER addition"
+    " for the new opq_auto_gate registration only; no existing query"
+    " touched",
+    f"{_PKG}/cache.py": "tracked_mkdtemp bounded to one live dir per"
+    " roundtrip family + shared_artifact stale-app sweep over ALL"
+    " registered family caches (ADVICE r12); lifecycle only, no query"
+    " plan or result touched",
 }
 
 

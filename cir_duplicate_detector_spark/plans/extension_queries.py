@@ -229,6 +229,8 @@ _ORDER = [
     "upsert_labels_agreement",
     "dup_labels_compact",
     "dup_labels_roundtrip",
+    # round-13 additions:
+    "opq_auto_gate",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (

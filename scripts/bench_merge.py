@@ -22,8 +22,13 @@ from __future__ import annotations
 
 import json
 import sys
+from pathlib import Path
 
-REPO_FULL = __file__.rsplit("/", 2)[0] + "/BENCH_FULL.json"
+# Resolve relative __file__ (e.g. invoked as `python scripts/
+# bench_merge.py` from the repo root) instead of string-splitting an
+# assumed-absolute path, which silently wrote the merged artifact to
+# scripts/BENCH_FULL.json (ADVICE r12).
+REPO_FULL = str(Path(__file__).resolve().parents[1] / "BENCH_FULL.json")
 
 
 def main() -> None:

@@ -52,3 +52,68 @@ def test_materialize_durable_checkpoint(spark, tmp_path):
 
     assert any(os.scandir(ckpt))
     release_cached(spark)
+
+
+def test_tracked_mkdtemp_bounds_one_dir_per_family():
+    # ADVICE r12: a long-lived session re-invoking the same roundtrip
+    # query must not accumulate a /tmp parquet copy per invocation —
+    # the family's previous dir is evicted on the next call.
+    import os
+
+    from cir_duplicate_detector_spark import cache
+
+    d1 = cache.tracked_mkdtemp("cache_test_fam_")
+    open(f"{d1}/marker", "w").close()
+    d2 = cache.tracked_mkdtemp("cache_test_fam_")
+    assert d2 != d1
+    assert not os.path.exists(d1)  # evicted, not deferred to atexit
+    assert os.path.isdir(d2)
+    # distinct families never evict each other
+    other = cache.tracked_mkdtemp("cache_test_other_")
+    assert os.path.isdir(d2) and os.path.isdir(other)
+    for d in (d2, other):
+        cache._SHARED_DIRS.remove(d)
+        cache._FAMILY_DIRS = {
+            k: v for k, v in cache._FAMILY_DIRS.items() if v != d
+        }
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_shared_artifact_sweeps_all_family_caches(spark):
+    # ADVICE r12: superseded-application dirs are evicted for EVERY
+    # registered family on the first new-app build, not only for the
+    # family being accessed.
+    import os
+
+    from cir_duplicate_detector_spark import cache
+
+    fam_a: dict = {}
+    fam_b: dict = {}
+    sf = "/root/testdata/sf0.001"
+
+    def build(d):
+        open(f"{d}/artifact", "w").close()
+        return d
+
+    cache.shared_artifact(fam_a, spark, sf, "cache_test_a_", build)
+    cache.shared_artifact(fam_b, spark, sf, "cache_test_b_", build)
+    (dir_a, _), (dir_b, _) = fam_a.popitem()[1], fam_b.popitem()[1]
+    # simulate a superseded application: re-key both entries to a fake
+    # old app id, then touch only family A under the real app
+    fam_a[("app-OLD", sf)] = (dir_a, dir_a)
+    fam_b[("app-OLD", sf)] = (dir_b, dir_b)
+    cache.shared_artifact(fam_a, spark, sf, "cache_test_a_", build)
+    assert not os.path.exists(dir_a)
+    assert not os.path.exists(dir_b)  # family B swept without access
+    for c in (fam_a, fam_b):
+        for d, _ in c.values():
+            cache._SHARED_DIRS.remove(d) if d in cache._SHARED_DIRS else None
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+        c.clear()
+        cache._FAMILY_CACHES[:] = [
+            x for x in cache._FAMILY_CACHES if x is not c
+        ]

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from cir_duplicate_detector_spark.operators import (
@@ -1558,3 +1559,92 @@ def test_opq_ab_recall_improves_on_skew(spark):
         f"corpus: identity={adc_id:.3f} opq={adc_opq:.3f}"
     )
     assert ref_opq >= ref_id - 1e-9
+
+
+def _opq_test_corpora(spark):
+    """(skewed, isotropic) small corpora for the auto-gate tests: the
+    planted-skew shape from test_opq_balances_planted_skew plus a flat
+    per-dimension-energy twin."""
+    skew_rows = [
+        (i, [10.0 + (i % 5) if j < 16 else 0.01 * ((i + j) % 3 + 1)
+             for j in range(64)])
+        for i in range(64)
+    ]
+    iso_rows = [
+        (i, [1.0 + 0.01 * ((i + j) % 3) for j in range(64)])
+        for i in range(64)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(skew_rows, schema),
+        spark.createDataFrame(iso_rows, schema),
+    )
+
+
+def test_opq_auto_gate_permutes_iff_skewed(spark):
+    # VERDICT r12 item 5: build_ivf_pq_index(opq="auto") measures the
+    # sample's identity-layout subspace imbalance and permutes iff it
+    # exceeds OPQ_AUTO_RATIO — identity with opq="never" on a balanced
+    # corpus, identity with opq="always" on a skew-regressed one.
+    from cir_duplicate_detector_spark.operators import pq
+
+    skewed, iso = _opq_test_corpora(spark)
+    idx_iso = pq.build_ivf_pq_index(iso, opq="auto")
+    assert idx_iso.perm is None  # auto == the shipped config
+    idx_auto = pq.build_ivf_pq_index(skewed, opq="auto")
+    assert idx_auto.perm is not None  # auto fired on the skew
+    idx_always = pq.build_ivf_pq_index(skewed, opq="always")
+    codes = lambda ix: sorted(  # noqa: E731
+        (r.vec_id, tuple(r.ca)) for r in ix.codes.collect()
+    )
+    assert codes(idx_auto) == codes(idx_always)
+    # ... and the permuted index differs from the unpermuted build
+    # (the gate decision is load-bearing, not a no-op)
+    idx_never = pq.build_ivf_pq_index(skewed, opq="never")
+    assert codes(idx_auto) != codes(idx_never)
+
+
+def test_opq_auto_index_roundtrips_perm_and_serves(spark, tmp_path):
+    # The permutation rides IN the index: persist/read round-trips it,
+    # and the probe path permutes queries through it — served results
+    # equal the in-session build's.
+    from cir_duplicate_detector_spark.operators import pq
+
+    skewed, _ = _opq_test_corpora(spark)
+    idx = pq.build_ivf_pq_index(skewed, opq="auto")
+    out = str(tmp_path / "opq_idx")
+    pq.persist_ivf_pq_index(idx, out)
+    reopened = pq.read_ivf_pq_index(spark, out)
+    assert reopened.perm is not None
+    assert (
+        reopened.perm.collect()[0].perm == idx.perm.collect()[0].perm
+    )
+    probe = [0, 7, 21]
+    served = pq.knn_ivf_pq_from_index(reopened, skewed, probe, k=3)
+    built = pq.knn_ivf_pq_from_index(idx, skewed, probe, k=3)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(
+        (r.query_id, r.rank, r.neighbor_id) for r in served.collect()
+    ) == sorted(
+        (r.query_id, r.rank, r.neighbor_id) for r in built.collect()
+    ), key
+    # upsert against the permuted index encodes the wave in the SAME
+    # space: merged == from-scratch-on-union structurally (both sides
+    # permute through the identical stored perm)
+    wave = skewed.where("vec_id % 2 = 1")
+    base = pq.build_ivf_pq_index(skewed.where("vec_id % 2 = 0"), opq="always")
+    a_new, c_new = pq.ivf_pq_upsert(base, wave)
+    merged = pq.merge_ivf_pq_index(base, a_new, c_new)
+    assert merged.perm is not None
+    assert merged.codes.count() == skewed.count()
+
+
+def test_opq_auto_rejects_prebuilt_coarse(spark):
+    from cir_duplicate_detector_spark.operators import pq
+
+    skewed, _ = _opq_test_corpora(spark)
+    cents = pq.build_ivf_pq_index(skewed).cents
+    with pytest.raises(ValueError, match="opq"):
+        pq.build_ivf_pq_index(skewed, coarse_cents=cents, opq="auto")
+    with pytest.raises(ValueError, match="never"):
+        pq.build_ivf_pq_index(skewed, opq="sometimes")

@@ -112,10 +112,12 @@ def _rotating_sample() -> list[str]:
 
 @pytest.fixture(scope="module")
 def replica_dir(spark):
-    # Gate on the LAST-written table (build order in replica_bench:
-    # documents, embeddings, events) so a partially built replica is
-    # repaired instead of half-trusted (review r12).
-    if not os.path.isdir(f"{REPLICA}/events.parquet"):
+    # Gate on the LAST-written table's _SUCCESS marker (build order in
+    # replica_bench: documents, embeddings, events) so a partially
+    # built replica is repaired instead of half-trusted — a crash
+    # DURING the events write leaves the directory present without the
+    # marker (ADVICE r12 tightening the review-r12 directory gate).
+    if not os.path.isfile(f"{REPLICA}/events.parquet/_SUCCESS"):
         sys.path.insert(0, str(REPO / "scripts"))
         from replica_bench import build_replica
 

@@ -123,6 +123,10 @@ def test_multi_hash_same_index_no_self_match(spark):
 def test_longer_hash_than_256_bits(spark):
     # Reference tests/unit/test_pdq_hash.py:126-146: hashes longer than
     # 64 hex chars still match, similarity still normalized by 256.
+    # Since round 13 longer-hash callers OPT IN (max_hex_len=None
+    # auto-detects, or pass the length) — the default assumes the
+    # 256-bit PDQ contract to skip the detection scan (VERDICT r12
+    # item 4).
     long_a = "f" * 70
     long_b = "f" * 69 + "e"  # distance 1 from long_a
     far = "0" * 70
@@ -133,12 +137,32 @@ def test_longer_hash_than_256_bits(spark):
     out = {
         r["index"]: r.asDict()
         for r in find_pdq_hash_duplicates(
-            df, pqd_hash_similarity_threshold=0.99
+            df, pqd_hash_similarity_threshold=0.99, max_hex_len=None
         ).collect()
     }
     assert set(out) == {"A", "B"}
     assert out["A"]["pdq_hash_duplicates"] == ["B"]
     assert out["A"]["pdq_hash_similarities"] == [1.0 - 1 / 256]
+
+
+def test_longer_hash_raises_loudly_under_default(spark):
+    # The max_hex_len=64 default skips the detection scan on the
+    # strength of the 256-bit PDQ contract; a contract-violating longer
+    # hash must FAIL AT ROW TIME (decoded_hashes' length guard), never
+    # silently left-truncate through the chunk decoder's lpad.
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("A", ["f" * 70]), ("B", ["f" * 69 + "e"])],
+        "index string, pdq_hash array<string>",
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as exc:
+        find_pdq_hash_duplicates(
+            df, pqd_hash_similarity_threshold=0.99
+        ).collect()
+    assert "max_hex_len" in str(exc.value)
 
 
 def test_longer_hash_mixed_lengths_excess_counts(spark):
@@ -154,6 +178,6 @@ def test_longer_hash_mixed_lengths_excess_counts(spark):
     # aligned comparison shifts, so distance is large; just assert the
     # pipeline runs and excludes the pair at a tight threshold.
     out = find_pdq_hash_duplicates(
-        df, pqd_hash_similarity_threshold=0.99
+        df, pqd_hash_similarity_threshold=0.99, max_hex_len=None
     ).collect()
     assert out == []
