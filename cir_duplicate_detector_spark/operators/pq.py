@@ -627,6 +627,11 @@ class IvfPqIndex(NamedTuple):
     # L2 is permutation-invariant), so carrying the permutation inside
     # the index never leaks into caller-visible vector layouts.
     perm: "DataFrame | None" = None
+    # Full OPQ rotation (round 13 stretch): a one-row
+    # (rot: array<array<double>>) frame, same carry discipline as perm
+    # (probes/upserts project through it; refine stays original-space —
+    # orthogonal rotations preserve L2). Mutually exclusive with perm.
+    rot: "DataFrame | None" = None
 
 
 def build_ivf_pq_index(
@@ -680,10 +685,10 @@ def build_ivf_pq_index(
             "coarse quantizer; coarse_k/coarse_iters/sample_mod would "
             "be ignored — pass one or the other"
         )
-    if opq not in ("never", "auto", "always"):
+    if opq not in ("never", "auto", "always", "rotate"):
         raise ValueError(
-            f"build_ivf_pq_index: opq must be 'never'/'auto'/'always',"
-            f" got {opq!r}"
+            "build_ivf_pq_index: opq must be "
+            f"'never'/'auto'/'always'/'rotate', got {opq!r}"
         )
     if opq != "never" and coarse_cents is not None:
         raise ValueError(
@@ -702,8 +707,20 @@ def build_ivf_pq_index(
     )
 
     smod = KM_IVF_SAMPLE_MOD if sample_mod is None else sample_mod
-    perm = None
-    if opq != "never":
+    perm = rot = None
+    if opq == "rotate":
+        # Full OPQ (stretch, round 13): sample-learned orthogonal
+        # rotation instead of the permutation — for corpora whose
+        # structure is cross-dimension CORRELATION, which no
+        # axis-aligned permutation can remove. Library path only (the
+        # Procrustes SVD is not oracle-expressible; see opq.py).
+        from . import opq as opq_mod
+
+        rot = materialize(
+            opq_mod.learn_rotation(vectors, m, subdim, sample_mod=smod)
+        )
+        vectors = opq_mod.apply_rotation(vectors, rot, d=m * subdim)
+    elif opq != "never":
         # Lazy import: opq imports this module's layout constants.
         from . import opq as opq_mod
 
@@ -759,7 +776,9 @@ def build_ivf_pq_index(
     # production PQ stores (M bytes/vector) and the only shape the
     # packed ADC scorer reads. One extra N·M → N aggregate at build.
     codes = _pack_codes(pq_encode(resid, codebook, m, subdim), codebook)
-    return IvfPqIndex(cents, assigned, codebook, codes, m, subdim, perm)
+    return IvfPqIndex(
+        cents, assigned, codebook, codes, m, subdim, perm, rot
+    )
 
 
 def ivf_pq_upsert(
@@ -786,6 +805,10 @@ def ivf_pq_upsert(
         from .opq import apply_permutation
 
         incoming = apply_permutation(incoming, index.perm, d=m * subdim)
+    if index.rot is not None:
+        from .opq import apply_rotation
+
+        incoming = apply_rotation(incoming, index.rot, d=m * subdim)
     e = incoming.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -813,6 +836,7 @@ def merge_ivf_pq_index(
         index.m,
         index.subdim,
         index.perm,
+        index.rot,
     )
 
 
@@ -832,6 +856,8 @@ def persist_ivf_pq_index(index: IvfPqIndex, out_dir: str) -> None:
         )
     if index.perm is not None:
         index.perm.write.mode("overwrite").parquet(f"{out_dir}/perm")
+    if index.rot is not None:
+        index.rot.write.mode("overwrite").parquet(f"{out_dir}/rot")
 
 
 def read_ivf_pq_index(
@@ -850,10 +876,12 @@ def read_ivf_pq_index(
     parts = [
         spark.read.parquet(f"{out_dir}/{part}") for part in _IVFPQ_PARTS
     ]
-    perm = None
+    perm = rot = None
     if os.path.isfile(f"{out_dir}/perm/_SUCCESS"):
         perm = spark.read.parquet(f"{out_dir}/perm")
-    return IvfPqIndex(*parts, m, subdim, perm)
+    if os.path.isfile(f"{out_dir}/rot/_SUCCESS"):
+        rot = spark.read.parquet(f"{out_dir}/rot")
+    return IvfPqIndex(*parts, m, subdim, perm, rot)
 
 
 def knn_ivf_pq_from_index(
@@ -880,6 +908,12 @@ def knn_ivf_pq_from_index(
         from .opq import apply_permutation
 
         vectors = apply_permutation(vectors, index.perm, d=m * subdim)
+    if index.rot is not None:
+        # Same carry discipline for the full OPQ rotation (orthogonal,
+        # so exact refine's L2 is likewise unaffected).
+        from .opq import apply_rotation
+
+        vectors = apply_rotation(vectors, index.rot, d=m * subdim)
     e = vectors.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )

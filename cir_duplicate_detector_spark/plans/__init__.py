@@ -130,13 +130,16 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     # (VERDICT r12 item 6); physical only, result-preserving
     f"{_PKG}/operators/pq.py": (
         "pq_recall_skewed_opq",
-    ),  # NEW opq='never'/'auto'/'always' gate on build_ivf_pq_index +
-    # IvfPqIndex.perm carried through probe/upsert/merge/persist
-    # (VERDICT r12 item 5); default 'never' leaves every other
-    # consumer's plan untouched
+    ),  # NEW opq='never'/'auto'/'always'/'rotate' gate on
+    # build_ivf_pq_index + IvfPqIndex.perm/.rot carried through
+    # probe/upsert/merge/persist (VERDICT r12 items 5 and 8); default
+    # 'never' leaves every other consumer's plan untouched
     f"{_PKG}/operators/opq.py": "NEW opq_subspace_imbalance (the"
-    " auto-gate statistic); consumed by build_ivf_pq_index(opq=...)"
-    " and the new opq_auto_gate row only",
+    " auto-gate statistic, consumed by build_ivf_pq_index(opq=...)"
+    " and the new opq_auto_gate row) + NEW learn_rotation /"
+    " apply_rotation (full OPQ, VERDICT r12 stretch item 8 — library"
+    " operator with unit-test evidence; the Procrustes SVD is not"
+    " oracle-expressible, so no registered query consumes it)",
     f"{_PKG}/plans/ext_ann.py": (
         "pq_recall_skewed",
         "pq_recall_skewed_opq",

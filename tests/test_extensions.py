@@ -1648,3 +1648,88 @@ def test_opq_auto_rejects_prebuilt_coarse(spark):
         pq.build_ivf_pq_index(skewed, coarse_cents=cents, opq="auto")
     with pytest.raises(ValueError, match="never"):
         pq.build_ivf_pq_index(skewed, opq="sometimes")
+
+
+def _correlated_corpus(spark, n=256):
+    """Corpus whose structure is cross-dimension CORRELATION, not
+    axis-aligned skew: heavy dims 0-3 (x8) MIXED pairwise with dims
+    32-35 through a fixed 0.6/0.8 rotation (a 3-4-5 Givens — exact
+    double constants), so the energy spreads across subspaces but the
+    correlation remains. No permutation can undo a mix; the learned
+    rotation can. Values are integer-hash diverse (every (i, j) cell
+    distinct) so the learn's 32-codeword Lloyd cannot quantize the
+    sample exactly — the distortion being minimized is real."""
+    rows = []
+    for i in range(n):
+        v = [
+            (((i * 2654435761 + j * 40503 + 17) % 4093) / 4093.0) - 0.5
+            for j in range(64)
+        ]
+        for j in range(4):
+            v[j] *= 8.0
+        for j in range(4):
+            a, b = v[j], v[32 + j]
+            v[j], v[32 + j] = 0.6 * a + 0.8 * b, -0.8 * a + 0.6 * b
+        rows.append((i, v))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_opq_rotation_beats_permutation_on_correlated_corpus(spark):
+    # The full-OPQ stretch (VERDICT r12 item 8): the alternating
+    # Lloyd/Procrustes learn must reduce sample quantization distortion
+    # MONOTONICALLY from its permutation init (trace head = what the
+    # snake-deal permutation achieves; tail = the learned rotation) —
+    # the A/B evidence for the capability the registered permutation
+    # rows cannot provide (a correlated corpus defeats any axis-aligned
+    # re-ordering).
+    from cir_duplicate_detector_spark.operators import opq
+
+    emb = _correlated_corpus(spark)
+    rot, trace = opq.learn_rotation(emb, sample_mod=1, return_trace=True)
+    assert len(trace) == opq.OPQ_ROT_ITERS + 1
+    # each Procrustes+Lloyd round may plateau but never regresses much;
+    # the end-to-end claim is a material win over the permutation init
+    assert trace[-1] < 0.85 * trace[0], trace
+    # orthogonality: rotation preserves row norms (L2-invariant, the
+    # property that lets exact refine stay in the original space)
+    rotated = opq.apply_rotation(emb, rot).collect()
+    orig = {r[0]: r[1] for r in emb.collect()}
+    for r in rotated:
+        n_before = sum(x * x for x in orig[r.vec_id])
+        n_after = sum(x * x for x in r.embedding)
+        assert abs(n_before - n_after) < 1e-9 * max(n_before, 1.0)
+
+
+def test_opq_rotate_index_roundtrips_and_serves(spark, tmp_path):
+    from cir_duplicate_detector_spark.operators import pq
+
+    emb = _correlated_corpus(spark)
+    idx = pq.build_ivf_pq_index(emb, opq="rotate", sample_mod=1)
+    assert idx.rot is not None and idx.perm is None
+    out = str(tmp_path / "rot_idx")
+    pq.persist_ivf_pq_index(idx, out)
+    reopened = pq.read_ivf_pq_index(spark, out)
+    assert reopened.rot is not None
+    probe = [0, 13, 47]
+    served = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in pq.knn_ivf_pq_from_index(
+            reopened, emb, probe, k=3
+        ).collect()
+    )
+    built = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in pq.knn_ivf_pq_from_index(idx, emb, probe, k=3).collect()
+    )
+    assert served == built
+    # upsert projects the wave through the stored rotation: merged
+    # index covers the full corpus and stays rotation-tagged
+    base = pq.build_ivf_pq_index(
+        emb.where("vec_id % 2 = 0"), opq="rotate", sample_mod=1
+    )
+    a_new, c_new = pq.ivf_pq_upsert(base, emb.where("vec_id % 2 = 1"))
+    merged = pq.merge_ivf_pq_index(base, a_new, c_new)
+    assert merged.rot is not None
+    assert merged.codes.count() == emb.count()
