@@ -271,7 +271,9 @@ def learn_rotation(
         .select("vec_id", F.col(vec_col).cast("array<double>").alias("e"))
         .orderBy("vec_id")
         .limit(sample)
-        .collect()
+        # Bounded ≤`sample` rows — a config constant, not a corpus
+        # fraction; the FAISS-style host-side OPQ train.
+        .collect()  # hygiene: allow-collect (bounded learn sample)
     )
     if not rows:
         raise ValueError(

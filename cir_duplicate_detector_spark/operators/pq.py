@@ -868,20 +868,35 @@ def read_ivf_pq_index(
 ) -> IvfPqIndex:
     """Reopen a :func:`persist_ivf_pq_index` directory. ``m``/``subdim``
     must match the build config (they are layout, not data). The OPQ
-    permutation part is optional — present only for indexes built
-    under a permutation (gated on its `_SUCCESS` marker, the committed
-    write's atomicity token, so a partial write is never half-read)."""
+    permutation/rotation parts are optional — present only for indexes
+    built under one. On a local path they gate on the `_SUCCESS`
+    marker (the committed write's atomicity token, so a partial write
+    is never half-read); on a remote filesystem (``scheme://`` paths —
+    hdfs/s3a/...), where ``os.path`` cannot see the marker, absence is
+    detected by the read itself so a permuted index can never silently
+    lose its projection."""
     import os
+
+    from pyspark.errors import AnalysisException
 
     parts = [
         spark.read.parquet(f"{out_dir}/{part}") for part in _IVFPQ_PARTS
     ]
-    perm = rot = None
-    if os.path.isfile(f"{out_dir}/perm/_SUCCESS"):
-        perm = spark.read.parquet(f"{out_dir}/perm")
-    if os.path.isfile(f"{out_dir}/rot/_SUCCESS"):
-        rot = spark.read.parquet(f"{out_dir}/rot")
-    return IvfPqIndex(*parts, m, subdim, perm, rot)
+
+    def _optional(part: str) -> "DataFrame | None":
+        path = f"{out_dir}/{part}"
+        if "://" not in out_dir:
+            if not os.path.isfile(f"{path}/_SUCCESS"):
+                return None
+            return spark.read.parquet(path)
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            return None
+
+    return IvfPqIndex(
+        *parts, m, subdim, _optional("perm"), _optional("rot")
+    )
 
 
 def knn_ivf_pq_from_index(

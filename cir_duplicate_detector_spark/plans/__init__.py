@@ -139,11 +139,13 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " and the new opq_auto_gate row) + NEW learn_rotation /"
     " apply_rotation (full OPQ, VERDICT r12 stretch item 8 — library"
     " operator with unit-test evidence; the Procrustes SVD is not"
-    " oracle-expressible, so no registered query consumes it)",
+    " oracle-expressible, so no registered query consumes it; its"
+    " bounded-sample collect carries the audited hygiene pragma)",
     f"{_PKG}/plans/ext_ann.py": (
         "pq_recall_skewed",
         "pq_recall_skewed_opq",
         "opq_auto_gate",
+        "knn_ivf_pq_served32",
     ),  # shared exact-L2 truth parquet for the A/B pair (VERDICT r12
     # item 2), B row rebuilt on the opq='auto' path (item 5 — oracle
     # unchanged, proving the gate end-to-end), NEW opq_auto_gate row
@@ -153,8 +155,8 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     ),  # shared all-exact hybrid truth parquet (VERDICT r12 item 3);
     # both rows still CALL q_hybrid_search inside the builder
     f"{_PKG}/plans/extension_queries.py": "round-13 _ORDER addition"
-    " for the new opq_auto_gate registration only; no existing query"
-    " touched",
+    " for the new opq_auto_gate / knn_ivf_pq_served32 registrations"
+    " only; no existing query touched",
     f"{_PKG}/cache.py": "tracked_mkdtemp bounded to one live dir per"
     " roundtrip family + shared_artifact stale-app sweep over ALL"
     " registered family caches (ADVICE r12); lifecycle only, no query"

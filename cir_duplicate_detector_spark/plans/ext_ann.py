@@ -551,6 +551,48 @@ SELECT query_id, neighbor_id, rank, adc_dist FROM ivfpq
 """
 
 
+def q_knn_ivf_pq_served32(spark, sf_dir):
+    """The SERVING-posture twin of `knn_ivf_pq` (round 13): the same
+    persisted family-shared index probed by a FIXED hash-selected
+    32-probe panel — the panel a retrieval service runs, where probe
+    volume is set by traffic, not corpus size. `knn_ivf_pq`'s
+    ``vec_id % 100`` panel GROWS with the corpus (20 probes at sf0.1 →
+    2,000 at the 100× replica), so its growth ratio measures probe
+    volume; this row is the one whose growth curve IS the serving
+    claim — measured ~flat across 100× corpus growth (3.66 → 3.18 →
+    5.21 s, BENCH_100X.json / SCALE.md round 13). Per-probe cost is
+    bounded by nprobe × cell size; the fixed panel makes the row's
+    total likewise bounded."""
+    from ..functions.text import hash60
+    from ..operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = (
+        emb.select(
+            "vec_id",
+            hash60(F.col("vec_id").cast("string"), seed="srv").alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(32)
+        .select("vec_id")
+    )
+    return pq.knn_ivf_pq_from_index(
+        _shared_ivfpq_index(spark, sf_dir), emb, probe, k=5
+    )
+
+
+def _sql_knn_ivf_pq_served32() -> str:
+    h = hash60_sql("vec_id::VARCHAR", "'srv'")
+    panel = f"SELECT vec_id, e FROM n ORDER BY {h}, vec_id LIMIT 32"
+    return f"""
+WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+{_sql_ivf_pq_chain(
+    probes_body=f"SELECT vec_id AS query_id, e FROM ({panel})"
+)}
+SELECT query_id, neighbor_id, rank, adc_dist FROM ivfpq
+"""
+
+
 # ADC shortlist size feeding the exact re-rank. 20 → 64 in round 9: the
 # r8 verdict's sweep showed the candidate ceiling (not the encoding)
 # bound refined recall at 0.62; with nprobe=16 the (16, 64) point
@@ -1967,6 +2009,10 @@ ANN_QUERIES: dict[str, tuple] = {
     "knn_cosine_ivf_learned": (q_knn_ivf_learned, _sql_knn_ivf_learned()),
     "knn_pq_adc": (q_knn_pq_adc, _sql_knn_pq_adc()),
     "knn_ivf_pq": (q_knn_ivf_pq, _sql_knn_ivf_pq()),
+    "knn_ivf_pq_served32": (
+        q_knn_ivf_pq_served32,
+        _sql_knn_ivf_pq_served32(),
+    ),
     "knn_ivf_pq_refined": (q_knn_ivf_pq_refined, _sql_knn_ivf_pq_refined()),
     "pq_recall": (q_pq_recall, _sql_pq_recall()),
     "pq_recall_skewed": (q_pq_recall_skewed, _sql_pq_recall_skewed(False)),

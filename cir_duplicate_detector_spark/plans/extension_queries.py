@@ -231,6 +231,7 @@ _ORDER = [
     "dup_labels_roundtrip",
     # round-13 additions:
     "opq_auto_gate",
+    "knn_ivf_pq_served32",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (

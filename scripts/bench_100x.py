@@ -46,36 +46,11 @@ SERVING_QUERIES = [
     # so its growth ratio measures probe volume, not serving
     # degradation (predicted work ratio probes×nprobe×cellsize×M =
     # 31.6x at 100x/10x; measured 27.4x — the engine tracks the math
-    # sublinearly). This pseudo-row is the SERVING claim proper: the
-    # same persisted-index probe path under a FIXED 32-probe panel at
-    # every scale.
-    "knn_ivf_pq_fixed32",
+    # sublinearly). The REGISTERED fixed-panel twin is the SERVING
+    # claim proper: the same persisted-index probe path under a fixed
+    # 32-probe panel at every scale (~flat, 3.66 → 3.18 → 5.21 s).
+    "knn_ivf_pq_served32",
 ]
-
-
-def _knn_ivf_pq_fixed32(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from cir_duplicate_detector_spark.functions.text import hash60
-    from cir_duplicate_detector_spark.operators import pq
-    from cir_duplicate_detector_spark.plans.ext_ann import (
-        _shared_ivfpq_index,
-    )
-    from cir_duplicate_detector_spark.sources.tables import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    probe = (
-        emb.select(
-            "vec_id",
-            hash60(F.col("vec_id").cast("string"), seed="srv").alias("h"),
-        )
-        .orderBy("h", "vec_id")
-        .limit(32)
-        .select("vec_id")
-    )
-    return pq.knn_ivf_pq_from_index(
-        _shared_ivfpq_index(spark, sf_dir), emb, probe, k=5
-    )
 
 
 def build_wide_replica(spark, n: int) -> str:
@@ -140,11 +115,7 @@ def main() -> None:
     except (OSError, json.JSONDecodeError):
         pass
     for name in names:
-        fn = (
-            _knn_ivf_pq_fixed32
-            if name == "knn_ivf_pq_fixed32"
-            else ALL_QUERIES[name][0]
-        )
+        fn = ALL_QUERIES[name][0]
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
