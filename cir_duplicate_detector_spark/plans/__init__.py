@@ -89,6 +89,14 @@ _PLAN_CHANGED: list[str] = [
     "hybrid_recall",
     "hybrid_search_fresh",
     "hybrid_fresh_recall",
+    # (d) events_quantiles recomputed from explicit rank selection: the
+    # 10x-replica gate caught Spark's percentile (a·(1−g)+g·b) and
+    # DuckDB's quantile_cont (a+(b−a)·g) diverging in the last ulp on
+    # replicated data; both sides now spell one shared lerp formula.
+    # Identical values at every provided scale (tri-scale re-verified)
+    # AND at the 10x replica; also moves Spark off the
+    # memory-buffering percentile agg.
+    "events_quantiles",
 ]
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
@@ -157,6 +165,10 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     f"{_PKG}/plans/extension_queries.py": "round-13 _ORDER addition"
     " for the new opq_auto_gate / knn_ivf_pq_served32 registrations"
     " only; no existing query touched",
+    f"{_PKG}/plans/ext_events.py": (
+        "events_quantiles",
+    ),  # explicit rank-selected lerp on both engines (10x gate catch —
+    # see _PLAN_CHANGED); tri-scale + 10x re-verified green
     f"{_PKG}/cache.py": "tracked_mkdtemp bounded to one live dir per"
     " roundtrip family + shared_artifact stale-app sweep over ALL"
     " registered family caches (ADVICE r12); lifecycle only, no query"

@@ -225,29 +225,82 @@ FROM events GROUP BY event_type
 
 
 def q_events_quantiles(spark, sf_dir):
-    """Exact linear-interpolation percentiles per event type — Spark's
-    ``percentile`` and DuckDB's ``quantile_cont`` share the continuous
-    quantile definition, so even interpolated values match bitwise.
-    (``percentile_approx`` is the at-scale variant; it has no exact
-    oracle, so the registered query is the exact form.)"""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("p50"),
-        F.percentile("value", F.lit(0.9)).alias("p90"),
-        F.percentile("value", F.lit(0.99)).alias("p99"),
-        F.min("value").alias("v_min"),
-        F.max("value").alias("v_max"),
+    """Exact linear-interpolation percentiles per event type, computed
+    from EXPLICIT rank selection so the interpolation arithmetic is one
+    shared formula on both engines: ``v_lo + (v_hi − v_lo) · g`` with
+    ``pos = p·(n−1)``, ``g = pos − floor(pos)``.
+
+    Round 13: the 10×-replica parity gate caught the built-ins
+    diverging in the last ulp — Spark's ``percentile`` interpolates
+    ``a·(1−g) + b·g`` while DuckDB's ``quantile_cont`` lerps
+    ``a + (b−a)·g``; identical real numbers, different doubles exactly
+    when the quantile position crosses a value boundary (the
+    replicated corpus's 10-copy runs manufacture that alignment:
+    a=230.52, b=230.54, g=0.5 → 230.53 vs 230.53000000000003). Both
+    sides now spell out the lerp form over rank-selected bracket
+    values. Scale bonus: Spark's exact ``percentile`` agg buffers
+    every value of a group in executor memory — the rank window is
+    sort-based and spillable, the shape that survives 100 TB
+    (``percentile_approx`` remains the at-scale variant; it has no
+    exact oracle, so the registered query is the exact form)."""
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", F.col("value").cast("double").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    ranked = ev.select(
+        "event_type",
+        "v",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def q(p, name):
+        pos = F.lit(p) * (F.col("n") - 1)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        g = pos - F.floor(pos)
+        v_lo = F.max(F.when(F.col("rn") == lo, F.col("v")))
+        v_hi = F.max(F.when(F.col("rn") == hi, F.col("v")))
+        # g is constant within a group (n is); max() picks that value.
+        g_agg = F.max(g)
+        return (v_lo + (v_hi - v_lo) * g_agg).alias(name)
+
+    return ranked.groupBy("event_type").agg(
+        q(0.5, "p50"),
+        q(0.9, "p90"),
+        q(0.99, "p99"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
     )
 
 
 SQL_EVENTS_QUANTILES = """
+WITH r AS (
+  SELECT event_type, value::DOUBLE AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY value)
+           - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
 SELECT event_type,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.9) AS p90,
-       quantile_cont(value, 0.99) AS p99,
-       min(value) AS v_min,
-       max(value) AS v_max
-FROM events GROUP BY event_type
+       max(CASE WHEN rn = floor(0.5::DOUBLE * (n - 1)) THEN v END)
+         + (max(CASE WHEN rn = ceil(0.5::DOUBLE * (n - 1)) THEN v END)
+            - max(CASE WHEN rn = floor(0.5::DOUBLE * (n - 1)) THEN v END))
+           * max(0.5::DOUBLE * (n - 1) - floor(0.5::DOUBLE * (n - 1))) AS p50,
+       max(CASE WHEN rn = floor(0.9::DOUBLE * (n - 1)) THEN v END)
+         + (max(CASE WHEN rn = ceil(0.9::DOUBLE * (n - 1)) THEN v END)
+            - max(CASE WHEN rn = floor(0.9::DOUBLE * (n - 1)) THEN v END))
+           * max(0.9::DOUBLE * (n - 1) - floor(0.9::DOUBLE * (n - 1))) AS p90,
+       max(CASE WHEN rn = floor(0.99::DOUBLE * (n - 1)) THEN v END)
+         + (max(CASE WHEN rn = ceil(0.99::DOUBLE * (n - 1)) THEN v END)
+            - max(CASE WHEN rn = floor(0.99::DOUBLE * (n - 1)) THEN v END))
+           * max(0.99::DOUBLE * (n - 1) - floor(0.99::DOUBLE * (n - 1))) AS p99,
+       min(v) AS v_min,
+       max(v) AS v_max
+FROM r GROUP BY event_type
 """
 
 
