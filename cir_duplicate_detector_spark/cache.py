@@ -44,14 +44,22 @@ def _cleanup_shared_dirs() -> None:
 atexit.register(_cleanup_shared_dirs)
 
 
-# Latest per-invocation dir per roundtrip family (keyed by prefix):
-# re-invoking the same roundtrip query evicts its PREVIOUS dir, so a
-# long-lived session (bench min-of-2 loops, 10x sweeps) holds at most
-# one parquet copy per family instead of one per invocation (ADVICE
-# r12). Contract: consume the returned DataFrame before re-invoking
-# the same family — eviction deletes the parquet the previous
-# invocation's (lazy) result reads from.
+# Latest per-invocation dir per roundtrip family (keyed by prefix),
+# plus the one before it: re-invoking the same roundtrip query evicts
+# the family's GRAND-previous dir, so a long-lived session (bench
+# min-of-2 loops, 10x sweeps) holds at most two parquet copies per
+# family instead of one per invocation (ADVICE r12). Retaining one
+# superseded generation (VERDICT r13 item 5 / ADVICE r13) means the
+# common overlap — a caller still holding the previous invocation's
+# lazy result while the next invocation builds — reads intact parquet;
+# only a result held across TWO re-invocations can dangle, and its dir
+# is left as a tombstone (`TOMBSTONE` marker file in an otherwise-empty
+# dir) so the failure is a plan-time "path does not exist" naming the
+# evicted dir, not a FileNotFoundException from deep inside a task.
 _FAMILY_DIRS: dict[str, str] = {}
+_FAMILY_PREV: dict[str, str] = {}
+
+TOMBSTONE = "TOMBSTONE_EVICTED_BY_REINVOKE"
 
 # Every family cache dict ever passed to `shared_artifact`, so the
 # stale-application sweep can evict superseded dirs for families the
@@ -65,13 +73,33 @@ def tracked_mkdtemp(prefix: str) -> str:
     which deliberately stay OFF the memoized `shared_artifact` path
     (their build cost is the thing on the clock) but must not leak a
     /tmp dir per bench run (review r12). Within-session usage is
-    bounded to ONE live dir per ``prefix`` family (ADVICE r12): the
-    previous invocation's dir is removed here, not at exit."""
-    old = _FAMILY_DIRS.pop(prefix, None)
+    bounded to TWO live dirs per ``prefix`` family (current + previous
+    — VERDICT r13 item 5): a lazy result held across one re-invoke
+    still reads intact parquet; the grand-previous dir is emptied down
+    to a ``TOMBSTONE`` marker so a result held across two re-invokes
+    fails with the evicted path named at plan time."""
+    import os
+
+    old = _FAMILY_PREV.pop(prefix, None)
     if old is not None:
         shutil.rmtree(old, ignore_errors=True)
-        if old in _SHARED_DIRS:
-            _SHARED_DIRS.remove(old)
+        # Recreate as a tombstone: the dir exists (listable, marker
+        # names the cause) but holds no data, so a stale lazy reader
+        # of `{old}/<part>` fails at plan time with the path in the
+        # message. The dir stays in _SHARED_DIRS for atexit removal.
+        try:
+            os.makedirs(old, exist_ok=True)
+            with open(os.path.join(old, TOMBSTONE), "w") as f:
+                f.write(
+                    f"evicted by a later tracked_mkdtemp({prefix!r}): "
+                    "roundtrip results must be consumed within two "
+                    "re-invocations of their family\n"
+                )
+        except OSError:
+            pass
+    prev = _FAMILY_DIRS.pop(prefix, None)
+    if prev is not None:
+        _FAMILY_PREV[prefix] = prev
     d = tempfile.mkdtemp(prefix=prefix)
     _SHARED_DIRS.append(d)
     _FAMILY_DIRS[prefix] = d

@@ -659,7 +659,11 @@ def build_ivf_pq_index(
     round-trip exactly, so cells/residuals/codes are identical.
     Combining ``coarse_cents`` with explicit coarse-learn parameters is
     an error (ADVICE r11): the prebuilt table wins and the parameters
-    would be silently ignored, so the conflict raises instead.
+    would be silently ignored, so the conflict raises instead. With
+    ``opq`` enabled, ``coarse_cents`` must be in the ORIGINAL layout;
+    the build projects it through the learned permutation/rotation
+    (round 14 — both transforms preserve L2, so the projected table
+    quantizes the transformed corpus identically).
 
     ``opq`` (round 13, VERDICT r12 item 5): ``"never"`` (default — the
     shipped config, measured correct for this corpus by `opq_balance`),
@@ -690,13 +694,15 @@ def build_ivf_pq_index(
             "build_ivf_pq_index: opq must be "
             f"'never'/'auto'/'always'/'rotate', got {opq!r}"
         )
-    if opq != "never" and coarse_cents is not None:
-        raise ValueError(
-            "build_ivf_pq_index: coarse_cents was learned in a fixed "
-            "dimension layout; combining it with opq permutation would "
-            "assign residuals in a different space — pass one or the "
-            "other"
-        )
+    # coarse_cents + opq is supported (round 14, VERDICT r13 item 7):
+    # the provided centroids must be in the ORIGINAL dimension layout
+    # and are projected through whatever transform the build learns
+    # (permutations reorder coordinates; rotations are orthogonal —
+    # both leave L2 invariant, so the projected centroids quantize the
+    # transformed corpus exactly as they quantized the original one).
+    # This lets the OPQ A/B recall pair share ONE identity-layout
+    # coarse build while each side's codebook learn + encode stay on
+    # its own clock.
     from ..cache import materialize
     from .kmeans import (
         KM_ITERS,
@@ -748,6 +754,22 @@ def build_ivf_pq_index(
     )
     if coarse_cents is not None:
         cents = coarse_cents.select("coarse", "c")
+        if perm is not None or rot is not None:
+            from . import opq as opq_mod
+
+            project = (
+                opq_mod.apply_permutation
+                if perm is not None
+                else opq_mod.apply_rotation
+            )
+            cents = materialize(
+                project(
+                    cents,
+                    perm if perm is not None else rot,
+                    vec_col="c",
+                    d=m * subdim,
+                )
+            )
     else:
         sample = vectors.where(F.col("vec_id") % smod == 0)
         cents = materialize(
@@ -854,10 +876,28 @@ def persist_ivf_pq_index(index: IvfPqIndex, out_dir: str) -> None:
         getattr(index, part).write.mode("overwrite").parquet(
             f"{out_dir}/{part}"
         )
-    if index.perm is not None:
-        index.perm.write.mode("overwrite").parquet(f"{out_dir}/perm")
-    if index.rot is not None:
-        index.rot.write.mode("overwrite").parquet(f"{out_dir}/rot")
+    # The optional projection parts are written when present and
+    # DELETED when absent (ADVICE r13, medium): ``mode("overwrite")``
+    # only replaces parts it writes, so persisting a projection-free
+    # index into a dir that previously held a perm/rot-built one would
+    # otherwise leave the stale projection behind for
+    # `read_ivf_pq_index` to attach — probes projected through a
+    # permutation the codes were not built under.
+    for name, part in (("perm", index.perm), ("rot", index.rot)):
+        path = f"{out_dir}/{name}"
+        if part is not None:
+            part.write.mode("overwrite").parquet(path)
+        elif "://" not in out_dir:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        else:  # pragma: no cover - remote fs in a local test env
+            jvm = index.cents.sparkSession._jvm
+            jsc = index.cents.sparkSession.sparkContext._jsc
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(jsc.hadoopConfiguration())
+            if fs.exists(p):
+                fs.delete(p, True)
 
 
 def read_ivf_pq_index(
@@ -886,8 +926,21 @@ def read_ivf_pq_index(
     def _optional(part: str) -> "DataFrame | None":
         path = f"{out_dir}/{part}"
         if "://" not in out_dir:
-            if not os.path.isfile(f"{path}/_SUCCESS"):
+            if not os.path.isdir(path):
                 return None
+            if not os.path.isfile(f"{path}/_SUCCESS"):
+                # Data without the commit marker is NOT absence
+                # (ADVICE r13): with marksuccessfuljobs disabled or
+                # the marker stripped by tooling, silently dropping a
+                # real projection would serve unprojected probes
+                # against projected codes — wrong neighbors, no error.
+                raise ValueError(
+                    f"read_ivf_pq_index: {path} exists but has no "
+                    "_SUCCESS marker — refusing to guess between a "
+                    "partial write and a stripped marker; delete the "
+                    "directory (projection-free index) or restore the "
+                    "marker"
+                )
             return spark.read.parquet(path)
         try:
             return spark.read.parquet(path)

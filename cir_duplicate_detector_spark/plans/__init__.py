@@ -56,47 +56,17 @@ except ImportError:
 # logical plan re-verifies at the driver regardless — cheap insurance
 # that a "physical-only" claim can never be wrong silently:
 _PLAN_CHANGED: list[str] = [
-    # Round 13. All entries are RESULT-PRESERVING physical/plan-shape
-    # edits (oracle strings untouched, local parity green); queued per
-    # the fingerprint-lint contract so the driver re-vouches for them.
+    # Round 14.
     #
-    # (a) pdq row-time length guard (VERDICT r12 item 4): max_hex_len
-    # now defaults to 64 and the chunk-decode path carries a
-    # when/raise_error guard instead of trusting lpad truncation — one
-    # extra projection in every pdq plan, same rows.
-    "pdq_duplicates_naive",
-    "pdq_duplicates_banded",
-    "pdq_duplicates_probed",
-    "pdq_duplicates_t08_probed",
-    "pdq_duplicates_t08_probe30",
-    "detect_duplicates",
-    "dup_overlap",
-    # (b) bm25_route's one-row stats crossJoin broadcast-hinted to
-    # match its four sibling sites (VERDICT r12 item 6).
-    "bm25_route",
-    "bm25_index_roundtrip",
-    # (bm25_route_streaming's registered plan reads the post-drain
-    # memory sink, so the hint is not in its analyzed plan — verified
-    # unchanged in the PLANS_r12→r13 diff)
-    # (c) shared truth artifacts (VERDICT r12 items 2-3): the OPQ A/B
-    # pair serves its exact-L2 shortlist from one parquet
-    # (`ext_ann._shared_skewed_truth`), the hybrid recall pair its
-    # exact fused top-10 (`ext_pipeline._shared_hybrid_truth`) —
-    # bigint ids round-trip parquet exactly; plus (b) reaches
-    # hybrid_search_fresh through its stale-idf stage.
+    # (a) OPQ A/B coarse-centroid share (VERDICT r13 item 7): both
+    # skewed recall rows consume the pair-shared identity-layout
+    # coarse build (`ext_ann_recall._shared_skewed_coarse`); the A
+    # row's values are identical by construction (same learn, parquet
+    # round-trip exact), the B row now learns coarse in identity space
+    # and projects through the permutation — its ORACLE changed in
+    # lockstep (coarse0 over n0 + c[pm[i]]), local parity green.
     "pq_recall_skewed",
-    "pq_recall_skewed_opq",  # also: index built via opq="auto" (item 5)
-    "hybrid_recall",
-    "hybrid_search_fresh",
-    "hybrid_fresh_recall",
-    # (d) events_quantiles recomputed from explicit rank selection: the
-    # 10x-replica gate caught Spark's percentile (a·(1−g)+g·b) and
-    # DuckDB's quantile_cont (a+(b−a)·g) diverging in the last ulp on
-    # replicated data; both sides now spell one shared lerp formula.
-    # Identical values at every provided scale (tri-scale re-verified)
-    # AND at the 10x replica; also moves Spark off the
-    # memory-buffering percentile agg.
-    "events_quantiles",
+    "pq_recall_skewed_opq",
 ]
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
@@ -111,67 +81,41 @@ _PLAN_CHANGED: list[str] = [
 # the round's artifacts) are harmless and cleared opportunistically.
 _PKG = "cir_duplicate_detector_spark"
 _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
-    f"{_PKG}/plans/__init__.py": "round-13 rotation metadata reset"
-    " (cleared round-12 _ROUND_EDITS/_PLAN_CHANGED — all r12 entries"
+    f"{_PKG}/plans/__init__.py": "round-14 rotation metadata reset"
+    " (cleared round-13 _ROUND_EDITS/_PLAN_CHANGED — all r13 entries"
     " driver-verified and committed); no query plan or result touched",
-    f"{_PKG}/operators/pdq.py": (
-        "pdq_duplicates_naive",
-        "pdq_duplicates_banded",
-        "pdq_duplicates_probed",
-        "pdq_duplicates_t08_probed",
-        "pdq_duplicates_t08_probe30",
-        "detect_duplicates",
-        "dup_overlap",
-    ),  # max_hex_len defaults to 64 (no eager length scan on the
-    # common path, VERDICT r12 item 4) + row-time length guard in
-    # decoded_hashes — result-preserving, plans re-queued
-    f"{_PKG}/__init__.py": (
-        "detect_duplicates",
-    ),  # detect_duplicates passes the same new max_hex_len=64 default
-    # through; result-preserving
-    f"{_PKG}/operators/textops.py": (
-        "bm25_route",
-        "bm25_index_roundtrip",
-        "hybrid_search_fresh",
-        "hybrid_fresh_recall",
-    ),  # broadcast hint on bm25_route's one-row stats crossJoin
-    # (VERDICT r12 item 6); physical only, result-preserving
-    f"{_PKG}/operators/pq.py": (
-        "pq_recall_skewed_opq",
-    ),  # NEW opq='never'/'auto'/'always'/'rotate' gate on
-    # build_ivf_pq_index + IvfPqIndex.perm/.rot carried through
-    # probe/upsert/merge/persist (VERDICT r12 items 5 and 8); default
-    # 'never' leaves every other consumer's plan untouched
-    f"{_PKG}/operators/opq.py": "NEW opq_subspace_imbalance (the"
-    " auto-gate statistic, consumed by build_ivf_pq_index(opq=...)"
-    " and the new opq_auto_gate row) + NEW learn_rotation /"
-    " apply_rotation (full OPQ, VERDICT r12 stretch item 8 — library"
-    " operator with unit-test evidence; the Procrustes SVD is not"
-    " oracle-expressible, so no registered query consumes it; its"
-    " bounded-sample collect carries the audited hygiene pragma)",
-    f"{_PKG}/plans/ext_ann.py": (
+    f"{_PKG}/operators/pdqimage.py": "NEW module: fixed-point true-PDQ"
+    " hash from image bytes (VERDICT r13 item 1) feeding the NEW"
+    " image_pdq_hashes / image_pdq_near_dup rows (brand-new, lead the"
+    " rotation); no existing query touched",
+    f"{_PKG}/plans/ext_multimodal.py": "NEW image_pdq_hashes /"
+    " image_pdq_near_dup registrations (corpus builder + full SQL"
+    " oracle replay of the fixed-point PDQ pipeline); existing"
+    " multimodal rows untouched",
+    f"{_PKG}/plans/extension_queries.py": "round-14 _ORDER additions"
+    " (image_pdq_hashes, image_pdq_near_dup) + ext_ann_recall merge"
+    " wiring for the r13-item-6 module split; no existing query"
+    " touched",
+    f"{_PKG}/plans/ext_ann.py": "module split (VERDICT r13 item 6):"
+    " recall/OPQ rows moved verbatim to ext_ann_recall.py;"
+    " _sql_ivf_pq_chain gained the coarse_body parameter (default"
+    " None emits the byte-identical historical chain); no plan or"
+    " oracle of a query remaining in this module changed",
+    f"{_PKG}/plans/ext_ann_recall.py": (
         "pq_recall_skewed",
         "pq_recall_skewed_opq",
-        "opq_auto_gate",
-        "knn_ivf_pq_served32",
-    ),  # shared exact-L2 truth parquet for the A/B pair (VERDICT r12
-    # item 2), B row rebuilt on the opq='auto' path (item 5 — oracle
-    # unchanged, proving the gate end-to-end), NEW opq_auto_gate row
-    f"{_PKG}/plans/ext_pipeline.py": (
-        "hybrid_recall",
-        "hybrid_fresh_recall",
-    ),  # shared all-exact hybrid truth parquet (VERDICT r12 item 3);
-    # both rows still CALL q_hybrid_search inside the builder
-    f"{_PKG}/plans/extension_queries.py": "round-13 _ORDER addition"
-    " for the new opq_auto_gate / knn_ivf_pq_served32 registrations"
-    " only; no existing query touched",
-    f"{_PKG}/plans/ext_events.py": (
-        "events_quantiles",
-    ),  # explicit rank-selected lerp on both engines (10x gate catch —
-    # see _PLAN_CHANGED); tri-scale + 10x re-verified green
-    f"{_PKG}/cache.py": "tracked_mkdtemp bounded to one live dir per"
-    " roundtrip family + shared_artifact stale-app sweep over ALL"
-    " registered family caches (ADVICE r12); lifecycle only, no query"
+    ),  # NEW module from the split (entries verbatim) + the r13-item-7
+    # coarse-centroid share for the A/B pair (see _PLAN_CHANGED)
+    f"{_PKG}/operators/pq.py": (
+        "pq_recall_skewed",
+        "pq_recall_skewed_opq",
+    ),  # coarse_cents now composes with opq (provided table projected
+    # through the learned transform — VERDICT r13 item 7); persist
+    # deletes stale perm/rot parts when absent and read refuses
+    # marker-less part dirs (ADVICE r13) — non-plan lifecycle fixes
+    f"{_PKG}/cache.py": "tracked_mkdtemp retains one superseded"
+    " generation per family and tombstones the grand-previous dir"
+    " (VERDICT r13 item 5 / ADVICE r13); lifecycle only, no query"
     " plan or result touched",
 }
 

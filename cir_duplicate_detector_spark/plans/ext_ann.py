@@ -333,6 +333,7 @@ def _sql_ivf_pq_chain(
     " WHERE vec_id % 100 = 0",
     topk: int = 5,
     train_pred: "str | None" = None,
+    coarse_body: "str | None" = None,
 ) -> str:
     """CTE chain (appends to an open WITH providing ``n``) ending in
     ``ivfpq`` = (query_id, neighbor_id, rank, adc_dist) — the SQL twin
@@ -342,7 +343,11 @@ def _sql_ivf_pq_chain(
     diagnostic so the recall row measures EXACTLY the index the search
     query ships. ``probes_body`` parametrizes the probe relation (the
     search query scales probes with the corpus; the recall diagnostic
-    pins a fixed-size panel)."""
+    pins a fixed-size panel). ``coarse_body`` (round 14) replaces the
+    in-chain coarse Lloyd learn with a caller-supplied ``(coarse, c)``
+    relation — the twin of ``build_ivf_pq_index(coarse_cents=...)``
+    (the OPQ B row supplies the A row's identity-layout centroids
+    projected through the learned permutation)."""
     from ..operators import kmeans, pq as _pq
 
     m, sd, kcw = _pq.IVFPQ_M, _pq.IVFPQ_SUBDIM, _pq.PQ_CODEWORDS
@@ -374,10 +379,15 @@ def _sql_ivf_pq_chain(
         f" j -> (q.e[c.subspace * {sd} + j] - c.csub[j])"
         f" * (q.e[c.subspace * {sd} + j] - c.csub[j])))"
     )
-    return f""",
+    if coarse_body is None:
+        coarse_ctes = f"""
 s AS (SELECT vec_id, e FROM n WHERE {tp})
 {_sql_kmeans_lloyd('s', k_sqrt, iters, salts)},
-coarse AS (SELECT cluster AS coarse, c FROM cent{iters}),
+coarse AS (SELECT cluster AS coarse, c FROM cent{iters})"""
+    else:
+        coarse_ctes = f"""
+coarse AS ({coarse_body})"""
+    return f""",{coarse_ctes},
 assigned AS (
   SELECT vec_id, coarse FROM (
     SELECT n.vec_id, coarse.coarse,
@@ -656,315 +666,6 @@ WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT query_id, neighbor_id, rank, l2sq FROM refined
 """
 
-
-def q_pq_recall(spark, sf_dir):
-    """Recall@5 of BOTH IVF-ADC stages vs EXACT squared-L2 — the metric
-    ADC approximates: ``recall_adc`` for the raw ADC top-5 and
-    ``recall_refined`` for the exact re-rank of the same 20-candidate
-    shortlist, computed from ONE shared shortlist (the shortlist plan
-    is materialized once; the ADC top-5 is its rank ≤ 5 prefix).
-    Completes the self-measuring matrix (`ann_recall_lsh` /
-    `ann_recall_ivf` / `semantic_recall_learned` / `minhash_recall`):
-    every approximate index ships its own oracle-checked recall row,
-    and the refined column shows what the re-rank stage buys.
-
-    Probes are a FIXED-SIZE deterministic panel (the 32 smallest
-    seeded-hash vec_ids — a distributed top-k, not a window), NOT the
-    corpus-scaled ``% 100`` rule the search queries use: the exact
-    side costs |panel|·N distances, so a corpus-growing probe count
-    would make the diagnostic quadratic (measured 154 s at the 10×
-    replica under ``% 100``; the panel keeps it linear — the same
-    fixed-fraction discipline as `minhash_recall`'s probe sample)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return _pq_recall_over(emb, index=_shared_ivfpq_index(spark, sf_dir))
-
-
-def _sql_pq_recall() -> str:
-    h = hash60_sql("vec_id::VARCHAR", "'pqr'")
-    panel = f"SELECT vec_id, e FROM n ORDER BY {h}, vec_id LIMIT 32"
-    return f"""
-WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-{_sql_ivf_pq_chain(
-    probes_body=f"SELECT vec_id AS query_id, e FROM ({panel})",
-    topk=PQ_REFINE,
-)}
-{_sql_refined(5)},
-adc AS (SELECT query_id, neighbor_id FROM ivfpq WHERE rank <= 5),
-bfs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SQL_L2_QC} AS l2sq
-  FROM ({panel}) q, n c
-  WHERE q.vec_id <> c.vec_id
-),
-bf AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY l2sq, neighbor_id
-    ) AS rank FROM bfs
-  ) WHERE rank <= 5
-)
-SELECT bf.query_id, count(*) AS n_true,
-       sum(CASE WHEN adc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         AS n_hit_adc,
-       sum(CASE WHEN adc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         / count(*) AS recall_adc,
-       sum(CASE WHEN refined.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         AS n_hit_refined,
-       sum(CASE WHEN refined.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         / count(*) AS recall_refined
-FROM bf
-LEFT JOIN adc
-  ON bf.query_id = adc.query_id AND bf.neighbor_id = adc.neighbor_id
-LEFT JOIN refined
-  ON bf.query_id = refined.query_id AND bf.neighbor_id = refined.neighbor_id
-GROUP BY bf.query_id
-"""
-
-
-def _skewed_embeddings(spark, sf_dir):
-    """Deterministically SKEWED embedding corpus: dimensions 0-3
-    scaled ×8 (exact in binary, so both engines multiply the same
-    double), concentrating ~64× of the per-subspace energy into
-    subspace 0 under PQ's identity dimension layout — the corpus shape
-    OPQ exists for. The `_ppm_media` fixture stance: the provided
-    testdata is ~isotropic (`opq_balance` measures before ≈ after), so
-    the skewed variant is derived, not synthesized."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    scaled = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x, i: F.when(i < 4, x * F.lit(8.0)).otherwise(x),
-    )
-    return emb.select("vec_id", scaled.alias("embedding"))
-
-
-def _pq_recall_panel(corpus):
-    from ..functions.text import hash60
-
-    return (
-        corpus.select(
-            "vec_id",
-            hash60(F.col("vec_id").cast("string"), seed="pqr").alias("h"),
-        )
-        .orderBy("h", "vec_id")
-        .limit(32)
-        .select("vec_id")
-    )
-
-
-# Exact-L2 truth over the skewed corpus, shared by the OPQ A/B pair
-# (VERDICT r12 item 2): both rows probe the SAME corpus with the SAME
-# 32-probe panel, and exact L2 is permutation-invariant, so the truth
-# shortlist is computed ONCE per (application, corpus dir) and served
-# from parquet. ONLY the truth is memoized — each row's index build
-# stays on its own clock (that build cost is what the rows measure).
-_SKEWED_TRUTH_SHARED: dict[tuple, object] = {}
-
-
-def _shared_skewed_truth(spark, sf_dir):
-    from ..cache import shared_artifact
-    from ..operators import pq
-
-    def build(d):
-        corpus = _skewed_embeddings(spark, sf_dir)
-        probe = _pq_recall_panel(corpus)
-        pq.knn_l2_bruteforce(corpus, probe, k=5).select(
-            "query_id", "neighbor_id"
-        ).write.parquet(f"{d}/truth.parquet")
-        return spark.read.parquet(f"{d}/truth.parquet")
-
-    return shared_artifact(
-        _SKEWED_TRUTH_SHARED, spark, sf_dir, "pq_skew_truth_", build
-    )
-
-
-def _pq_recall_over(corpus, index=None, truth=None):
-    """`pq_recall`'s exact shape (fixed 32-probe panel, shared ADC
-    shortlist, brute-force L2 truth) over an arbitrary corpus — ONE
-    definition serving `pq_recall` (pass the family-shared persisted
-    index) and the skewed-corpus OPQ A/B rows (``index=None`` builds
-    from scratch; the build is deliberately on the clock there).
-    ``truth`` (optional) supplies a precomputed exact top-5 shortlist
-    ``(query_id, neighbor_id)`` — the A/B pair shares one
-    (`_shared_skewed_truth`); bigint ids round-trip parquet exactly,
-    so results are identical to the inline brute force."""
-    from ..cache import materialize
-    from ..operators import pq
-
-    probe = _pq_recall_panel(corpus)
-    bf = (
-        truth
-        if truth is not None
-        else pq.knn_l2_bruteforce(corpus, probe, k=5).select(
-            "query_id", "neighbor_id"
-        )
-    )
-    if index is None:
-        index = pq.build_ivf_pq_index(corpus)
-    short = materialize(
-        pq.knn_ivf_pq_from_index(index, corpus, probe, k=PQ_REFINE)
-    )
-    adc = short.where(F.col("rank") <= 5).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit_adc")
-    )
-    ref = pq.pq_refine(corpus, short, k=5).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit_ref")
-    )
-    return (
-        bf.join(adc, ["query_id", "neighbor_id"], "left")
-        .join(ref, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.count("*").alias("n_true"),
-            F.sum(F.coalesce(F.col("hit_adc"), F.lit(0))).alias("n_hit_adc"),
-            F.sum(F.coalesce(F.col("hit_ref"), F.lit(0))).alias(
-                "n_hit_refined"
-            ),
-        )
-        .select(
-            "query_id",
-            "n_true",
-            "n_hit_adc",
-            (F.col("n_hit_adc") / F.col("n_true")).alias("recall_adc"),
-            "n_hit_refined",
-            (F.col("n_hit_refined") / F.col("n_true")).alias(
-                "recall_refined"
-            ),
-        )
-    )
-
-
-def q_pq_recall_skewed(spark, sf_dir):
-    """IVF-PQ recall on the SKEWED corpus under the IDENTITY dimension
-    layout — the A side of the end-to-end OPQ A/B (VERDICT r11 item 7):
-    with dims 0-3 carrying ~64× energy, vanilla PQ spends ONE
-    256-codeword codebook on all four hot dimensions (subspace 0) and
-    fifteen codebooks on near-noise — the allocation failure
-    `opq_balance` quantifies and the B row (`pq_recall_skewed_opq`)
-    corrects. Same fixed 32-probe panel and shortlist shape as
-    `pq_recall`, so the three rows compare directly."""
-    from ..cache import materialize
-
-    return _pq_recall_over(
-        materialize(_skewed_embeddings(spark, sf_dir)),
-        truth=_shared_skewed_truth(spark, sf_dir),
-    )
-
-
-def q_pq_recall_skewed_opq(spark, sf_dir):
-    """The B side of the OPQ A/B: the identical IVF-PQ recall harness
-    with the index built via ``build_ivf_pq_index(opq="auto")``
-    (round 13, VERDICT r12 item 5) — the gate measures the skewed
-    corpus's identity-layout subspace imbalance (≫ the 4× threshold;
-    see `opq_auto_gate`) and applies the sample-learned balanced
-    snake-deal permutation (`opq.opq_permutation`): the hot dims 0-3
-    rank top-4 by energy and deal onto FOUR different subspaces, so
-    each gets its own codebook's resolution. The permutation rides IN
-    the index (probes permute through it; exact refine stays in the
-    original space — true L2 is permutation-invariant), so this row's
-    UNCHANGED oracle is the end-to-end proof that auto-selection
-    reproduces the explicit permutation bit-for-bit. Exact-L2 truth is
-    shared with the A row (`_shared_skewed_truth`); the recall delta
-    vs `pq_recall_skewed` is exactly what the permutation buys on a
-    corpus that needs it (ADC 0.550 → 0.725 at sf0.1; floor pinned by
-    `test_opq_ab_recall_improves_on_skew`). The shipped isotropic
-    config stays unpermuted — the same auto gate measures ratio ≈ 1
-    there (`opq_auto_gate`'s isotropic row)."""
-    from ..cache import materialize
-    from ..operators import pq
-
-    emb = materialize(_skewed_embeddings(spark, sf_dir))
-    index = pq.build_ivf_pq_index(emb, opq="auto")
-    return _pq_recall_over(
-        emb, index=index, truth=_shared_skewed_truth(spark, sf_dir)
-    )
-
-
-def _sql_pq_recall_skewed(permuted: bool) -> str:
-    """DuckDB twin of the skewed-corpus recall rows: the skew scaling,
-    the (optional) learned permutation (the `opq_balance` oracle's
-    energy-rank + snake-deal chain), then the standard IVF-PQ chain +
-    refine + recall tail over the transformed corpus ``n``."""
-    from ..operators.kmeans import KM_IVF_SAMPLE_MOD, KM_SALTS
-    from ..operators.pq import IVFPQ_M, IVFPQ_SUBDIM
-
-    m, sd = IVFPQ_M, IVFPQ_SUBDIM
-    skew = (
-        "list_transform(range(1, 65),"
-        " j -> CASE WHEN j <= 4 THEN (embedding::DOUBLE[])[j] * 8.0"
-        " ELSE (embedding::DOUBLE[])[j] END)"
-    )
-    if permuted:
-        n_def = f""",
-op_s AS (SELECT vec_id, e FROM n0 WHERE vec_id % {KM_IVF_SAMPLE_MOD} = 0),
-op_pe AS (
-  SELECT vec_id, j.j - 1 AS pos, op_s.e[j.j] * op_s.e[j.j] AS v2
-  FROM op_s CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
-),
-op_p1 AS (
-  SELECT pos, vec_id % {KM_SALTS} AS salt,
-         list_sum(list(v2 ORDER BY vec_id)) AS psum
-  FROM op_pe GROUP BY 1, 2
-),
-op_en AS (
-  SELECT pos, list_sum(list(psum ORDER BY salt)) AS energy
-  FROM op_p1 GROUP BY pos
-),
-op_ranked AS (
-  SELECT pos, row_number() OVER (ORDER BY energy DESC, pos) - 1 AS r
-  FROM op_en
-),
-op_asg AS (
-  SELECT pos, r // {m} AS block,
-         CASE WHEN (r // {m}) % 2 = 0 THEN r % {m}
-              ELSE {m - 1} - (r % {m}) END AS subspace
-  FROM op_ranked
-),
-op_perm AS (
-  SELECT list(pos + 1 ORDER BY subspace * {sd} + block) AS pm FROM op_asg
-),
-n AS MATERIALIZED (
-  SELECT vec_id, list_transform(range(1, 65), i -> e[pm[i]]) AS e
-  FROM n0, op_perm
-)"""
-    else:
-        n_def = ",\nn AS (SELECT vec_id, e FROM n0)"
-    h = hash60_sql("vec_id::VARCHAR", "'pqr'")
-    panel = f"SELECT vec_id, e FROM n ORDER BY {h}, vec_id LIMIT 32"
-    return f"""
-WITH n0 AS (SELECT vec_id, {skew} AS e FROM embeddings){n_def}
-{_sql_ivf_pq_chain(
-    probes_body=f"SELECT vec_id AS query_id, e FROM ({panel})",
-    topk=PQ_REFINE,
-)}
-{_sql_refined(5)},
-adc AS (SELECT query_id, neighbor_id FROM ivfpq WHERE rank <= 5),
-bfs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_SQL_L2_QC} AS l2sq
-  FROM ({panel}) q, n c
-  WHERE q.vec_id <> c.vec_id
-),
-bf AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY l2sq, neighbor_id
-    ) AS rank FROM bfs
-  ) WHERE rank <= 5
-)
-SELECT bf.query_id, count(*) AS n_true,
-       sum(CASE WHEN adc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         AS n_hit_adc,
-       sum(CASE WHEN adc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         / count(*) AS recall_adc,
-       sum(CASE WHEN refined.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         AS n_hit_refined,
-       sum(CASE WHEN refined.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-         / count(*) AS recall_refined
-FROM bf
-LEFT JOIN adc
-  ON bf.query_id = adc.query_id AND bf.neighbor_id = adc.neighbor_id
-LEFT JOIN refined
-  ON bf.query_id = refined.query_id AND bf.neighbor_id = refined.neighbor_id
-GROUP BY bf.query_id
-"""
 
 
 def q_knn_ivf(spark, sf_dir):
@@ -1833,176 +1534,7 @@ def q_semantic_cells_roundtrip(spark, sf_dir):
     )
 
 
-def q_opq_balance(spark, sf_dir):
-    """The OPQ-lite diagnostic (round 11, the r9/r10 stretch item made
-    measurable): per-subspace ENERGY under the identity dimension
-    layout vs under the sample-learned balanced permutation
-    (`operators.opq`). On a corpus where a few dimensions dominate,
-    vanilla PQ's identity layout concentrates energy in few subspaces
-    (codebooks wasted on near-constant coordinates); the snake-deal
-    permutation balances it — and on THIS ~isotropic corpus the row
-    shows before ≈ after, which is the measured justification for NOT
-    wiring the permutation into the shipped IVF-PQ config (the recall
-    sweeps bind on the candidate ceiling instead; `pq.IVFPQ_M`). All
-    doubles are two-phase sorted folds; the subspace rollups fold in
-    pos/newpos order — value-hash exact."""
-    from ..operators import opq
-    from ..operators.kmeans import _sorted_fold as _kmeans_fold
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    # One energy scan: the assignment already carries (pos, energy),
-    # so the identity-layout rollup derives from it instead of
-    # embedding a second dim_energy subtree (Spark recomputes uncached
-    # subtrees per reference).
-    asg = opq.opq_assignment(emb)
-    sub_b = (F.col("pos") / opq.IVFPQ_SUBDIM).cast("bigint")
-    before = (
-        asg.select("pos", "energy")
-        .withColumn("subspace", sub_b)
-        .groupBy("subspace")
-        .agg(
-            _kmeans_fold(
-                F.collect_list(F.struct("pos", "energy")), "energy"
-            ).alias("energy_before")
-        )
-    )
-    after = asg.groupBy("subspace").agg(
-        _kmeans_fold(
-            F.collect_list(F.struct("newpos", "energy")), "energy"
-        ).alias("energy_after")
-    )
-    return before.join(after, "subspace").select(
-        "subspace", "energy_before", "energy_after"
-    )
-
-
-def _sql_opq_balance() -> str:
-    from ..operators.kmeans import KM_IVF_SAMPLE_MOD, KM_SALTS
-    from ..operators.pq import IVFPQ_M, IVFPQ_SUBDIM
-
-    m, sd = IVFPQ_M, IVFPQ_SUBDIM
-    return f"""
-WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-s AS (SELECT vec_id, e FROM n WHERE vec_id % {KM_IVF_SAMPLE_MOD} = 0),
-pe AS (
-  SELECT vec_id, j.j - 1 AS pos, s.e[j.j] * s.e[j.j] AS v2
-  FROM s CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
-),
-p1 AS (
-  SELECT pos, vec_id % {KM_SALTS} AS salt,
-         list_sum(list(v2 ORDER BY vec_id)) AS psum
-  FROM pe GROUP BY 1, 2
-),
-en AS (
-  SELECT pos, list_sum(list(psum ORDER BY salt)) AS energy
-  FROM p1 GROUP BY pos
-),
-ranked AS (
-  SELECT pos, energy,
-         row_number() OVER (ORDER BY energy DESC, pos) - 1 AS r
-  FROM en
-),
-asg AS (
-  SELECT pos, energy, r // {m} AS block,
-         CASE WHEN (r // {m}) % 2 = 0 THEN r % {m}
-              ELSE {m - 1} - (r % {m}) END AS subspace
-  FROM ranked
-),
-eb AS (
-  SELECT (pos // {sd})::BIGINT AS subspace,
-         list_sum(list(energy ORDER BY pos)) AS energy_before
-  FROM en GROUP BY 1
-),
-ea AS (
-  SELECT subspace::BIGINT AS subspace,
-         list_sum(list(energy ORDER BY subspace * {sd} + block))
-           AS energy_after
-  FROM asg GROUP BY 1
-)
-SELECT eb.subspace, eb.energy_before, ea.energy_after
-FROM eb JOIN ea USING (subspace)
-"""
-
-
-def q_opq_auto_gate(spark, sf_dir):
-    """The `build_ivf_pq_index(opq="auto")` gate statistic, measured on
-    BOTH corpora the A/B story spans (round 13, VERDICT r12 item 5):
-    per-corpus identity-layout max/min subspace energy over the
-    deterministic learn sample (`opq.opq_subspace_imbalance` — the
-    EXACT function the build gate calls, so this row pins the decision
-    the builds take) and the resulting decision against
-    `pq.OPQ_AUTO_RATIO`. The provided testdata measures ratio ≈ 1 →
-    unpermuted (auto ≡ the shipped config — the hand note in
-    `operators/opq.py`'s docstring, now measured code); the skewed
-    A/B corpus measures ≫ 4 → permuted (auto ≡ `pq_recall_skewed_opq`,
-    whose unchanged oracle proves the equivalence end-to-end).
-    Sorted-fold doubles; value-hash exact."""
-    from ..operators import opq
-    from ..operators.pq import OPQ_AUTO_RATIO
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    iso = opq.opq_subspace_imbalance(emb).select(
-        F.lit("isotropic").alias("corpus"), "e_max", "e_min", "ratio"
-    )
-    skew = opq.opq_subspace_imbalance(
-        _skewed_embeddings(spark, sf_dir)
-    ).select(F.lit("skewed").alias("corpus"), "e_max", "e_min", "ratio")
-    return iso.unionByName(skew).withColumn(
-        "permuted", F.col("ratio") > F.lit(OPQ_AUTO_RATIO)
-    )
-
-
-def _sql_opq_auto_gate() -> str:
-    from ..operators.kmeans import KM_IVF_SAMPLE_MOD, KM_SALTS
-    from ..operators.pq import IVFPQ_SUBDIM, OPQ_AUTO_RATIO
-
-    sd = IVFPQ_SUBDIM
-
-    def one(label: str, e_expr: str) -> str:
-        return f"""
-SELECT '{label}' AS corpus, e_max, e_min, ratio,
-       ratio > {OPQ_AUTO_RATIO!r} AS permuted
-FROM (
-  WITH n AS (SELECT vec_id, {e_expr} AS e FROM embeddings),
-  s AS (SELECT vec_id, e FROM n WHERE vec_id % {KM_IVF_SAMPLE_MOD} = 0),
-  pe AS (
-    SELECT vec_id, j.j - 1 AS pos, s.e[j.j] * s.e[j.j] AS v2
-    FROM s CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
-  ),
-  p1 AS (
-    SELECT pos, vec_id % {KM_SALTS} AS salt,
-           list_sum(list(v2 ORDER BY vec_id)) AS psum
-    FROM pe GROUP BY 1, 2
-  ),
-  en AS (
-    SELECT pos, list_sum(list(psum ORDER BY salt)) AS energy
-    FROM p1 GROUP BY pos
-  ),
-  eb AS (
-    SELECT (pos // {sd})::BIGINT AS subspace,
-           list_sum(list(energy ORDER BY pos)) AS e_sub
-    FROM en GROUP BY 1
-  )
-  SELECT max(e_sub) AS e_max, min(e_sub) AS e_min,
-         max(e_sub) / min(e_sub) AS ratio
-  FROM eb
-)"""
-
-    skew = (
-        "list_transform(range(1, 65),"
-        " j -> CASE WHEN j <= 4 THEN (embedding::DOUBLE[])[j] * 8.0"
-        " ELSE (embedding::DOUBLE[])[j] END)"
-    )
-    return (
-        one("isotropic", "embedding::DOUBLE[]")
-        + "\nUNION ALL\n"
-        + one("skewed", skew)
-    )
-
-
 ANN_QUERIES: dict[str, tuple] = {
-    "opq_balance": (q_opq_balance, _sql_opq_balance()),
-    "opq_auto_gate": (q_opq_auto_gate, _sql_opq_auto_gate()),
     "knn_cosine_bruteforce": (q_knn_bruteforce, SQL_KNN_BRUTEFORCE),
     "knn_cosine_lsh": (q_knn_lsh, SQL_KNN_LSH),
     "knn_cosine_ivf": (q_knn_ivf, SQL_KNN_IVF),
@@ -2014,12 +1546,6 @@ ANN_QUERIES: dict[str, tuple] = {
         _sql_knn_ivf_pq_served32(),
     ),
     "knn_ivf_pq_refined": (q_knn_ivf_pq_refined, _sql_knn_ivf_pq_refined()),
-    "pq_recall": (q_pq_recall, _sql_pq_recall()),
-    "pq_recall_skewed": (q_pq_recall_skewed, _sql_pq_recall_skewed(False)),
-    "pq_recall_skewed_opq": (
-        q_pq_recall_skewed_opq,
-        _sql_pq_recall_skewed(True),
-    ),
     "ann_recall_lsh": (q_ann_recall_lsh, SQL_ANN_RECALL_LSH),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),

@@ -10,7 +10,7 @@ callables, same oracle strings, same registry names.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from ..operators import multimodal
+from ..operators import multimodal, pdqimage
 from ..sources.tables import load_table
 
 from .ext_common import (
@@ -582,7 +582,297 @@ GROUP BY inc.doc_id
 """
 
 
+# ------------------------------------------------------- true PDQ hash
+#
+# VERDICT r13 item 1: the north star's "UDF for PDQ hash computation".
+# `operators.pdqimage` computes the real (public Meta spec) PDQ pipeline
+# — luminance, two-pass Jarosz box filters, 64×64 decimation, 16×16 DCT
+# with the fixed matrix, median threshold → 256-bit hex — in exact
+# fixed-point arithmetic, so the whole hash is DuckDB-reproducible.
+#
+# Corpus: "digest-rendered" 191×192 images over the nd corpus (sampled
+# (doc_id % 1e6) % 8 == 0 so planted pairs stay intact). Each document
+# renders as the tiling of a FIXED-LENGTH 37-block md5 digest string:
+# block k = md5(text[16k:16k+16]) while text lasts, else the
+# doc-deterministic pad md5(text[:16] || '#' || k). Properties (all
+# load-bearing, measured before registration):
+#   * different docs → independent digests → hashes ~128 bits apart
+#     (tiled raw text correlated through shared space-padding and
+#     degenerated to hash 0 whenever len(text) divided the row width);
+#   * the nd corpus's 3-word-drop mutants change only the 1-2 digest
+#     blocks covering the dropped tail (fixed 37-block length keeps the
+#     tiling phase) → a small scattered pixel change → PDQ distance
+#     16-54, cleanly under the 56-bit threshold (t = 0.78);
+#   * exact copies → distance 0.
+# Width 191 (not 192): the digest period 37·32 = 1184 is coprime with
+# the 573-char row, so no text length can make rows vertically
+# constant (the degenerate-hash failure mode above).
+
+PDQ_IMG_W, PDQ_IMG_H = 191, 192
+_PDQ_RASTER = PDQ_IMG_W * PDQ_IMG_H * 3  # 110016 chars
+_PDQ_BLOCKS = 37  # ceil(max text len 577 / 16)
+_PDQ_DIGEST = _PDQ_BLOCKS * 32  # 1184 digest chars (the tiling period)
+_PDQ_REPEAT = 94  # 94 × 1184 digest chars ≥ raster
+PDQ_IMG_THRESHOLD = 0.78  # → 56 bits
+
+
+def _pdq_media(docs):
+    """Digest-rendered PDQ media frames (see block comment above):
+    fixed-length md5-block digest, tiled into a 191×192 binary P6
+    payload. The repartition widens the tiny single-file scan before
+    the Arrow decode AND keeps Arrow record batches at tens of rows
+    (the 110 KB payloads would make a default 10k-row batch ~1 GB)."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    k = F.sequence(F.lit(0), F.lit(_PDQ_BLOCKS - 1))
+    blocks = F.transform(
+        k,
+        lambda i: F.when(
+            i * 16 < F.length("text"),
+            F.md5(F.encode(F.substr(F.col("text"), i * 16 + 1, F.lit(16)), "utf-8")),
+        ).otherwise(
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.substring("text", 1, 16),
+                        F.lit("#"),
+                        i.cast("string"),
+                    ),
+                    "utf-8",
+                )
+            )
+        ),
+    )
+    raster = F.substring(
+        F.repeat(F.array_join(blocks, ""), _PDQ_REPEAT), 1, _PDQ_RASTER
+    )
+    payload = F.encode(
+        F.concat(F.lit(f"P6\n{PDQ_IMG_W} {PDQ_IMG_H}\n255\n"), raster), "utf-8"
+    )
+    return docs.select(
+        "doc_id",
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+    )
+
+
+def _pdq_sample(spark, sf_dir):
+    return _docs_nd(spark, sf_dir).where("(doc_id % 1000000) % 8 = 0")
+
+
+def q_image_pdq_hashes(spark, sf_dir):
+    """The true-PDQ hash UDF, oracle-checked value for value: decode
+    each digest-rendered payload and compute the fixed-point PDQ hash
+    + gradient quality (`operators.pdqimage.image_pdq_hashes`). The
+    strongest pin on the hash itself — every hex char and quality
+    integer must match the oracle's SQL replay of luminance → Jarosz →
+    decimate → DCT → median threshold."""
+    return pdqimage.image_pdq_hashes(_pdq_media(_pdq_sample(spark, sf_dir)))
+
+
+def q_image_pdq_near_dup(spark, sf_dir):
+    """Bytes → PDQ → duplicates end to end (VERDICT r13 item 1):
+    `pdqimage.image_pdq_near_duplicates` computes every image's PDQ
+    hash and feeds the hex strings into the UNCHANGED
+    `find_pdq_hash_duplicates` join at t = 0.78 (56 bits — catches
+    every planted mutant/copy pair, measured margins in `_pdq_media`'s
+    block comment), closing the loop the reference assumes happened
+    upstream (it starts at precomputed hex;
+    ``/root/reference/README.md:16``)."""
+    flat = pdqimage.image_pdq_near_duplicates(
+        _pdq_media(_pdq_sample(spark, sf_dir)),
+        pqd_hash_similarity_threshold=PDQ_IMG_THRESHOLD,
+        duplicate_detection_method="naive",
+    )
+    return flat.select(
+        "index",
+        F.array_join("pdq_hash_duplicates", "|").alias("pdq_hash_duplicates"),
+        F.array_join(
+            F.transform(
+                "pdq_hash_similarities",
+                lambda s: F.round(s * 256).cast("int").cast("string"),
+            ),
+            "|",
+        ).alias("pdq_hash_similarities"),
+    )
+
+
+def _pdq_dct_values() -> str:
+    """The fixed-point DCT matrix as SQL VALUES rows — the SAME
+    integers the operator multiplies by (one Python constant feeds
+    both engines, so libm variation cannot split them)."""
+    m = pdqimage.pdq_dct_matrix_int()
+    return ", ".join(
+        f"({i}, {j}, {m[i][j]})" for i in range(16) for j in range(64)
+    )
+
+
+def _pdq_hash_ctes() -> str:
+    """CTE chain ending in ``ph(doc_id, pdq_hex, quality)`` — the SQL
+    replay of the ENTIRE fixed-point PDQ pipeline over the
+    digest-rendered corpus. Box passes specialize to the registered
+    geometry's window 2 (`jarosz_window_size(191|192) == 2` → the PDQ
+    phase semantics reduce to mean-of-[o, o+1] with a 1-wide final
+    edge); the operator's numpy `box1d_int` stays general and is
+    unit-pinned against a pure-Python replay at other window sizes."""
+    w, h = PDQ_IMG_W, PDQ_IMG_H
+    return f"""
+docs_nd AS ({_ND}),
+dig AS (
+  SELECT doc_id, string_agg(
+    CASE WHEN k * 16 < len(text) THEN md5(substr(text, k * 16 + 1, 16))
+         ELSE md5(substr(text, 1, 16) || '#' || k) END, '' ORDER BY k) AS d
+  FROM (
+    SELECT doc_id,
+           CASE WHEN octet_length(encode(text)) = len(text) THEN text
+                ELSE error('pdq oracle: non-ASCII text (doc_id ' || doc_id
+                           || '); char-indexed oracle diverges from the '
+                           || 'byte-decoding operator') END AS text,
+           unnest(range(0, {_PDQ_BLOCKS})) AS k
+    FROM docs_nd WHERE (doc_id % 1000000) % 8 = 0
+  ) GROUP BY doc_id
+),
+-- The operator reads raster char p (0-based) of
+-- substr(repeat(d, {_PDQ_REPEAT}), 1, {_PDQ_RASTER}); that char IS
+-- d[p % {_PDQ_DIGEST}], so the oracle indexes the {_PDQ_DIGEST}-char
+-- digest directly through a small per-(doc, position) byte table —
+-- materializing the raster string inside the per-pixel expression
+-- re-built the 110 KB repeat() per row (measured: 79 s for the first
+-- box pass at sf0.001; this form runs the whole chain in seconds).
+dby AS MATERIALIZED (
+  SELECT doc_id, q, ascii(substr(d, q + 1, 1)) AS a
+  FROM dig CROSS JOIN (SELECT unnest(range(0, {_PDQ_DIGEST})) AS q) qq
+),
+px AS (
+  SELECT b0.doc_id, p // {w} AS i, p % {w} AS j,
+         299 * b0.a + 587 * b1.a + 114 * b2.a AS v
+  FROM (SELECT doc_id, unnest(range(0, {w * h})) AS p FROM dig) g
+  JOIN dby b0 ON b0.doc_id = g.doc_id AND b0.q = (3 * p) % {_PDQ_DIGEST}
+  JOIN dby b1 ON b1.doc_id = g.doc_id AND b1.q = (3 * p + 1) % {_PDQ_DIGEST}
+  JOIN dby b2 ON b2.doc_id = g.doc_id AND b2.q = (3 * p + 2) % {_PDQ_DIGEST}
+),
+bx1 AS (
+  SELECT doc_id, i, j,
+         (v + coalesce(lead(v) OVER (PARTITION BY doc_id, i ORDER BY j), 0))
+           // (CASE WHEN j = {w - 1} THEN 1 ELSE 2 END) AS v
+  FROM px
+),
+by1 AS (
+  SELECT doc_id, i, j,
+         (v + coalesce(lead(v) OVER (PARTITION BY doc_id, j ORDER BY i), 0))
+           // (CASE WHEN i = {h - 1} THEN 1 ELSE 2 END) AS v
+  FROM bx1
+),
+bx2 AS (
+  SELECT doc_id, i, j,
+         (v + coalesce(lead(v) OVER (PARTITION BY doc_id, i ORDER BY j), 0))
+           // (CASE WHEN j = {w - 1} THEN 1 ELSE 2 END) AS v
+  FROM by1
+),
+by2 AS (
+  SELECT doc_id, i, j,
+         (v + coalesce(lead(v) OVER (PARTITION BY doc_id, j ORDER BY i), 0))
+           // (CASE WHEN i = {h - 1} THEN 1 ELSE 2 END) AS v
+  FROM bx2
+),
+rmap AS (SELECT unnest(range(0, 64)) AS oi),
+cmap AS (SELECT unnest(range(0, 64)) AS oj),
+a64 AS MATERIALIZED (
+  SELECT b.doc_id, r.oi, c.oj, b.v
+  FROM by2 b
+  JOIN rmap r ON b.i = ((2 * r.oi + 1) * {h}) // 128
+  JOIN cmap c ON b.j = ((2 * c.oj + 1) * {w}) // 128
+),
+dctm AS (SELECT * FROM (VALUES {_pdq_dct_values()}) t(i, j, c)),
+t1 AS (
+  SELECT a.doc_id, d.i AS fi, a.oj AS k, sum(d.c * a.v)::BIGINT AS v
+  FROM a64 a JOIN dctm d ON d.j = a.oi
+  GROUP BY a.doc_id, d.i, a.oj
+),
+b16 AS (
+  SELECT t.doc_id, t.fi, d.i AS fj, sum(d.c * t.v)::BIGINT AS v
+  FROM t1 t JOIN dctm d ON d.j = t.k
+  GROUP BY t.doc_id, t.fi, d.i
+),
+med AS (
+  SELECT doc_id, v AS m FROM (
+    SELECT doc_id, v, row_number() OVER (PARTITION BY doc_id ORDER BY v) AS rn
+    FROM b16
+  ) WHERE rn = 128
+),
+hexd AS (
+  SELECT b.doc_id, (b.fi * 16 + b.fj) // 4 AS hp,
+         sum(CASE WHEN b.v > med.m
+                  THEN 1 << (3 - (b.fi * 16 + b.fj) % 4) ELSE 0 END) AS d
+  FROM b16 b JOIN med USING (doc_id)
+  GROUP BY b.doc_id, (b.fi * 16 + b.fj) // 4
+),
+gq AS (
+  SELECT doc_id,
+         (sum(CASE WHEN oj < 63 THEN abs(nj - v) ELSE 0 END)
+          + sum(CASE WHEN oi < 63 THEN abs(ni - v) ELSE 0 END))::BIGINT AS grad
+  FROM (
+    SELECT doc_id, oi, oj, v,
+           lead(v) OVER (PARTITION BY doc_id, oi ORDER BY oj) AS nj,
+           lead(v) OVER (PARTITION BY doc_id, oj ORDER BY oi) AS ni
+    FROM a64
+  ) GROUP BY doc_id
+),
+ph AS (
+  SELECT h.doc_id,
+         string_agg(substr('0123456789abcdef', h.d::INT + 1, 1),
+                    '' ORDER BY h.hp) AS pdq_hex,
+         least(100, any_value(gq.grad) * 100 // {255 * 1000 * 64 * 64})::BIGINT
+           AS quality
+  FROM hexd h JOIN gq ON gq.doc_id = h.doc_id
+  GROUP BY h.doc_id
+)"""
+
+
+SQL_IMAGE_PDQ_HASHES = f"""
+WITH {_pdq_hash_ctes()}
+SELECT doc_id, pdq_hex, quality FROM ph
+"""
+
+
+# Hash chain → the core pdq join oracle shape (`_duck_pdq_result`):
+# 8×32-bit chunks, bit_count(xor) Hamming ≤ 56, symmetrize, aggregate.
+SQL_IMAGE_PDQ_NEAR_DUP = f"""
+WITH {_pdq_hash_ctes()},
+chunks AS (
+  SELECT printf('IMG%08d', doc_id) AS idx,
+         {", ".join(
+             f"('0x' || substr(pdq_hex, {i * 8 + 1}, 8))::BIGINT AS c{i}"
+             for i in range(8)
+         )}
+  FROM ph
+),
+pairs AS (
+  SELECT p.idx, c.idx AS dup,
+         min({" + ".join(f"bit_count(xor(p.c{i}, c.c{i}))::INT" for i in range(8))})
+           AS dist
+  FROM chunks p, chunks c
+  WHERE p.idx <> c.idx
+    AND {" + ".join(f"bit_count(xor(p.c{i}, c.c{i}))::INT" for i in range(8))}
+        <= 56
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT idx, dup, dist FROM pairs
+  UNION ALL SELECT dup, idx, dist FROM pairs
+),
+best AS (SELECT idx, dup, min(dist) AS dist FROM sym GROUP BY idx, dup)
+SELECT idx AS "index",
+       array_to_string(list(dup ORDER BY dup), '|') AS pdq_hash_duplicates,
+       array_to_string(list(256 - dist ORDER BY dup), '|')
+         AS pdq_hash_similarities
+FROM best GROUP BY idx
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, tuple] = {
+    "image_pdq_hashes": (q_image_pdq_hashes, SQL_IMAGE_PDQ_HASHES),
+    "image_pdq_near_dup": (q_image_pdq_near_dup, SQL_IMAGE_PDQ_NEAR_DUP),
     "image_near_dup": (q_image_near_dup, SQL_IMAGE_NEAR_DUP),
     "image_near_dup_capped": (
         q_image_near_dup_capped,

@@ -26,6 +26,7 @@ from __future__ import annotations
 from .ext_common import *  # noqa: F401,F403
 from .ext_dedup import *  # noqa: F401,F403
 from .ext_ann import *  # noqa: F401,F403
+from .ext_ann_recall import *  # noqa: F401,F403
 from .ext_text import *  # noqa: F401,F403
 from .ext_pipeline import *  # noqa: F401,F403
 from .ext_events import *  # noqa: F401,F403
@@ -35,6 +36,7 @@ from .ext_analytics import *  # noqa: F401,F403
 from . import (
     ext_dedup,
     ext_ann,
+    ext_ann_recall,
     ext_text,
     ext_pipeline,
     ext_events,
@@ -45,6 +47,7 @@ from . import (
 _MERGED_EXT: dict[str, tuple] = {}
 _MERGED_EXT.update(ext_dedup.DEDUP_QUERIES)
 _MERGED_EXT.update(ext_ann.ANN_QUERIES)
+_MERGED_EXT.update(ext_ann_recall.ANN_RECALL_QUERIES)
 _MERGED_EXT.update(ext_text.TEXT_QUERIES)
 _MERGED_EXT.update(ext_pipeline.PIPELINE_QUERIES)
 _MERGED_EXT.update(ext_events.EVENTS_QUERIES)
@@ -232,6 +235,9 @@ _ORDER = [
     # round-13 additions:
     "opq_auto_gate",
     "knn_ivf_pq_served32",
+    # round-14 additions:
+    "image_pdq_hashes",
+    "image_pdq_near_dup",
 ]
 
 assert set(_ORDER) == set(_MERGED_EXT), (

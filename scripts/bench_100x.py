@@ -67,10 +67,20 @@ def build_wide_replica(spark, n: int) -> str:
         reps = F.broadcast(
             spark.range(n).select(F.col("id").alias("__rep"))
         )
+        wide = src.crossJoin(reps).withColumn(
+            key, F.col(key) + F.col("__rep") * ID_BLOCK
+        )
+        if table == "documents":
+            # Per-copy perturbation (VERDICT r13 item 3) — same rule
+            # as the 10x replica, so both growth points measure the
+            # engine, not the copies' duplicate density.
+            from replica_bench import perturb_text
+
+            wide = wide.withColumn(
+                "text", perturb_text(F.col("text"), F.col("__rep"))
+            )
         (
-            src.crossJoin(reps)
-            .withColumn(key, F.col(key) + F.col("__rep") * ID_BLOCK)
-            .drop("__rep")
+            wide.drop("__rep")
             .repartition(32)
             .write.mode("overwrite")
             .parquet(f"{out}/{table}.parquet")

@@ -1,8 +1,9 @@
 """Machine-checkable growth artifact (round-6 verdict stretch item 7):
 re-time the slowest registered queries against the 10x synthetic
 replica (`replica_bench.build_replica` — documents/embeddings/events
-replicated with per-copy id offsets, a deliberately duplicate-heavy
-corpus) with min-of-3 per query, and write ``BENCH_10X.json`` pairing
+replicated with per-copy id offsets; document copies per-copy
+perturbed since round 14, so near-dup families stay within-copy and
+growth measures the engine) with min-of-3 per query, and write ``BENCH_10X.json`` pairing
 each 10x number with its sf0.1 entry from ``BENCH_FULL.json``. SCALE.md
 's growth narrative points at this artifact instead of hand-copied
 prose tables.
@@ -98,7 +99,7 @@ def main() -> None:
                 {
                     "replica": "10x documents/embeddings/events,"
                     " per-copy id offsets"
-                    " (duplicate-heavy worst case;"
+                    " (per-copy perturbed text, round 14;"
                     " replica_bench.build_replica)",
                     "rule": f"{n_slowest} slowest BENCH_FULL.json entries"
                     " excl. ref30k_*/tpch_*/analytics-on-unreplicated-tables",

@@ -4,9 +4,20 @@
 This is the reproducible form of SCALE.md's "Measured scale-up" table:
 each replica copy offsets doc_id/vec_id by i*10^7 so ids stay unique
 AND the derived-corpus bands (+1e6/+2e6) stay inside their copy's block.
-Every text/embedding therefore appears N times — a deliberately
-duplicate-heavy corpus, which makes the output-tracking operators
-(near-dup joins) show their worst growth case, not their best.
+
+Round 14 (VERDICT r13 item 3): document COPIES ARE PERTURBED — copy
+``i > 0`` swaps every 4th word for the deterministic token ``cp<i>``
+(`perturb_text`; word count and id structure unchanged). Byte-identical
+copies made every text appear N times, so the output-tracking
+near-dup/exact-dup rows measured the replica's duplicate DENSITY, not
+the engine (their 10x/100x growth cells carried "replica
+duplicate-density" caveats). With the 25% word swap, cross-copy
+word-3-gram Jaccard falls to ~0.27 (< the 0.5 near-dup threshold) and
+cross-copy 8-gram/exact matches vanish, so duplicate families stay
+WITHIN each copy's derived bands (+1e6 mutants / +2e6 exact copies,
+derived from the perturbed text per copy) and family counts grow
+LINEARLY with N — the growth a real crawl shows. Pass
+``perturb=False`` to rebuild the old byte-identical worst case.
 
 Usage:
     python scripts/replica_bench.py [N] [query ...]
@@ -20,6 +31,27 @@ import time
 
 REPLICA_DIR = "/tmp/scale_replica"
 SRC = "/root/testdata/sf0.1"
+
+
+def perturb_text(text_col, rep_col):
+    """Per-copy deterministic text perturbation: copy 0 keeps the
+    original text; copy i swaps every 4th word for ``cp<i>``. Word
+    count (and so chunking/packing/token stats shape) is preserved;
+    cross-copy shingle overlap drops below every near-dup threshold
+    in the registry."""
+    from pyspark.sql import functions as F
+
+    swapped = F.array_join(
+        F.transform(
+            F.split(text_col, " "),
+            lambda w, k: F.when(
+                k % 4 == 0,
+                F.concat(F.lit("cp"), rep_col.cast("string")),
+            ).otherwise(w),
+        ),
+        " ",
+    )
+    return F.when(rep_col == 0, text_col).otherwise(swapped)
 
 DEFAULT_QUERIES = [
     "decontaminate",
@@ -35,20 +67,24 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_replica(spark, n: int) -> str:
+def build_replica(spark, n: int, perturb: bool = True) -> str:
     from pyspark.sql import functions as F
 
-    out = f"{REPLICA_DIR}_{n}x"
+    out = f"{REPLICA_DIR}_{n}x" + ("" if perturb else "_ident")
     for table, key in [
         ("documents", "doc_id"),
         ("embeddings", "vec_id"),
         ("events", "event_id"),
     ]:
         src = spark.read.parquet(f"{SRC}/{table}.parquet")
-        parts = [
-            src.withColumn(key, F.col(key) + F.lit(i * 10_000_000))
-            for i in range(n)
-        ]
+        parts = []
+        for i in range(n):
+            p = src.withColumn(key, F.col(key) + F.lit(i * 10_000_000))
+            if perturb and table == "documents":
+                p = p.withColumn(
+                    "text", perturb_text(F.col("text"), F.lit(i))
+                )
+            parts.append(p)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionAll(p)

@@ -1540,7 +1540,7 @@ def test_opq_ab_recall_improves_on_skew(spark):
     # 64-candidate shortlist covers the truth at this corpus size).
     # Floor at +0.10 to allow corpus variation without letting the
     # delta silently collapse.
-    from cir_duplicate_detector_spark.plans.ext_ann import (
+    from cir_duplicate_detector_spark.plans.ext_ann_recall import (
         q_pq_recall_skewed,
         q_pq_recall_skewed_opq,
     )
@@ -1639,13 +1639,26 @@ def test_opq_auto_index_roundtrips_perm_and_serves(spark, tmp_path):
     assert merged.codes.count() == skewed.count()
 
 
-def test_opq_auto_rejects_prebuilt_coarse(spark):
+def test_opq_composes_with_prebuilt_coarse(spark):
+    # Round 14 (VERDICT r13 item 7): coarse_cents + opq is now
+    # supported — the provided table must be in the ORIGINAL layout
+    # and the build projects it through the learned permutation, so
+    # the A/B recall pair can share one identity-layout coarse build.
     from cir_duplicate_detector_spark.operators import pq
 
     skewed, _ = _opq_test_corpora(spark)
-    cents = pq.build_ivf_pq_index(skewed).cents
-    with pytest.raises(ValueError, match="opq"):
-        pq.build_ivf_pq_index(skewed, coarse_cents=cents, opq="auto")
+    cents = pq.build_ivf_pq_index(skewed).cents  # identity layout
+    idx = pq.build_ivf_pq_index(skewed, coarse_cents=cents, opq="auto")
+    assert idx.perm is not None  # the gate still fires on the skew
+    pm = idx.perm.collect()[0].perm
+    got = {r.coarse: list(r.c) for r in idx.cents.collect()}
+    for r in cents.collect():
+        want = [r.c[pm[i] - 1] for i in range(len(pm))]
+        assert got[r.coarse] == want  # cents = perm(provided cents)
+    # and the projected-cents index serves (probes permute through the
+    # same stored perm; cells are well-formed)
+    out = pq.knn_ivf_pq_from_index(idx, skewed, [0, 7], k=3)
+    assert out.count() > 0
     with pytest.raises(ValueError, match="never"):
         pq.build_ivf_pq_index(skewed, opq="sometimes")
 
@@ -1700,6 +1713,103 @@ def test_opq_rotation_beats_permutation_on_correlated_corpus(spark):
         n_before = sum(x * x for x in orig[r.vec_id])
         n_after = sum(x * x for x in r.embedding)
         assert abs(n_before - n_after) < 1e-9 * max(n_before, 1.0)
+
+
+def _lowrank_mixed_corpus(spark, n=2048):
+    """Corpus where the PERMUTATION is structurally powerless: a
+    16-dim decaying-scale signal (8,8,8,8,4,...,1) + near-zero noise,
+    spread across all 64 dims by three exact-Givens mixing layers —
+    after mixing, per-dimension marginal energies are near-flat (so
+    any energy-ranked re-ordering is ~arbitrary) while the heavy
+    DIRECTIONS remain strongly cross-dimension correlated (so a
+    learned rotation can re-align them). All constants exact doubles;
+    fully deterministic."""
+    def u(i, j, salt):
+        return (((i * 2654435761 + j * 40503 + salt) % 4093) / 4093.0) - 0.5
+
+    scales = [8, 8, 8, 8, 4, 4, 4, 4, 2, 2, 2, 2, 1, 1, 1, 1] + [0.05] * 48
+    rows = []
+    for i in range(n):
+        v = [scales[j] * u(i, j, 17) for j in range(64)]
+        for off, salt in ((16, 1), (32, 2), (8, 3)):
+            for j in range(32):
+                a, b = v[j], v[(j + off) % 64]
+                if (j + salt) % 2 == 0:
+                    v[j], v[(j + off) % 64] = (
+                        0.6 * a + 0.8 * b,
+                        -0.8 * a + 0.6 * b,
+                    )
+                else:
+                    v[j], v[(j + off) % 64] = (
+                        0.8 * a + 0.6 * b,
+                        -0.6 * a + 0.8 * b,
+                    )
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _adc_recall(spark, emb, mode, n_codewords):
+    from cir_duplicate_detector_spark.operators import pq
+    from cir_duplicate_detector_spark.plans.ext_ann_recall import (
+        _pq_recall_over,
+    )
+
+    idx = pq.build_ivf_pq_index(
+        emb, opq=mode, sample_mod=1, n_codewords=n_codewords
+    )
+    rows = _pq_recall_over(emb, index=idx).collect()
+    return sum(r.n_hit_adc for r in rows) / sum(r.n_true for r in rows)
+
+
+def test_opq_rotation_recall_ab(spark):
+    """The rotation's RECALL-level A/B (round 14, VERDICT r13 item 2 —
+    the r13 evidence was distortion-only): the `_pq_recall_over`
+    harness (fixed 32-probe panel, exact-L2 truth) over identical
+    builds differing ONLY in opq mode, at n_codewords=16 so PQ
+    distortion (not cell coverage) binds ADC recall — at the shipped
+    256 codewords per 4-d subspace every layout quantizes a 2k corpus
+    near-exactly and all three modes measure ≈0.95 (recorded in
+    SCALE.md; that saturation is itself the measured justification for
+    the shipped config).
+
+    On `_lowrank_mixed_corpus` — flat marginal energies, strong
+    cross-dimension correlation — the permutation is structurally
+    powerless (measured 0.719, BELOW identity's 0.769: an arbitrary
+    re-ordering just scrambles subspace locality) while the learned
+    rotation re-aligns the heavy directions (measured 0.794): the
+    capability the permutation rows cannot provide, now measured at
+    recall level. Floors leave margin for cross-platform SVD wobble
+    (the learn is numpy-deterministic per platform)."""
+    emb = _lowrank_mixed_corpus(spark)
+    adc_id = _adc_recall(spark, emb, "never", 16)
+    adc_perm = _adc_recall(spark, emb, "always", 16)
+    adc_rot = _adc_recall(spark, emb, "rotate", 16)
+    assert adc_rot >= adc_perm + 0.04, (
+        f"rotation stopped beating the permutation where re-ordering "
+        f"cannot help: perm={adc_perm:.3f} rot={adc_rot:.3f}"
+    )
+    assert adc_rot >= adc_id + 0.01, (
+        f"rotation stopped beating identity: id={adc_id:.3f} "
+        f"rot={adc_rot:.3f}"
+    )
+
+
+def test_opq_rotation_recall_ab_on_correlated_corpus(spark):
+    """Same harness on the pairwise-mixed skew corpus (the r13
+    distortion test's construction, 2048 rows) at n_codewords=32:
+    monotone never < always < rotate (measured 0.844 / 0.881 /
+    0.900) — here the permutation recovers most of the axis-aligned
+    skew and the rotation's extra win is the unmixing margin."""
+    from cir_duplicate_detector_spark.operators import opq  # noqa: F401
+
+    emb = _correlated_corpus(spark, n=2048)
+    adc_id = _adc_recall(spark, emb, "never", 32)
+    adc_perm = _adc_recall(spark, emb, "always", 32)
+    adc_rot = _adc_recall(spark, emb, "rotate", 32)
+    assert adc_perm >= adc_id + 0.01
+    assert adc_rot >= adc_perm + 0.005, (
+        f"perm={adc_perm:.3f} rot={adc_rot:.3f}"
+    )
 
 
 def test_opq_rotate_index_roundtrips_and_serves(spark, tmp_path):

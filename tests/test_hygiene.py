@@ -41,8 +41,23 @@ BANNED = [
 ]
 
 
+# pragma token -> the BANNED pattern it may suppress. A pragma only
+# silences its own pattern (ADVICE r13: a blanket "skip the line when
+# any allow- appears" would let `# hygiene: allow-collect` silence a
+# future .toPandas()/udf violation on the same line); an unknown token
+# or a token/pattern mismatch still fails.
+ALLOW_TOKENS = {
+    "collect": r"\.collect\(",
+    "topandas": r"\.toPandas\(",
+    "rdd": r"\.rdd\b",
+    "udf": r"\bF\.udf\(|@udf\b|\bfunctions\.udf\(",
+}
+
+_PRAGMA = re.compile(r"hygiene: allow-([a-z]+)")
+
+
 def _code_lines(path: Path):
-    """Yield (lineno, code) with comments stripped.
+    """Yield (lineno, code, allowed_patterns) with comments stripped.
 
     The naive ``split('#')`` is fine here: no banned token legitimately
     appears inside a string literal after a '#' in this package, and a
@@ -50,17 +65,44 @@ def _code_lines(path: Path):
     """
     for i, line in enumerate(path.read_text().splitlines(), 1):
         code, _, comment = line.partition("#")
-        if "hygiene: allow-" in comment:
-            continue  # explicit audited exception (see module docstring)
-        yield i, code
+        allowed = frozenset(
+            ALLOW_TOKENS.get(t) for t in _PRAGMA.findall(comment)
+        )
+        yield i, code, allowed
 
 
 def test_no_driver_side_or_row_at_a_time_antipatterns():
     hits = []
     for path in sorted(PKG.rglob("*.py")):
-        for lineno, code in _code_lines(path):
+        for lineno, code, allowed in _code_lines(path):
             for pat, why in BANNED:
-                if pat.search(code):
+                if pat.search(code) and pat.pattern not in allowed:
                     hits.append(f"{path.relative_to(PKG.parent)}:{lineno}"
                                 f" — {why}")
     assert not hits, "anti-patterns in package source:\n" + "\n".join(hits)
+
+
+def test_pragma_is_pattern_scoped():
+    """A pragma naming the WRONG token does not suppress a violation,
+    and unknown tokens suppress nothing (the ADVICE r13 hole)."""
+    allowed = dict(
+        (i, a) for i, _, a in _code_lines_from_text(
+            ".collect()  # hygiene: allow-topandas (mismatched)\n"
+            ".collect()  # hygiene: allow-collect (matched)\n"
+            ".toPandas()  # hygiene: allow-bogus (unknown token)\n"
+        )
+    )
+    col = re.compile(r"\.collect\(")
+    topd = re.compile(r"\.toPandas\(")
+    assert col.pattern not in allowed[1]
+    assert col.pattern in allowed[2]
+    assert topd.pattern not in allowed[3]
+
+
+def _code_lines_from_text(text: str):
+    for i, line in enumerate(text.splitlines(), 1):
+        code, _, comment = line.partition("#")
+        allowed = frozenset(
+            ALLOW_TOKENS.get(t) for t in _PRAGMA.findall(comment)
+        )
+        yield i, code, allowed

@@ -7,8 +7,11 @@ sample — but BENCH_10X's growth numbers run at a scale parity never
 touched. This module closes that gap: a ROTATING ~15-query sample of
 the exact parity comparison runs against the 10x synthetic replica
 (`scripts/replica_bench.build_replica` — documents/embeddings/events
-replicated with per-copy id offsets), with DuckDB executing the same
-oracle over the same replica parquet.
+replicated with per-copy id offsets; document copies per-copy
+PERTURBED since round 14 so duplicate families stay within-copy),
+with DuckDB executing the same oracle over the same replica parquet.
+``PARITY_10X_FULL=1`` widens the sample to the WHOLE eligible set —
+the one-time full sweep of VERDICT r13 item 4.
 
 Sample universe: queries over the REPLICATED tables only, minus the
 vector-chain families whose DuckDB oracles are corpus x centroid
@@ -77,11 +80,17 @@ _EXCLUDED_NAMES = {
     "semantic_decon_recall",
     "fuzzy_decon_recall",  # exact cross-Jaccard truth side is O(N^2)/50
     "minhash_recall",  # same exact-truth shape
-    "doc_topk_similar",  # uncapped index join on the dup-heavy replica
+    "substring_dup",
+}
+# Rows excluded through round 13 ONLY because the byte-identical
+# replica made their candidate sets quadratic in copy count; the
+# round-14 per-copy perturbation (replica_bench.perturb_text) keeps
+# duplicate families within-copy, so they are eligible again.
+_READMITTED_R14 = {
+    "doc_topk_similar",
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_containment_canonical",
-    "substring_dup",
 }
 
 pytestmark = pytest.mark.skipif(
@@ -99,10 +108,16 @@ def _eligible() -> list[str]:
         if n.startswith(_EXCLUDED_PREFIXES) or n in _EXCLUDED_NAMES:
             continue
         out.append(n)
+    assert _READMITTED_R14 <= set(out)  # stay eligible (see above)
     return out
 
 
 def _rotating_sample() -> list[str]:
+    # PARITY_10X_FULL=1 runs the WHOLE eligible set — the one-time
+    # full sweep (round 14, VERDICT r13 item 4); default stays the
+    # rotating 15-sample for per-round regression duty.
+    if os.environ.get("PARITY_10X_FULL") == "1":
+        return _eligible()
     rnd = (plans._latest_tracked_round(REPO) or 0) + 1
     return sorted(
         _eligible(),
