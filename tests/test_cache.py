@@ -54,10 +54,12 @@ def test_materialize_durable_checkpoint(spark, tmp_path):
     release_cached(spark)
 
 
-def test_tracked_mkdtemp_bounds_one_dir_per_family():
-    # ADVICE r12: a long-lived session re-invoking the same roundtrip
-    # query must not accumulate a /tmp parquet copy per invocation —
-    # the family's previous dir is evicted on the next call.
+def test_tracked_mkdtemp_bounds_two_dirs_per_family():
+    # ADVICE r12 + VERDICT r13 item 5: a long-lived session re-invoking
+    # the same roundtrip query holds at most TWO live dirs per family
+    # (current + previous, so a lazy result held across one re-invoke
+    # still reads intact parquet); the grand-previous dir is emptied
+    # down to a TOMBSTONE marker naming the eviction cause.
     import os
 
     from cir_duplicate_detector_spark import cache
@@ -66,19 +68,29 @@ def test_tracked_mkdtemp_bounds_one_dir_per_family():
     open(f"{d1}/marker", "w").close()
     d2 = cache.tracked_mkdtemp("cache_test_fam_")
     assert d2 != d1
-    assert not os.path.exists(d1)  # evicted, not deferred to atexit
-    assert os.path.isdir(d2)
+    # one-generation retention: previous dir's data survives one re-invoke
+    assert os.path.exists(f"{d1}/marker")
+    d3 = cache.tracked_mkdtemp("cache_test_fam_")
+    # two re-invokes later: d1 is a tombstone (dir exists, data gone,
+    # marker file names the cause), d2/d3 both intact
+    assert not os.path.exists(f"{d1}/marker")
+    assert os.path.isfile(os.path.join(d1, cache.TOMBSTONE))
+    assert os.path.isdir(d2) and os.path.isdir(d3)
     # distinct families never evict each other
     other = cache.tracked_mkdtemp("cache_test_other_")
-    assert os.path.isdir(d2) and os.path.isdir(other)
-    for d in (d2, other):
-        cache._SHARED_DIRS.remove(d)
-        cache._FAMILY_DIRS = {
-            k: v for k, v in cache._FAMILY_DIRS.items() if v != d
-        }
-        import shutil
+    assert os.path.isdir(d3) and os.path.isdir(other)
+    import shutil
 
+    for d in (d1, d2, d3, other):
+        if d in cache._SHARED_DIRS:
+            cache._SHARED_DIRS.remove(d)
         shutil.rmtree(d, ignore_errors=True)
+    cache._FAMILY_DIRS = {
+        k: v for k, v in cache._FAMILY_DIRS.items() if v not in (d3, other)
+    }
+    cache._FAMILY_PREV = {
+        k: v for k, v in cache._FAMILY_PREV.items() if v != d2
+    }
 
 
 def test_shared_artifact_sweeps_all_family_caches(spark):
