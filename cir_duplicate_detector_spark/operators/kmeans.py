@@ -126,17 +126,29 @@ def kmeans_centroids(
         )
     )
     for _ in range(iters):
+        # The argmin CARRIES the vector through the aggregation struct
+        # (round 14, guide §2.4): (d, cluster) is unique per vec_id
+        # (one scored row per centroid), so min(struct(d, cluster, e))
+        # picks the identical row as min(struct(d, cluster)) and the
+        # member vector rides along — removing the e ⋈ best shuffle
+        # join AND the second execution of the e subtree that every
+        # Lloyd round previously paid (same pattern `_coarse_argmin`
+        # already used). Bit-identical members relation; one fewer
+        # Exchange per round at any scale.
         scored = e.crossJoin(cents).select(
             "vec_id",
             "cluster",
             _sq_dist(F.col("e"), F.col("c")).alias("d"),
+            "e",
         )
-        best = scored.groupBy("vec_id").agg(
-            F.min(F.struct("d", "cluster")).alias("m")
-        )
-        members = e.join(
-            best.select("vec_id", F.col("m.cluster").alias("cluster")),
-            "vec_id",
+        members = (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cluster", "e")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cluster").alias("cluster"),
+                F.col("m.e").alias("e"),
+            )
         )
         pe = members.select(
             "vec_id", "cluster", F.posexplode("e").alias("pos", "val")

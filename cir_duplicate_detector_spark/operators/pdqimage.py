@@ -188,11 +188,22 @@ def image_pdq_near_duplicates(
     ``pdq_hash_similarities``) with ``index = 'IMG%08d' % doc_id``."""
     from pyspark.sql import functions as F
 
+    from ..cache import materialize
     from .pdq import find_pdq_hash_duplicates
 
-    entries = image_pdq_hashes(media).select(
-        F.format_string("IMG%08d", F.col("doc_id")).alias("index"),
-        F.array("pdq_hex").alias("pdq_hash"),
+    # Materialize the hashed entries BEFORE the similarity join
+    # (round 14, guide §1.2/§5): the naive/banded join references its
+    # input once per side, and Spark re-executes uncached subtrees per
+    # reference — without this the whole decode→Jarosz→DCT Arrow pass
+    # ran TWICE per query (measured 9.8 s vs 4.5 s for the hash pass
+    # alone at sf0.1). The checkpointed rows are ~100 B each (hex +
+    # index), so the cut lineage costs nothing; at 100 TB this halves
+    # the image-decode work of the end-to-end row.
+    entries = materialize(
+        image_pdq_hashes(media).select(
+            F.format_string("IMG%08d", F.col("doc_id")).alias("index"),
+            F.array("pdq_hex").alias("pdq_hash"),
+        )
     )
     return find_pdq_hash_duplicates(
         entries,

@@ -154,7 +154,17 @@ def pq_encode(
     count AQE has coalesced to ~1 — which serializes the whole encode
     on one core (measured at the 10× replica: the encode stage alone
     took 103 s single-task; the same repartition-before-CPU-dense-
-    pipeline posture as `pdq._grid_joined` / SCALE.md global posture)."""
+    pipeline posture as `pdq._grid_joined` / SCALE.md global posture).
+
+    The repartition is KEYED by vec_id (round 14, guide §2.4): hash
+    partitioning on vec_id satisfies the clustering the
+    (vec_id, subspace) argmin aggregate requires — and the vec_id
+    aggregate `_pack_codes` chains after it — so the whole
+    explode→score→argmin→pack pipeline runs on ONE exchange where the
+    round-robin form paid that exchange PLUS two post-aggregation
+    shuffles of the N·M code rows (and round-robin's
+    sort-before-repartition). vec_ids are unique, so the hash spreads
+    evenly at any scale."""
     slices = vectors.sparkSession.sparkContext.defaultParallelism * 2
     subs = F.array(
         *[
@@ -166,7 +176,7 @@ def pq_encode(
         ]
     )
     exploded = (
-        vectors.repartition(slices)
+        vectors.repartition(slices, "vec_id")
         .select("vec_id", F.explode(subs).alias("s"))
         .select("vec_id", "s.subspace", "s.sub")
     )
@@ -247,10 +257,13 @@ def pq_codebook_learned(
     # the training frame is a small sample whose partition count AQE
     # coalesces to ~1, and each Lloyd round fans every subvector out to
     # K scored rows inside the stage (same single-task finding as
-    # `pq_encode`, measured at the 10× replica).
+    # `pq_encode`, measured at the 10× replica). Keyed by vec_id
+    # (round 14, guide §2.4): the per-round (vec_id, subspace) argmin
+    # aggregate is then already clustered and needs no exchange of the
+    # sample×M×K scored rows.
     slices = train.sparkSession.sparkContext.defaultParallelism * 2
     sub = (
-        train.repartition(slices)
+        train.repartition(slices, "vec_id")
         .select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
@@ -261,16 +274,27 @@ def pq_codebook_learned(
         "subspace", "cid", F.col("csub").cast("array<double>").alias("csub")
     )
     for _ in range(iters):
+        # Argmin carries the subvector through the aggregation struct
+        # (round 14, guide §2.4, the `kmeans_centroids` pattern): cid
+        # is unique per (vec_id, subspace) group, so
+        # min(struct(d, cid, sub)) picks the same winner as the
+        # min_by(d, cid) form, and ``sub`` (identical on every row of
+        # the group) rides along — removing the sub ⋈ best shuffle
+        # join and the SECOND execution of the repartition+explode
+        # training subtree each Lloyd round previously paid.
         scored = sub.join(F.broadcast(cents), "subspace").withColumn(
             "d", _l2sq(F.col("sub"), F.col("csub"), subdim)
         )
-        best = scored.groupBy("vec_id", "subspace").agg(
-            F.min_by(
-                F.col("cid"),
-                F.struct(F.col("d").alias("d"), F.col("cid").alias("cid")),
-            ).alias("cid")
+        members = (
+            scored.groupBy("vec_id", "subspace")
+            .agg(F.min(F.struct("d", "cid", "sub")).alias("m"))
+            .select(
+                "vec_id",
+                "subspace",
+                F.col("m.cid").alias("cid"),
+                F.col("m.sub").alias("sub"),
+            )
         )
-        members = sub.join(best, ["vec_id", "subspace"])
         pe = members.select(
             "vec_id", "subspace", "cid", F.posexplode("sub").alias("pos", "val")
         )
@@ -351,33 +375,50 @@ def _minus(a: Column, b: Column, dim: int) -> Column:
 
 
 def _coarse_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Full-corpus coarse-cell assignment: broadcast argmin against the
-    ``(coarse, c)`` centroid table, ties to the lower cell id. THE
-    single definition shared by the index build and the upsert path —
-    the merged-index-equals-rebuilt identity (`ivf_pq_upsert`) is
-    structural because both call this."""
+    """Full-corpus coarse-cell assignment CARRYING the vector:
+    broadcast argmin against the ``(coarse, c)`` centroid table, ties
+    to the lower cell id, output ``(vec_id, coarse, e)``. THE single
+    definition shared by the index build and the upsert path — the
+    merged-index-equals-rebuilt identity (`ivf_pq_upsert`) is
+    structural because both call this.
+
+    ``e`` rides through the aggregation struct (round 14, guide §2.4
+    — the `kmeans._coarse_argmin` pattern): (dc, coarse) is unique per
+    vec_id, so min(struct(dc, coarse, e)) picks the identical winner
+    and :func:`_residualize` no longer needs the e ⋈ assigned shuffle
+    join — the one full-corpus re-shuffle the build previously paid
+    between assignment and residualization."""
     from .kmeans import _sq_dist
 
     return (
         e.crossJoin(F.broadcast(cents))
         .select(
-            "vec_id", "coarse", _sq_dist(F.col("e"), F.col("c")).alias("dc")
+            "vec_id",
+            "coarse",
+            _sq_dist(F.col("e"), F.col("c")).alias("dc"),
+            "e",
         )
         .groupBy("vec_id")
-        .agg(F.min(F.struct("dc", "coarse")).alias("mn"))
-        .select("vec_id", F.col("mn.coarse").alias("coarse"))
+        .agg(F.min(F.struct("dc", "coarse", "e")).alias("mn"))
+        .select(
+            "vec_id",
+            F.col("mn.coarse").alias("coarse"),
+            F.col("mn.e").alias("e"),
+        )
     )
 
 
 def _residualize(
-    e: DataFrame, assigned: DataFrame, cents: DataFrame, dim: int
+    assigned: DataFrame, cents: DataFrame, dim: int
 ) -> DataFrame:
-    """Residuals r(v) = v − centroid(cell(v)) — one element-wise
-    subtract against the broadcast centroid table; shared by the build
-    and upsert paths like :func:`_coarse_assign`."""
+    """Residuals r(v) = v − centroid(cell(v)) over the carried-vector
+    assignment frame ``(vec_id, coarse, e)`` — one element-wise
+    subtract against the broadcast centroid table (map-side only; the
+    e ⋈ assigned equi-join this used to need is gone now that
+    :func:`_coarse_assign` carries the vector). Shared by the build
+    and upsert paths."""
     return (
-        e.join(assigned, "vec_id")
-        .join(F.broadcast(cents), "coarse")
+        assigned.join(F.broadcast(cents), "coarse")
         .select(
             "vec_id",
             _minus(F.col("e"), F.col("c"), dim).alias("embedding"),
@@ -779,10 +820,20 @@ def build_ivf_pq_index(
                 iters=KM_ITERS if coarse_iters is None else coarse_iters,
             ).select(F.col("cluster").alias("coarse"), "c")
         )
-    assigned = materialize(_coarse_assign(e, cents))
-    # Residuals materialized because both codebook training and the
-    # encode pass read them.
-    resid = materialize(_residualize(e, assigned, cents, m * subdim))
+    # The assignment pass carries (vec_id, coarse, e) through the
+    # argmin struct (round 14, guide §2.4): residualization becomes a
+    # broadcast-only map-side subtract — the e ⋈ assigned shuffle join
+    # HEAD paid between assignment and residualization is gone.
+    # Residuals STAY materialized: the codebook learn references its
+    # training frame once per Lloyd round and the encode pass reads it
+    # again, so leaving resid lazy re-runs the subtract (interpreted
+    # zip_with) + checkpoint scan 3× and measured SLOWER in-sequence
+    # (pq_recall_skewed 8.9 → 11.4 s min, with 90-147 s outlier runs
+    # from the extra per-round work; restoring the checkpoint returned
+    # it to HEAD-level). Two checkpoints, zero shuffle joins.
+    assigned_e = materialize(_coarse_assign(e, cents))
+    assigned = assigned_e.select("vec_id", "coarse")
+    resid = materialize(_residualize(assigned_e, cents, m * subdim))
     codebook = materialize(
         pq_codebook_learned(
             resid,
@@ -835,12 +886,12 @@ def ivf_pq_upsert(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     cents = index.cents.select("coarse", "c")
-    assigned = materialize(_coarse_assign(e, cents))
-    resid = _residualize(e, assigned, cents, m * subdim)
+    assigned_e = materialize(_coarse_assign(e, cents))
+    resid = _residualize(assigned_e, cents, m * subdim)
     codes = _pack_codes(
         pq_encode(resid, index.codebook, m, subdim), index.codebook
     )
-    return assigned, codes
+    return assigned_e.select("vec_id", "coarse"), codes
 
 
 def merge_ivf_pq_index(
