@@ -611,6 +611,47 @@ def _shared_hybrid_truth(spark, sf_dir):
     )
 
 
+# The SERVED/FRESH top-k consumed by the recall diagnostics, shared by
+# the same contract as `_shared_hybrid_truth` (round 14, guide §1.2):
+# each serving variant is ALREADY timed end-to-end by its own
+# registered row (`hybrid_search_served`, `hybrid_search_fresh`), so
+# the recall rows re-computing the identical serving stack measured
+# pure duplication (~5-9 s/row). The builders CALL the registered
+# query functions, so an edit to either variant still propagates to
+# its diagnostic by construction, and bigint (query_id, doc_id) pairs
+# round-trip parquet exactly — results identical to the inline form.
+_HYBRID_SERVED_SHARED: dict[tuple, object] = {}
+_HYBRID_FRESH_SHARED: dict[tuple, object] = {}
+
+
+def _shared_hybrid_served(spark, sf_dir):
+    from ..cache import shared_artifact
+
+    def build(d):
+        q_hybrid_search_served(spark, sf_dir).select(
+            "query_id", "doc_id"
+        ).write.parquet(f"{d}/served.parquet")
+        return spark.read.parquet(f"{d}/served.parquet")
+
+    return shared_artifact(
+        _HYBRID_SERVED_SHARED, spark, sf_dir, "hybrid_served_", build
+    )
+
+
+def _shared_hybrid_fresh(spark, sf_dir):
+    from ..cache import shared_artifact
+
+    def build(d):
+        q_hybrid_search_fresh(spark, sf_dir).select(
+            "query_id", "doc_id"
+        ).write.parquet(f"{d}/fresh.parquet")
+        return spark.read.parquet(f"{d}/fresh.parquet")
+
+    return shared_artifact(
+        _HYBRID_FRESH_SHARED, spark, sf_dir, "hybrid_fresh_", build
+    )
+
+
 def q_hybrid_recall(spark, sf_dir):
     """Recall of the SERVED hybrid vs the exact hybrid, per query —
     the self-measuring-diagnostic discipline (`pq_recall`,
@@ -629,11 +670,14 @@ def q_hybrid_recall(spark, sf_dir):
     therefore computed on both sides; measured cost of that honesty:
     ~0.3 s at sf0.1. The exact side serves from the shared truth
     parquet (`_shared_hybrid_truth` — still built by calling
-    `q_hybrid_search`, so the by-construction coupling holds)."""
+    `q_hybrid_search`, so the by-construction coupling holds). The
+    SERVED side likewise serves from its shared parquet
+    (`_shared_hybrid_served` — round 14: the serving stack is timed by
+    the registered `hybrid_search_served` row itself; re-running it
+    here measured pure duplication, and the builder still calls the
+    registered function so the coupling holds)."""
     exact = _shared_hybrid_truth(spark, sf_dir)
-    served = q_hybrid_search_served(spark, sf_dir).select(
-        "query_id", "doc_id"
-    )
+    served = _shared_hybrid_served(spark, sf_dir)
     ex = exact.groupBy("query_id").agg(
         F.count("*").cast("bigint").alias("n_exact")
     )
@@ -692,11 +736,13 @@ def q_hybrid_fresh_recall(spark, sf_dir):
     query functions, so an edit to either propagates here
     automatically (the exact side via the shared truth parquet —
     `_shared_hybrid_truth` calls `q_hybrid_search`). One division of
-    exact integers per query."""
+    exact integers per query. The FRESH side serves from its shared
+    parquet (`_shared_hybrid_fresh` — round 14: the fresh-serving
+    stack is timed end-to-end by the registered `hybrid_search_fresh`
+    row itself; the builder calls the registered function, so the
+    by-construction coupling holds)."""
     exact = _shared_hybrid_truth(spark, sf_dir)
-    fresh = q_hybrid_search_fresh(spark, sf_dir).select(
-        "query_id", "doc_id"
-    )
+    fresh = _shared_hybrid_fresh(spark, sf_dir)
     ex = exact.groupBy("query_id").agg(
         F.count("*").cast("bigint").alias("n_exact")
     )
