@@ -1228,15 +1228,23 @@ def bm25_search(
     order (`kmeans._sorted_fold`), so scores hash identically on both
     engines.
 
-    SCALE SHAPE — one corpus scan builds the token relation; document
-    lengths and the two corpus scalars (N, Σdl) are bounded
-    aggregations; the panel-terms filter BROADCASTS onto the explode
-    (the inverted index is built only for queried terms — at serving
-    scale the tf relation is the precomputed posting list this
-    pipeline would persist); df is a per-term count over that
-    restricted relation; scoring is equi-joins plus one broadcast of
-    the 1-row scalar frame; top-k is a window partitioned by query_id
-    — per-query work, never a corpus sort.
+    SCALE SHAPE (round 14, guide §2.3/§2.4 — the :func:`bm25_route`
+    projection shape, now on the search direction too): per-(doc,
+    term) tf is a stateless ARRAY-COUNT PROJECTION over the doc's own
+    token array after a broadcast join against the tiny distinct-term
+    panel (``size(toks) − size(array_remove(toks, term))``), with
+    ``dl = size(toks)`` riding the same row — so the previous
+    inverted-index form's two full-corpus explode shuffles (~dl rows
+    per doc, executed once for tf and AGAIN for dl, and re-executed
+    per plan reference — four explode passes total) are gone
+    entirely. The corpus scalars (N, Σdl) are one bounded aggregation
+    over the per-row sizes; df is a per-term count over the
+    tf-positive projection (partial-aggregated, |panel| groups);
+    scoring joins only broadcasts; top-k is a window partitioned by
+    query_id — per-query work, never a corpus sort. tf/dl/df are
+    exactly the explode form's integers (tokens() drops empties, so
+    ``size`` ≡ exploded-row count and zero-token docs are absent from
+    both), and the score fold is unchanged — value-hash identical.
     """
     from pyspark.sql import Window
 
@@ -1245,20 +1253,45 @@ def bm25_search(
     k1p1 = k1 + 1.0
     one_minus_b = 1.0 - b
 
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    dl = toks.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("dl")
-    )
-    stats = dl.agg(
+    toked = docs.select(
+        "doc_id", tokens("text").alias("toks"), F.lit(1).alias("one")
+    ).withColumn("dl", F.size("toks").cast("bigint"))
+    # Docs with zero tokens never enter the explode form's dl relation;
+    # keep the same membership here.
+    toked = toked.where(F.col("dl") > 0)
+    stats = toked.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tokens"),
     )
     terms = queries.select("term").dropDuplicates()
     tf = (
-        toks.join(F.broadcast(terms), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+        toked.join(
+            F.broadcast(terms.withColumn("one", F.lit(1))), "one"
+        )
+        .select(
+            "doc_id",
+            "term",
+            "dl",
+            # Occurrence count by array_remove (not a filter-lambda
+            # with an outer column reference — the bm25_route
+            # pushdown-resolution finding).
+            (
+                F.size("toks")
+                - F.size(F.array_remove(F.col("toks"), F.col("term")))
+            )
+            .cast("bigint")
+            .alias("tf"),
+        )
+        .where(F.col("tf") > 0)
     )
+    # The panel-restricted posting relation feeds df AND scoring;
+    # materialize the narrow (doc_id, term, dl, tf) rows once so the
+    # tokenize + per-term array-count pass runs once, not per
+    # reference (this is exactly the posting list a serving deployment
+    # would persist).
+    from ..cache import materialize
+
+    tf = materialize(tf)
     # (doc_id, term) is unique in tf, so df is a plain count.
     df_rel = tf.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df")
@@ -1281,7 +1314,6 @@ def bm25_search(
     )
     scored = (
         tf.join(F.broadcast(df_rel), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "term", (idf * tfnorm).alias("s"))
     )
@@ -1314,21 +1346,36 @@ def bm25_index_stats(
     and the per-panel-term document frequencies ``(term, df)``. Built
     once; every incoming batch/stream joins these as broadcast
     relations — the percolation service's precomputed background
-    statistics."""
-    toks = docs_index.select(
-        "doc_id", F.explode(tokens("text")).alias("term")
-    )
-    dl = toks.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("dl")
-    )
-    stats = dl.agg(
+    statistics.
+
+    Projection shape (round 14, guide §2.3 — the `bm25_search`
+    restructure): ``dl = size(tokens(text))`` per row (identical to
+    the exploded-row count; zero-token docs absent from both), so the
+    scalar frame is one bounded aggregation with no explode shuffle;
+    df counts docs whose token array CONTAINS the panel term —
+    exactly ``count_distinct(doc_id)`` over the old inverted-index
+    join, as a broadcast join + |panel|-group partial-aggregated
+    count."""
+    toked = docs_index.select(
+        "doc_id", tokens("text").alias("toks"), F.lit(1).alias("one")
+    ).withColumn("dl", F.size("toks").cast("bigint"))
+    toked = toked.where(F.col("dl") > 0)
+    stats = toked.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tokens"),
     )
     df_rel = (
-        toks.join(F.broadcast(terms.select("term").dropDuplicates()), "term")
+        toked.join(
+            F.broadcast(
+                terms.select("term")
+                .dropDuplicates()
+                .withColumn("one", F.lit(1))
+            ),
+            "one",
+        )
+        .where(F.array_contains(F.col("toks"), F.col("term")))
         .groupBy("term")
-        .agg(F.count_distinct("doc_id").cast("bigint").alias("df"))
+        .agg(F.count("*").cast("bigint").alias("df"))
     )
     return stats, df_rel
 
