@@ -65,8 +65,43 @@ _PLAN_CHANGED: list[str] = [
     # round-trip exact), the B row now learns coarse in identity space
     # and projects through the permutation — its ORACLE changed in
     # lockstep (coarse0 over n0 + c[pm[i]]), local parity green.
+    # (b) Skewed-corpus share (round 14): both rows serve the derived
+    # skewed corpus from one pair-shared parquet
+    # (`ext_ann_recall._shared_skewed_corpus`) instead of each paying a
+    # per-run localCheckpoint of the identical deterministic
+    # projection; doubles round-trip parquet bit-exactly, oracle
+    # unchanged, local parity green.
     "pq_recall_skewed",
     "pq_recall_skewed_opq",
+    # (c) pq.py encode-chain keyed repartition + carried-argmin
+    # assignment (guide §2.4): explode→score→argmin→pack now rides ONE
+    # hash exchange on vec_id and the assign→residualize equi-join is
+    # gone. Values identical (argmin winner unchanged — (d, cluster)
+    # unique per vec_id); pq-family oracle parity re-run green.
+    "knn_pq_adc",
+    "pq_codes_upsert",
+    # (d) kmeans.py Lloyd argmin carries the member vector through the
+    # min(struct(...)) aggregation instead of re-joining e per round —
+    # one fewer Exchange/round, identical members relation; kmeans +
+    # ivf-family parity green.
+    "kmeans_embeddings",
+    # (e) textops.py BM25 search/stats restructure: explode-built
+    # inverted index → per-row array projections (dl = size(tokens),
+    # tf via array_remove against the broadcast panel), zero explode
+    # shuffles. Same postings, same scores (tokens drops empties so
+    # both dl forms agree); bm25 + hybrid families parity green.
+    "bm25_search",
+    "bm25_route",
+    "hybrid_search",
+    "hybrid_search_served",
+    "hybrid_search_fresh",
+    # (f) ext_pipeline.py recall diagnostics served from pair-shared
+    # parquet of the twin serving row's own output (the r12-blessed
+    # _shared_hybrid_truth pattern extended to served/fresh): the
+    # builder CALLS the registered query fn, so values are the twin's
+    # by construction; hybrid family parity green.
+    "hybrid_recall",
+    "hybrid_fresh_recall",
 ]
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
@@ -105,14 +140,39 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
         "pq_recall_skewed",
         "pq_recall_skewed_opq",
     ),  # NEW module from the split (entries verbatim) + the r13-item-7
-    # coarse-centroid share for the A/B pair (see _PLAN_CHANGED)
+    # coarse-centroid share and the skewed-corpus parquet share for
+    # the A/B pair (see _PLAN_CHANGED)
     f"{_PKG}/operators/pq.py": (
         "pq_recall_skewed",
         "pq_recall_skewed_opq",
+        "knn_pq_adc",
+        "pq_codes_upsert",
     ),  # coarse_cents now composes with opq (provided table projected
     # through the learned transform — VERDICT r13 item 7); persist
     # deletes stale perm/rot parts when absent and read refuses
-    # marker-less part dirs (ADVICE r13) — non-plan lifecycle fixes
+    # marker-less part dirs (ADVICE r13) — non-plan lifecycle fixes;
+    # round-14 optimization: encode-chain keyed repartition + carried
+    # argmin (see _PLAN_CHANGED (c))
+    f"{_PKG}/operators/kmeans.py": ("kmeans_embeddings",),
+    # round-14 optimization: Lloyd argmin carries the member vector
+    # through the aggregation struct (see _PLAN_CHANGED (d)); the other
+    # kmeans consumers' final plans are unchanged (fingerprint-diff
+    # verified — the carried form only alters the eager learn jobs)
+    f"{_PKG}/operators/textops.py": (
+        "bm25_search",
+        "bm25_route",
+        "hybrid_search",
+        "hybrid_search_served",
+        "hybrid_search_fresh",
+    ),  # round-14 optimization: BM25 tf/dl projection shape replaces
+    # the explode-built inverted index (see _PLAN_CHANGED (e)); rows
+    # embedding the lexical stage pick up the new shape
+    f"{_PKG}/plans/ext_pipeline.py": (
+        "hybrid_recall",
+        "hybrid_fresh_recall",
+    ),  # round-14 optimization: recall diagnostics compare the twin
+    # serving rows' pair-shared parquet output instead of re-running
+    # the full serving stack (see _PLAN_CHANGED (f))
     f"{_PKG}/cache.py": "tracked_mkdtemp retains one superseded"
     " generation per family and tombstones the grand-previous dir"
     " (VERDICT r13 item 5 / ADVICE r13); lifecycle only, no query"
