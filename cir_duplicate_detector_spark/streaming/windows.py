@@ -471,7 +471,9 @@ def streaming_ivf_upsert_assign(
     return _fine_resolve(assigned, fine)
 
 
-def streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_pq_encode(
+    spark: SparkSession, sf_dir: str, codebook: "DataFrame | None" = None
+) -> DataFrame:
     """PQ encoding AS A STREAM — the code-index half of continuous ANN
     ingest (the cell half is :func:`streaming_ivf_upsert_assign`): the
     per-subspace codebook is Lloyd-LEARNED ONCE batch-side from the
@@ -484,6 +486,13 @@ def streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pair → best (d, code)), never the subvector. The drained rows ARE
     the index append: M small ints per vector. Output identical to the
     batch `pq_codes_upsert`; one oracle string by the registry guard.
+
+    ``codebook`` (optional) supplies a prebuilt ``(subspace, cid,
+    csub)`` table — e.g. the family-shared parquet build the batch twin
+    encodes against (round 14, the `streaming_ivf_upsert_assign`
+    ``quantizer`` contract): doubles round-trip parquet bit-exactly,
+    so encodes against the stored copy equal encodes against the
+    in-session learn. Default ``None`` learns it here.
     """
     from ..cache import materialize
     from ..operators import pq
@@ -491,9 +500,10 @@ def streaming_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/embeddings.parquet"
     schema = spark.read.parquet(path).schema
     emb = spark.read.parquet(path)
-    codebook = materialize(
-        pq.pq_codebook_learned(emb.where("vec_id % 2 = 0"), train_mod=4)
-    )
+    if codebook is None:
+        codebook = materialize(
+            pq.pq_codebook_learned(emb.where("vec_id % 2 = 0"), train_mod=4)
+        )
 
     stage = stage_source(path, "emb_pq_stream_")
     subs = F.array(

@@ -1849,3 +1849,56 @@ def test_opq_rotate_index_roundtrips_and_serves(spark, tmp_path):
     merged = pq.merge_ivf_pq_index(base, a_new, c_new)
     assert merged.rot is not None
     assert merged.codes.count() == emb.count()
+
+
+def test_simhash_pairs_prebuilt_sigs_identical(spark, tmp_path):
+    # Round-14 share contract: `dedup_simhash_pairs` bands over the
+    # signature row's parquet instead of re-deriving signatures.
+    # Bigint signatures round-trip parquet exactly, so the banded
+    # pairs must be identical to the in-session derivation.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon eta"),
+            (4, "totally different words here now ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    inline = sorted(
+        (r.a, r.b, r.dist)
+        for r in dedup.simhash_near_duplicates(docs, max_bits=3).collect()
+    )
+    d = str(tmp_path / "sigs.parquet")
+    dedup.simhash_signatures(docs).write.parquet(d)
+    served = sorted(
+        (r.a, r.b, r.dist)
+        for r in dedup.simhash_near_duplicates(
+            docs, max_bits=3, sigs=spark.read.parquet(d)
+        ).collect()
+    )
+    assert served == inline and len(inline) > 0
+
+
+def test_pq_encode_against_parquet_codebook_identical(spark, tmp_path):
+    # Round-14 share contract: the upsert twins encode against ONE
+    # parquet-backed codebook build (`_shared_pq_upsert_codebook`).
+    # Doubles round-trip parquet bit-exactly, so codes against the
+    # stored copy must equal codes against the in-session learn.
+    from cir_duplicate_detector_spark.operators import pq
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = pq.pq_codebook_learned(emb.where("vec_id % 2 = 0"), train_mod=4)
+    inline = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in pq.pq_encode(emb.where("vec_id % 2 = 1"), cb).collect()
+    )
+    d = str(tmp_path / "codebook")
+    cb.write.parquet(d)
+    served = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in pq.pq_encode(
+            emb.where("vec_id % 2 = 1"), spark.read.parquet(d)
+        ).collect()
+    )
+    assert served == inline and len(inline) > 0
