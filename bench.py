@@ -366,7 +366,22 @@ def main() -> None:
         n for n in timings if n.startswith(("ref30k_", "ref300k_"))
     )
     ref_total = round(sum(timings[n] for n in ref_points), 3)
+    # Shared-artifact cold-build audit (round 15, VERDICT r14 item 3 —
+    # a harness ADDITION, no timing-rule change): `shared_artifact`
+    # memoizes per (application, corpus), so min-of-N rows report the
+    # serve-only steady state and the one-time build cost lands in no
+    # query's number. cache.ARTIFACT_BUILD_SECONDS records each build
+    # (also printed as "# artifact <prefix>: X.XXXs" on stderr as it
+    # happens); publishing the map makes the headline's excluded cold
+    # cost auditable from the committed artifact alone.
+    from cir_duplicate_detector_spark.cache import ARTIFACT_BUILD_SECONDS
+
+    artifact_builds = {
+        k: round(v, 3) for k, v in sorted(ARTIFACT_BUILD_SECONDS.items())
+    }
     full = {
+        "artifact_builds": artifact_builds,
+        "artifact_builds_total": round(sum(artifact_builds.values()), 3),
         "metric": "headline_total_runtime",
         "value": round(total, 3),
         "unit": "sec",

@@ -25,7 +25,9 @@ from __future__ import annotations
 
 import atexit
 import shutil
+import sys
 import tempfile
+import time
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,6 +67,15 @@ TOMBSTONE = "TOMBSTONE_EVICTED_BY_REINVOKE"
 # stale-application sweep can evict superseded dirs for families the
 # new application never re-touches (ADVICE r12).
 _FAMILY_CACHES: list[dict] = []
+
+# Per-prefix seconds spent INSIDE `shared_artifact` builds (round 15,
+# VERDICT r14 item 3): the memoized build runs once per (application,
+# corpus) and min-of-N bench timing then reports serve-only numbers,
+# so the cold build cost would otherwise appear in no artifact. The
+# bench copies this map into BENCH_FULL.json ("artifact_builds") so
+# the headline's excluded cold cost is a number anyone can audit.
+# Accumulates across applications in one process; keyed by prefix.
+ARTIFACT_BUILD_SECONDS: dict[str, float] = {}
 
 
 def tracked_mkdtemp(prefix: str) -> str:
@@ -144,7 +155,13 @@ def shared_artifact(
                 _SHARED_DIRS.remove(old_dir)
     d = tempfile.mkdtemp(prefix=prefix)
     _SHARED_DIRS.append(d)
+    t0 = time.perf_counter()
     val = build(d)
+    elapsed = time.perf_counter() - t0
+    ARTIFACT_BUILD_SECONDS[prefix] = (
+        ARTIFACT_BUILD_SECONDS.get(prefix, 0.0) + elapsed
+    )
+    print(f"# artifact {prefix}: {elapsed:.3f}s", file=sys.stderr)
     cache[key] = (d, val)
     return val
 

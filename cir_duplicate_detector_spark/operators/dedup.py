@@ -882,8 +882,18 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("a", "node")
         )
+        # The round's PREVIOUS label rides through the propose→jump
+        # chain as `old` (round 15, guide §2.4): the convergence count
+        # below is then a filter over the just-materialized checkpoint
+        # instead of a jumped⋈labels equi-join — one fewer
+        # shuffle-join job per checked round, identical count (the
+        # join compared exactly these (old, new) pairs; `proposed`
+        # derives from `labels` by a cardinality-preserving left join,
+        # and the jump lookup is inner on a key — the component-min
+        # label — that is always present in `proposed.node`).
         proposed = labels.join(nbr, "node", "left").select(
             "node",
+            F.col("label").alias("old"),
             F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
         )
         jumped = materialize(
@@ -893,18 +903,15 @@ def connected_components(
                     F.col("label").alias("jump"),
                 ),
                 "label",
-            ).select("node", F.col("jump").alias("label")),
+            ).select("node", "old", F.col("jump").alias("label")),
             checkpoint_dir,
         )
         check = (it + 1) % check_every == 0 or it == max_iter - 1
         if check:
-            changed = (
-                jumped.withColumnRenamed("label", "new_label")
-                .join(labels, "node")
-                .where(F.col("new_label") != F.col("label"))
-                .count()
-            )
-        labels = jumped
+            changed = jumped.where(
+                F.col("label") != F.col("old")
+            ).count()
+        labels = jumped.select("node", "label")
         if check and changed == 0:
             converged = True
             break
@@ -985,6 +992,18 @@ def simhash_near_duplicates(
         )
     if sigs is None:
         sigs = simhash_signatures(docs)
+    else:
+        # Prebuilt-table boundary guard (ADVICE r14): a mismatched
+        # artifact must fail loudly here, not emit silently wrong
+        # pairs downstream. (The docs–sigs pairing contract — sigs
+        # derived from THIS docs relation — stays on the caller, as
+        # with every persisted-snapshot parameter in this module.)
+        missing = {"doc_id", "simhash"} - set(sigs.columns)
+        if missing:
+            raise ValueError(
+                "prebuilt sigs must carry (doc_id, simhash); missing "
+                f"{sorted(missing)} in {sigs.columns}"
+            )
     bands = F.array(
         *[
             F.shiftright("simhash", b * _SIMHASH_BAND_BITS)

@@ -87,19 +87,46 @@ def dim_energy(
     )
 
 
+def _checked_energy(
+    vectors: DataFrame,
+    sample_mod: int,
+    vec_col: str,
+    energy: "DataFrame | None",
+) -> DataFrame:
+    """``energy=None`` → compute :func:`dim_energy`; otherwise validate
+    and reuse the caller's prebuilt (pos, energy) frame — the round-15
+    share that lets ``build_ivf_pq_index(opq="auto")`` evaluate the
+    gate statistic AND learn the permutation from ONE energy
+    aggregation instead of re-running the sample scan per consumer
+    (guide §1.2). The schema guard is the ADVICE r14 prebuilt-table
+    discipline: a mismatched artifact fails loudly at the boundary."""
+    if energy is None:
+        return dim_energy(vectors, sample_mod, vec_col)
+    missing = {"pos", "energy"} - set(energy.columns)
+    if missing:
+        raise ValueError(
+            "prebuilt energy frame must carry (pos, energy) columns; "
+            f"missing {sorted(missing)} in {energy.columns}"
+        )
+    return energy
+
+
 def opq_assignment(
     vectors: DataFrame,
     m: int = IVFPQ_M,
     subdim: int = IVFPQ_SUBDIM,
     sample_mod: int = KM_IVF_SAMPLE_MOD,
     vec_col: str = "embedding",
+    energy: "DataFrame | None" = None,
 ) -> DataFrame:
     """(pos, energy, subspace, newpos): the balanced snake-deal of
     energy-ranked dimensions onto ``m`` subspaces. ``newpos =
     subspace·subdim + block`` is a bijection on 0..m·subdim−1 (each
     deal round fills one slot of every subspace). The rank window runs
-    over the m·subdim-row energy frame only — never the corpus."""
-    en = dim_energy(vectors, sample_mod, vec_col)
+    over the m·subdim-row energy frame only — never the corpus.
+    ``energy`` (optional) supplies a prebuilt :func:`dim_energy` frame
+    so multi-consumer builds aggregate the sample once."""
+    en = _checked_energy(vectors, sample_mod, vec_col, energy)
     w = Window.orderBy(F.col("energy").desc(), F.col("pos").asc())
     r = F.row_number().over(w) - 1
     ranked = en.withColumn("r", r.cast("bigint"))
@@ -123,11 +150,13 @@ def opq_permutation(
     subdim: int = IVFPQ_SUBDIM,
     sample_mod: int = KM_IVF_SAMPLE_MOD,
     vec_col: str = "embedding",
+    energy: "DataFrame | None" = None,
 ) -> DataFrame:
     """ONE-ROW frame ``(perm: array<bigint>)``: 1-based source position
     for each destination slot (``perm[newpos+1] = pos+1``), ready for
-    ``element_at``. Broadcastable by construction (m·subdim entries)."""
-    asg = opq_assignment(vectors, m, subdim, sample_mod, vec_col)
+    ``element_at``. Broadcastable by construction (m·subdim entries).
+    ``energy`` (optional) reuses a prebuilt :func:`dim_energy` frame."""
+    asg = opq_assignment(vectors, m, subdim, sample_mod, vec_col, energy)
     return asg.groupBy().agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("newpos", "pos"))),
@@ -142,6 +171,7 @@ def opq_subspace_imbalance(
     subdim: int = IVFPQ_SUBDIM,
     sample_mod: int = KM_IVF_SAMPLE_MOD,
     vec_col: str = "embedding",
+    energy: "DataFrame | None" = None,
 ) -> DataFrame:
     """ONE-ROW frame ``(e_max, e_min, ratio)``: per-subspace energy
     under PQ's IDENTITY dimension layout, rolled up to the max/min
@@ -151,8 +181,9 @@ def opq_subspace_imbalance(
     dominate, the subspace holding them dwarfs the rest and the ratio
     explodes (the skewed A/B corpus measures ≫ the 4× threshold).
     Sorted-fold doubles throughout, so the registered `opq_auto_gate`
-    row is value-hash exact against DuckDB."""
-    en = dim_energy(vectors, sample_mod, vec_col)
+    row is value-hash exact against DuckDB. ``energy`` (optional)
+    reuses a prebuilt :func:`dim_energy` frame."""
+    en = _checked_energy(vectors, sample_mod, vec_col, energy)
     sub = (F.col("pos") / subdim).cast("bigint")
     per_sub = (
         en.withColumn("subspace", sub)

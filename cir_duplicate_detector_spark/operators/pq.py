@@ -772,9 +772,18 @@ def build_ivf_pq_index(
         from . import opq as opq_mod
 
         permute = opq == "always"
+        energy = None
         if opq == "auto":
+            # The gate statistic and the permutation learner both
+            # derive from the SAME per-dimension energy aggregation
+            # over the identical deterministic sample — materialize the
+            # 64-row energy frame once and feed both consumers (round
+            # 15, guide §1.2: the sample scan + two-level sorted-fold
+            # previously executed twice per auto build). Same folds,
+            # same frame ⇒ bit-identical gate decision and permutation.
+            energy = materialize(opq_mod.dim_energy(vectors, smod))
             row = opq_mod.opq_subspace_imbalance(
-                vectors, m, subdim, smod
+                vectors, m, subdim, smod, energy=energy
             ).first()
             # An empty learning sample yields one all-null row; the
             # permutation learner would fail loudly downstream anyway
@@ -787,7 +796,9 @@ def build_ivf_pq_index(
             )
         if permute:
             perm = materialize(
-                opq_mod.opq_permutation(vectors, m, subdim, smod)
+                opq_mod.opq_permutation(
+                    vectors, m, subdim, smod, energy=energy
+                )
             )
             vectors = opq_mod.apply_permutation(vectors, perm, d=m * subdim)
     e = vectors.select(
@@ -1238,7 +1249,12 @@ def knn_ivf_pq_refined(
     most of the quantization loss for refine·|probes| extra vector
     reads. The registered `pq_recall` row measures both stages' recall
     from one shared shortlist."""
-    short = knn_ivf_pq(vectors, probe, k=refine, **ivf_pq_kwargs)
+    from ..cache import materialize as _mat
+
+    # `pq_refine` references its shortlist twice; one narrow
+    # materialize keeps the ADC probe pipeline single-execution
+    # (round 15 — the `_pq_recall_over` shortlist pattern).
+    short = _mat(knn_ivf_pq(vectors, probe, k=refine, **ivf_pq_kwargs))
     return pq_refine(vectors, short, k)
 
 

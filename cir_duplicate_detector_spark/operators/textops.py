@@ -1254,44 +1254,72 @@ def bm25_search(
     one_minus_b = 1.0 - b
 
     toked = docs.select(
-        "doc_id", tokens("text").alias("toks"), F.lit(1).alias("one")
+        "doc_id", tokens("text").alias("toks")
     ).withColumn("dl", F.size("toks").cast("bigint"))
     # Docs with zero tokens never enter the explode form's dl relation;
     # keep the same membership here.
     toked = toked.where(F.col("dl") > 0)
-    stats = toked.agg(
+    # ONE corpus pass (round 15, guide §2.3): the r14 shape tokenized
+    # the corpus TWICE — once into the materialized tf relation, once
+    # more when the (n_docs, Σdl) stats broadcast was built from its
+    # own `toked` subtree. The single materialized relation now
+    # carries BOTH: per doc one null-term marker row (dl only — the
+    # stats side) plus the tf-positive panel postings, produced by one
+    # explode of a ≤(|panel|+1)-entry array per row. Values are
+    # unchanged: stats aggregates exact integers over exactly the
+    # dl>0 docs (order-insensitive bigint sums), postings are the
+    # same (doc, term, dl, tf) integers. The per-term count rides a
+    # `transform` over the broadcast 1-row terms array — the lambda
+    # var feeds `array_remove` as a plain argument (the bm25_route
+    # pushdown-resolution finding: no filter-lambda over an outer
+    # JOIN column), and equality vs the panel-join form is pinned by
+    # the oracle and `test_bm25_one_pass_relation_matches_two_pass`.
+    terms_arr = (
+        queries.select("term")
+        .dropDuplicates()
+        .groupBy()
+        .agg(F.collect_list("term").alias("_terms"))
+    )
+    entries = F.concat(
+        F.array(
+            F.struct(
+                F.lit(None).cast("string").alias("term"),
+                F.lit(None).cast("bigint").alias("tf"),
+            )
+        ),
+        F.filter(
+            F.transform(
+                F.col("_terms"),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    (
+                        F.size("toks")
+                        - F.size(F.array_remove(F.col("toks"), t))
+                    )
+                    .cast("bigint")
+                    .alias("tf"),
+                ),
+            ),
+            lambda s: s["tf"] > 0,
+        ),
+    )
+    from ..cache import materialize
+
+    rel = materialize(
+        toked.crossJoin(F.broadcast(terms_arr))
+        .select("doc_id", "dl", F.explode(entries).alias("e"))
+        .select(
+            "doc_id",
+            "dl",
+            F.col("e.term").alias("term"),
+            F.col("e.tf").alias("tf"),
+        )
+    )
+    stats = rel.where(F.col("term").isNull()).agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tokens"),
     )
-    terms = queries.select("term").dropDuplicates()
-    tf = (
-        toked.join(
-            F.broadcast(terms.withColumn("one", F.lit(1))), "one"
-        )
-        .select(
-            "doc_id",
-            "term",
-            "dl",
-            # Occurrence count by array_remove (not a filter-lambda
-            # with an outer column reference — the bm25_route
-            # pushdown-resolution finding).
-            (
-                F.size("toks")
-                - F.size(F.array_remove(F.col("toks"), F.col("term")))
-            )
-            .cast("bigint")
-            .alias("tf"),
-        )
-        .where(F.col("tf") > 0)
-    )
-    # The panel-restricted posting relation feeds df AND scoring;
-    # materialize the narrow (doc_id, term, dl, tf) rows once so the
-    # tokenize + per-term array-count pass runs once, not per
-    # reference (this is exactly the posting list a serving deployment
-    # would persist).
-    from ..cache import materialize
-
-    tf = materialize(tf)
+    tf = rel.where(F.col("term").isNotNull())
     # (doc_id, term) is unique in tf, so df is a plain count.
     df_rel = tf.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df")
@@ -1357,23 +1385,42 @@ def bm25_index_stats(
     join, as a broadcast join + |panel|-group partial-aggregated
     count."""
     toked = docs_index.select(
-        "doc_id", tokens("text").alias("toks"), F.lit(1).alias("one")
+        "doc_id", tokens("text").alias("toks")
     ).withColumn("dl", F.size("toks").cast("bigint"))
     toked = toked.where(F.col("dl") > 0)
-    stats = toked.agg(
+    # ONE indexed-corpus pass (round 15, guide §2.3 — the bm25_search
+    # one-pass shape): consumers embed BOTH returned frames, so the
+    # r14 form tokenized the indexed half once for the stats broadcast
+    # and again for the df broadcast. One materialized relation now
+    # carries a null-term marker per doc (the stats side) plus one row
+    # per (doc, matched panel term); stats sums exact integers, df
+    # counts rows per term — value-identical to the membership join.
+    from ..cache import materialize
+
+    terms_arr = (
+        terms.select("term")
+        .dropDuplicates()
+        .groupBy()
+        .agg(F.collect_list("term").alias("_terms"))
+    )
+    matched = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.filter(
+            F.col("_terms"),
+            lambda t: F.array_contains(F.col("toks"), t),
+        ),
+    )
+    rel = materialize(
+        toked.crossJoin(F.broadcast(terms_arr)).select(
+            "doc_id", "dl", F.explode(matched).alias("term")
+        )
+    )
+    stats = rel.where(F.col("term").isNull()).agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tokens"),
     )
     df_rel = (
-        toked.join(
-            F.broadcast(
-                terms.select("term")
-                .dropDuplicates()
-                .withColumn("one", F.lit(1))
-            ),
-            "one",
-        )
-        .where(F.array_contains(F.col("toks"), F.col("term")))
+        rel.where(F.col("term").isNotNull())
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("df"))
     )

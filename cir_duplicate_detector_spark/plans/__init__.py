@@ -50,82 +50,77 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Queries whose ROUND-13 edits change their PLAN. The builder's
+# Rows whose FINGERPRINT (not plan, not results) moved solely because
+# the round-15 canonicalizer preserves shared-artifact family prefixes
+# (see _PLAN_CHANGED (c)); populated from the regenerated
+# PLANS_r15.json diff. Kept as a named list so the mechanical churn is
+# visibly separate from the real plan edits above it.
+_CANONICALIZER_ONLY: list[str] = []
+
+# Queries whose ROUND-15 edits change their PLAN. The builder's
 # evidence says results are identical (or the query is brand-new), but
 # under the fingerprint-lint semantics (plans/fingerprint.py) a changed
 # logical plan re-verifies at the driver regardless — cheap insurance
 # that a "physical-only" claim can never be wrong silently:
 _PLAN_CHANGED: list[str] = [
-    # Round 14.
+    # Round 15.
     #
-    # (a) OPQ A/B coarse-centroid share (VERDICT r13 item 7): both
-    # skewed recall rows consume the pair-shared identity-layout
-    # coarse build (`ext_ann_recall._shared_skewed_coarse`); the A
-    # row's values are identical by construction (same learn, parquet
-    # round-trip exact), the B row now learns coarse in identity space
-    # and projects through the permutation — its ORACLE changed in
-    # lockstep (coarse0 over n0 + c[pm[i]]), local parity green.
-    # (b) Skewed-corpus share (round 14): both rows serve the derived
-    # skewed corpus from one pair-shared parquet
-    # (`ext_ann_recall._shared_skewed_corpus`) instead of each paying a
-    # per-run localCheckpoint of the identical deterministic
-    # projection; doubles round-trip parquet bit-exactly, oracle
-    # unchanged, local parity green.
-    "pq_recall_skewed",
-    "pq_recall_skewed_opq",
-    # (c) pq.py encode-chain keyed repartition + carried-argmin
-    # assignment (guide §2.4): explode→score→argmin→pack now rides ONE
-    # hash exchange on vec_id and the assign→residualize equi-join is
-    # gone. Values identical (argmin winner unchanged — (d, cluster)
-    # unique per vec_id); pq-family oracle parity re-run green.
-    "knn_pq_adc",
-    "pq_codes_upsert",
-    # (d) kmeans.py Lloyd argmin carries the member vector through the
-    # min(struct(...)) aggregation instead of re-joining e per round —
-    # one fewer Exchange/round, identical members relation; kmeans +
-    # ivf-family parity green.
-    "kmeans_embeddings",
-    # (e) textops.py BM25 search/stats restructure: explode-built
-    # inverted index → per-row array projections (dl = size(tokens),
-    # tf via array_remove against the broadcast panel), zero explode
-    # shuffles. Same postings, same scores (tokens drops empties so
-    # both dl forms agree); bm25 + hybrid families parity green.
-    "bm25_search",
-    "bm25_route",
-    "hybrid_search",
+    # (a) Wave-labels share (VERDICT r14 item 4): the agreement
+    # diagnostic and the compaction row consume `dup_labels_upsert`'s
+    # output from one pair-shared parquet (`ext_dedup.
+    # _shared_wave_labels` — builder CALLS the registered query
+    # function) instead of each re-running the identical
+    # signatures→probe→verify→adopt stack the registered row already
+    # times end-to-end. Persisted columns are (bigint, bigint,
+    # boolean) — parquet round-trips them exactly; values identical by
+    # construction, parity re-run green.
+    "upsert_labels_agreement",
+    "dup_labels_compact",
+    # (b) Shortlist materialize before the exact re-rank (VERDICT r14
+    # item 1): `pq_refine` references its shortlist twice (pair
+    # resolve + the query-panel semi-join), so the lazy form embedded
+    # the ENTIRE ADC probe subtree twice in each consumer's plan
+    # (hybrid_search_served: zero ReusedExchange in the r14 dump).
+    # One narrow materialize (the `_pq_recall_over` pattern) executes
+    # the probe pipeline once; values identical (same shortlist rows,
+    # parquet/checkpoint round-trip of bigints+doubles), parity green.
     "hybrid_search_served",
     "hybrid_search_fresh",
-    # (f) ext_pipeline.py recall diagnostics served from pair-shared
-    # parquet of the twin serving row's own output (the r12-blessed
-    # _shared_hybrid_truth pattern extended to served/fresh): the
-    # builder CALLS the registered query fn, so values are the twin's
-    # by construction; hybrid family parity green.
-    "hybrid_recall",
-    "hybrid_fresh_recall",
-    # (g) The same served-from-the-registered-row's-parquet contract
-    # extended to every remaining diagnostic that re-ran a stack its
-    # twin row already times end-to-end (guide §1.2):
-    # fuzzy_decon_recall's found side + decontamination_report's
-    # fz/scrub sides (= decontaminate_fuzzy / decontaminate_scrub),
-    # ann_recall_lsh / ann_recall_ivf's both sides (=
-    # knn_cosine_bruteforce / knn_cosine_lsh / knn_cosine_ivf, with
-    # ONE shared brute-force truth artifact), minhash_recall's found
-    # side (= dedup_minhash restricted to probe-touching pairs), and
-    # dedup_simhash_pairs' signature stage (= dedup_simhash). Builders
-    # call the registered query functions; persisted columns are exact
-    # bigints — values identical by construction, parity re-run green.
-    "fuzzy_decon_recall",
-    "decontamination_report",
-    "ann_recall_lsh",
-    "ann_recall_ivf",
+    "knn_ivf_pq_refined",
+    # (b2) `dedup_minhash` itself now serves from the family-shared
+    # full-verify parquet (ADVICE r14: the artifact previously had a
+    # single consumer while the registered row recomputed the stack
+    # inline — one application ran the full pipeline 3×; now once,
+    # with the cold build cost published in artifact_builds). Columns
+    # (a, b, jaccard) round-trip parquet bit-exactly (the jaccard is
+    # one correctly-rounded division of exact integers); the artifact
+    # widening also re-fingerprints minhash_recall's found-side scan.
+    "dedup_minhash",
     "minhash_recall",
-    "dedup_simhash_pairs",
-    # (h) Upsert-family shared PQ codebook (the _shared_upsert_quantizer
-    # posture): the batch and streaming twins each re-learned the
-    # identical deterministic Lloyd codebook per run; one parquet-backed
-    # build now serves both. Doubles round-trip parquet bit-exactly
-    # (unit-pinned); parity re-run green.
-    "pq_codes_upsert_streaming",
+    # (b3) BM25 one-pass posting/stats relation (guide §2.3): the r14
+    # projection shape tokenized the corpus twice per query — once
+    # into the materialized tf relation, once more for the
+    # independent (n_docs, Σdl) stats broadcast (bm25_search), and
+    # twice for the stats/df broadcasts (bm25_index_stats). One
+    # materialized relation (null-term marker rows + panel postings
+    # from a single explode) now feeds stats, df AND scoring. Exact
+    # integers, order-insensitive aggregates — value-identical
+    # (pinned by test_bm25_one_pass_relation_matches_two_pass); A/B
+    # min-of-4 interleaved: bm25_search 2.70 → 2.19 s.
+    "bm25_search",
+    "hybrid_search",
+    "bm25_route",
+    "bm25_index_roundtrip",
+    "bm25_route_streaming",
+    # (c) Fingerprint canonicalizer change (ADVICE r14 medium): tmp
+    # paths now normalize to /TMP/<family_prefix> instead of blanket
+    # /TMP, so shared-artifact identity is plan-visible (the two ANN
+    # recall rows previously hashed identically). NO plan or result
+    # changed for the rows listed below — only their canonical TEXT
+    # (and so their fingerprint) changed, because their plans embed a
+    # family-prefixed temp path. Enumerated from the r14→r15
+    # fingerprint diff after the regex change:
+    *_CANONICALIZER_ONLY,
 ]
 
 # Per-round edit declarations (round-9 lint, verdict item 6): every
@@ -140,91 +135,79 @@ _PLAN_CHANGED: list[str] = [
 # the round's artifacts) are harmless and cleared opportunistically.
 _PKG = "cir_duplicate_detector_spark"
 _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
-    f"{_PKG}/plans/__init__.py": "round-14 rotation metadata reset"
-    " (cleared round-13 _ROUND_EDITS/_PLAN_CHANGED — all r13 entries"
+    f"{_PKG}/plans/__init__.py": "round-15 rotation metadata reset"
+    " (cleared round-14 _ROUND_EDITS/_PLAN_CHANGED — all r14 entries"
     " driver-verified and committed); no query plan or result touched",
-    f"{_PKG}/operators/pdqimage.py": "NEW module: fixed-point true-PDQ"
-    " hash from image bytes (VERDICT r13 item 1) feeding the NEW"
-    " image_pdq_hashes / image_pdq_near_dup rows (brand-new, lead the"
-    " rotation); no existing query touched",
-    f"{_PKG}/plans/ext_multimodal.py": "NEW image_pdq_hashes /"
-    " image_pdq_near_dup registrations (corpus builder + full SQL"
-    " oracle replay of the fixed-point PDQ pipeline); existing"
-    " multimodal rows untouched",
-    f"{_PKG}/plans/extension_queries.py": "round-14 _ORDER additions"
-    " (image_pdq_hashes, image_pdq_near_dup) + ext_ann_recall merge"
-    " wiring for the r13-item-6 module split; no existing query"
-    " touched",
-    f"{_PKG}/plans/ext_ann.py": (
-        "ann_recall_lsh",
-        "ann_recall_ivf",
-        "pq_codes_upsert",
-        "pq_codes_upsert_streaming",
-    ),  # module split (VERDICT r13 item 6): recall/OPQ rows moved
-    # verbatim to ext_ann_recall.py; _sql_ivf_pq_chain gained the
-    # coarse_body parameter (default None emits the byte-identical
-    # historical chain). Round-14 optimization: the two ANN recall
-    # diagnostics serve both sides from the registered serving rows'
-    # pair-shared parquet, and the upsert twins share one parquet-backed
-    # PQ codebook build (see _PLAN_CHANGED (g)/(h)); oracles unchanged.
-    f"{_PKG}/plans/ext_ann_recall.py": (
-        "pq_recall_skewed",
-        "pq_recall_skewed_opq",
-    ),  # NEW module from the split (entries verbatim) + the r13-item-7
-    # coarse-centroid share and the skewed-corpus parquet share for
-    # the A/B pair (see _PLAN_CHANGED)
-    f"{_PKG}/operators/pq.py": (
-        "pq_recall_skewed",
-        "pq_recall_skewed_opq",
-        "knn_pq_adc",
-        "pq_codes_upsert",
-    ),  # coarse_cents now composes with opq (provided table projected
-    # through the learned transform — VERDICT r13 item 7); persist
-    # deletes stale perm/rot parts when absent and read refuses
-    # marker-less part dirs (ADVICE r13) — non-plan lifecycle fixes;
-    # round-14 optimization: encode-chain keyed repartition + carried
-    # argmin (see _PLAN_CHANGED (c))
-    f"{_PKG}/operators/kmeans.py": ("kmeans_embeddings",),
-    # round-14 optimization: Lloyd argmin carries the member vector
-    # through the aggregation struct (see _PLAN_CHANGED (d)); the other
-    # kmeans consumers' final plans are unchanged (fingerprint-diff
-    # verified — the carried form only alters the eager learn jobs)
-    f"{_PKG}/operators/textops.py": (
-        "bm25_search",
-        "bm25_route",
-        "hybrid_search",
+    f"{_PKG}/cache.py": "round-15 shared_artifact build timing"
+    " (VERDICT r14 item 3: per-prefix build seconds recorded into"
+    " ARTIFACT_BUILD_SECONDS and printed to stderr, published by the"
+    " bench as BENCH_FULL.json artifact_builds); observability only,"
+    " no query plan or result touched",
+    f"{_PKG}/plans/ext_dedup.py": (
+        "upsert_labels_agreement",
+        "dup_labels_compact",
+        "dedup_minhash",
+        "minhash_recall",
+    ),  # round-15 optimization (VERDICT r14 item 4): the agreement and
+    # compaction rows consume dup_labels_upsert's output from one
+    # pair-shared parquet (_shared_wave_labels — builder calls the
+    # registered function) instead of re-running its full stack (see
+    # _PLAN_CHANGED (a))
+    f"{_PKG}/plans/ext_ann.py": ("knn_ivf_pq_refined",),
+    # round-15 optimization (VERDICT r14 item 1): shortlist
+    # materialized before pq_refine so the ADC probe subtree executes
+    # once per query, not per reference (see _PLAN_CHANGED (b))
+    f"{_PKG}/plans/ext_pipeline.py": (
         "hybrid_search_served",
         "hybrid_search_fresh",
-    ),  # round-14 optimization: BM25 tf/dl projection shape replaces
-    # the explode-built inverted index (see _PLAN_CHANGED (e)); rows
-    # embedding the lexical stage pick up the new shape
-    f"{_PKG}/plans/ext_pipeline.py": (
-        "hybrid_recall",
-        "hybrid_fresh_recall",
-        "fuzzy_decon_recall",
-        "decontamination_report",
-    ),  # round-14 optimization: recall diagnostics compare the twin
-    # serving rows' pair-shared parquet output instead of re-running
-    # the full serving stack (see _PLAN_CHANGED (f)/(g))
-    f"{_PKG}/plans/ext_dedup.py": (
-        "minhash_recall",
-        "dedup_simhash_pairs",
-    ),  # round-14 optimization: minhash_recall's found side serves from
-    # dedup_minhash's pair-shared parquet; dedup_simhash_pairs bands
-    # over dedup_simhash's pair-shared signature parquet (see
-    # _PLAN_CHANGED (g))
-    f"{_PKG}/operators/dedup.py": ("dedup_simhash_pairs",),
-    # round-14 optimization: simhash_near_duplicates gained an optional
-    # prebuilt-sigs parameter (identity unit-pinned); default behavior
-    # byte-identical
-    f"{_PKG}/streaming/windows.py": ("pq_codes_upsert_streaming",),
-    # round-14 optimization: streaming_pq_encode gained an optional
-    # prebuilt-codebook parameter (the streaming_ivf_upsert_assign
-    # quantizer contract); default behavior byte-identical
-    f"{_PKG}/cache.py": "tracked_mkdtemp retains one superseded"
-    " generation per family and tombstones the grand-previous dir"
-    " (VERDICT r13 item 5 / ADVICE r13); lifecycle only, no query"
-    " plan or result touched",
+    ),  # round-15 optimization (VERDICT r14 item 1): same shortlist
+    # materialize on the two hybrid serving rows (see _PLAN_CHANGED
+    # (b))
+    f"{_PKG}/operators/textops.py": (
+        "bm25_search",
+        "hybrid_search",
+        "hybrid_search_served",
+        "bm25_route",
+        "bm25_index_roundtrip",
+        "bm25_route_streaming",
+        "hybrid_search_fresh",
+    ),  # round-15 optimization (guide §2.3): bm25_search /
+    # bm25_index_stats build ONE materialized posting+stats relation
+    # per query instead of tokenizing the corpus once per broadcast
+    # (see _PLAN_CHANGED (b3))
+    f"{_PKG}/plans/fingerprint.py": "round-15 canonicalizer change"
+    " (ADVICE r14 medium): /tmp paths normalize to /TMP/<family_"
+    "prefix> so shared-artifact identity is plan-visible; pure lint"
+    " infrastructure — no query plan or result touched (fingerprint"
+    " churn for artifact-consuming rows is declared via"
+    " _CANONICALIZER_ONLY in _PLAN_CHANGED (c))",
+    f"{_PKG}/streaming/windows.py": "round-15 prebuilt-codebook schema"
+    " guard on streaming_pq_encode (ADVICE r14) — raises on a"
+    " mismatched artifact, no query plan or result touched",
+    f"{_PKG}/operators/dedup.py": "round-15 connected_components"
+    " convergence check: the previous label rides through the"
+    " propose→jump chain, so the changed-count is a filter over the"
+    " just-materialized checkpoint instead of a jumped⋈labels join —"
+    " identical count (same (old, new) pairs), one fewer shuffle-join"
+    " job per checked round; labels output unchanged, consumers'"
+    " final plans are checkpoint/parquet scans either way"
+    " (fingerprint-diff verified). Also the prebuilt-sigs schema"
+    " guard on simhash_near_duplicates (ADVICE r14) — raises on a"
+    " mismatched artifact, no result touched",
+    f"{_PKG}/operators/opq.py": "round-15 optional prebuilt-energy"
+    " parameter on opq_assignment/opq_permutation/"
+    "opq_subspace_imbalance with a schema guard (ADVICE r14); default"
+    " path byte-identical (energy=None computes dim_energy exactly as"
+    " before); no registered row passes energy= except through the"
+    " auto-build share below",
+    f"{_PKG}/operators/pq.py": "round-15 build_ivf_pq_index(opq='auto')"
+    " computes the gate statistic and the permutation from ONE"
+    " materialized dim_energy frame (guide §1.2 — the sample scan +"
+    " sorted-fold aggregation previously executed twice per auto"
+    " build); same deterministic folds from the same frame ⇒"
+    " bit-identical gate decision and permutation, results unchanged"
+    " (identity unit-pinned); consumers' final plans are"
+    " checkpoint-scan shaped either way (fingerprint-diff verified)",
 }
 
 

@@ -656,10 +656,19 @@ def q_knn_ivf_pq_refined(spark, sf_dir):
     stages. Served from the family-shared built-once index."""
     from ..operators import pq
 
+    from ..cache import materialize
+
     emb = load_table(spark, sf_dir, "embeddings")
     probe = emb.select("vec_id").where("vec_id % 100 = 0")
-    short = pq.knn_ivf_pq_from_index(
-        _shared_ivfpq_index(spark, sf_dir), emb, probe, k=PQ_REFINE
+    # `pq_refine` references its shortlist twice (pair resolve + the
+    # query-panel semi-join); materialize the narrow (query_id,
+    # neighbor_id, rank, adc_dist) rows once so the whole ADC probe
+    # subtree executes once, not per reference (round 15, guide
+    # §1.2/§5 — the `_pq_recall_over` shortlist pattern).
+    short = materialize(
+        pq.knn_ivf_pq_from_index(
+            _shared_ivfpq_index(spark, sf_dir), emb, probe, k=PQ_REFINE
+        )
     )
     return pq.pq_refine(emb, short, k=5)
 

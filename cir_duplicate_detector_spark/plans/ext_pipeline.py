@@ -330,16 +330,26 @@ def q_hybrid_search_served(spark, sf_dir):
     probes = spark.createDataFrame(
         retrieval.HYBRID_PROBES, "query_id bigint, vec_id bigint"
     )
+    from ..cache import materialize
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     lex = textops.bm25_search(
         docs, panel, topk=retrieval.HYBRID_K_EACH
     ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
-    short = pq.knn_ivf_pq_from_index(
-        _shared_ivfpq_index(spark, sf_dir),
-        emb,
-        probes.select("vec_id"),
-        k=PQ_REFINE,
+    # `pq_refine` references its shortlist twice (pair resolve + the
+    # query-panel semi-join); materialize the narrow shortlist once so
+    # the ADC probe subtree executes once, not per reference (round 15,
+    # VERDICT r14 item 1 — the `_pq_recall_over` shortlist pattern;
+    # measured min-of-3: sem stage 3.80 → 3.33 s at sf0.1, and the
+    # declared plan drops the duplicated ADC subtree).
+    short = materialize(
+        pq.knn_ivf_pq_from_index(
+            _shared_ivfpq_index(spark, sf_dir),
+            emb,
+            probes.select("vec_id"),
+            k=PQ_REFINE,
+        )
     )
     sem = retrieval.map_probe_ranks(
         pq.pq_refine(emb, short, k=retrieval.HYBRID_K_EACH), probes
@@ -473,11 +483,19 @@ def q_hybrid_search_fresh(spark, sf_dir):
         .where(F.col("rank") <= retrieval.HYBRID_K_EACH)
         .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
     )
+    from ..cache import materialize
+
     base = _shared_ivfpq_even(spark, sf_dir)
     a_new, c_new = pq.ivf_pq_upsert(base, emb.where("vec_id % 2 = 1"))
     merged = pq.merge_ivf_pq_index(base, a_new, c_new)
-    short = pq.knn_ivf_pq_from_index(
-        merged, emb, probes.select("vec_id"), k=PQ_REFINE
+    # Same shortlist materialize as the served row (round 15, VERDICT
+    # r14 item 1): here the de-duplicated subtree additionally carries
+    # the wave upsert + merge, so the lazy form re-ran the whole
+    # ingest path once per `pq_refine` reference.
+    short = materialize(
+        pq.knn_ivf_pq_from_index(
+            merged, emb, probes.select("vec_id"), k=PQ_REFINE
+        )
     )
     sem = retrieval.map_probe_ranks(
         pq.pq_refine(emb, short, k=retrieval.HYBRID_K_EACH), probes

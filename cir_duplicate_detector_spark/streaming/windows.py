@@ -504,6 +504,16 @@ def streaming_pq_encode(
         codebook = materialize(
             pq.pq_codebook_learned(emb.where("vec_id % 2 = 0"), train_mod=4)
         )
+    else:
+        # Prebuilt-table boundary guard (ADVICE r14): a mismatched
+        # artifact fails loudly at the call boundary instead of
+        # encoding silently wrong codes downstream.
+        missing = {"subspace", "cid", "csub"} - set(codebook.columns)
+        if missing:
+            raise ValueError(
+                "prebuilt codebook must carry (subspace, cid, csub); "
+                f"missing {sorted(missing)} in {codebook.columns}"
+            )
 
     stage = stage_source(path, "emb_pq_stream_")
     subs = F.array(

@@ -1,4 +1,5 @@
-"""Capture `.explain("formatted")` for named queries into plans/r14/.
+"""Capture `.explain("formatted")` for named queries into plans/r<N>/
+(N = latest git-tracked round + 1, the round being built).
 
 Usage: python scripts/capture_plans.py <suffix> <query> [<query> ...]
        python scripts/capture_plans.py <suffix> --timed <query> ...
@@ -32,7 +33,13 @@ def main() -> None:
     names = [a for a in args if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    out_dir = os.path.join(os.path.dirname(__file__), "..", "plans", "r14")
+    from pathlib import Path
+
+    from cir_duplicate_detector_spark.plans import _latest_tracked_round
+
+    repo = Path(__file__).resolve().parents[1]
+    rnd = (_latest_tracked_round(repo) or 0) + 1
+    out_dir = str(repo / "plans" / f"r{rnd}")
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(

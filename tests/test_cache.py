@@ -129,3 +129,37 @@ def test_shared_artifact_sweeps_all_family_caches(spark):
         cache._FAMILY_CACHES[:] = [
             x for x in cache._FAMILY_CACHES if x is not c
         ]
+
+
+def test_shared_artifact_records_build_seconds(spark):
+    # Round 15 (VERDICT r14 item 3): every shared_artifact build is
+    # timed into cache.ARTIFACT_BUILD_SECONDS (keyed by prefix,
+    # accumulating) so the bench can publish the cold-build cost the
+    # min-of-N rows exclude. Serves (memoized hits) add nothing.
+    from cir_duplicate_detector_spark import cache
+
+    fam: dict = {}
+    sf = "/root/testdata/sf0.001"
+    cache.ARTIFACT_BUILD_SECONDS.pop("cache_test_t_", None)
+
+    def build(d):
+        open(f"{d}/artifact", "w").close()
+        return d
+
+    cache.shared_artifact(fam, spark, sf, "cache_test_t_", build)
+    first = cache.ARTIFACT_BUILD_SECONDS["cache_test_t_"]
+    assert first >= 0.0
+    # a second call is a memoized serve: no additional build time
+    cache.shared_artifact(fam, spark, sf, "cache_test_t_", build)
+    assert cache.ARTIFACT_BUILD_SECONDS["cache_test_t_"] == first
+    import shutil
+
+    for d, _ in fam.values():
+        if d in cache._SHARED_DIRS:
+            cache._SHARED_DIRS.remove(d)
+        shutil.rmtree(d, ignore_errors=True)
+    fam.clear()
+    cache._FAMILY_CACHES[:] = [
+        x for x in cache._FAMILY_CACHES if x is not fam
+    ]
+    cache.ARTIFACT_BUILD_SECONDS.pop("cache_test_t_", None)

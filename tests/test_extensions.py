@@ -1902,3 +1902,116 @@ def test_pq_encode_against_parquet_codebook_identical(spark, tmp_path):
         ).collect()
     )
     assert served == inline and len(inline) > 0
+
+
+def test_opq_prebuilt_energy_identical_and_guarded(spark):
+    # Round 15 (guide §1.2): build_ivf_pq_index(opq="auto") evaluates
+    # the gate AND learns the permutation from ONE materialized
+    # dim_energy frame. Pin the share's identity — permutation and
+    # imbalance from a prebuilt energy frame equal the direct path —
+    # and the prebuilt-table schema guard (ADVICE r14).
+    import pytest as _pytest
+
+    from cir_duplicate_detector_spark.operators import opq
+
+    rows = []
+    for i in range(64):
+        v = [10.0 + (i % 5) if j < 16 else 0.01 * ((i + j) % 3 + 1)
+             for j in range(64)]
+        rows.append((i, v))
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    en = opq.dim_energy(embs)
+    direct = opq.opq_permutation(embs).collect()[0].perm
+    shared = opq.opq_permutation(embs, energy=en).collect()[0].perm
+    assert direct == shared
+    ri_direct = opq.opq_subspace_imbalance(embs).collect()[0]
+    ri_shared = opq.opq_subspace_imbalance(embs, energy=en).collect()[0]
+    assert ri_direct.ratio == ri_shared.ratio
+    with _pytest.raises(ValueError, match="pos"):
+        opq.opq_permutation(
+            embs, energy=embs.select("vec_id")
+        ).collect()
+
+
+def test_bm25_one_pass_relation_matches_two_pass(spark):
+    # Round 15 (guide §2.3): bm25_search's single materialized
+    # relation (null-term stats markers + panel postings from one
+    # corpus pass) must reproduce the two-pass form's exact output —
+    # pinned here against an inline reimplementation of the r14 shape.
+    from pyspark.sql import functions as F
+
+    from cir_duplicate_detector_spark.operators import textops
+
+    docs = load_table(spark, SF_DIR, "documents")
+    panel = spark.createDataFrame(
+        textops.BM25_PANEL, "query_id bigint, term string"
+    )
+    new = sorted(
+        tuple(r) for r in textops.bm25_search(docs, panel).collect()
+    )
+    # r14 two-pass reference: tf via broadcast panel fan-out, stats
+    # from an independent toked aggregation.
+    toked = docs.select(
+        "doc_id", textops.tokens("text").alias("toks"),
+        F.lit(1).alias("one"),
+    ).withColumn("dl", F.size("toks").cast("bigint")).where("dl > 0")
+    stats = toked.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    terms = panel.select("term").dropDuplicates()
+    tf = (
+        toked.join(F.broadcast(terms.withColumn("one", F.lit(1))), "one")
+        .select(
+            "doc_id", "term", "dl",
+            (F.size("toks")
+             - F.size(F.array_remove(F.col("toks"), F.col("term"))))
+            .cast("bigint").alias("tf"),
+        )
+        .where(F.col("tf") > 0)
+    )
+    df_rel = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    k1, b = textops.BM25_K1, textops.BM25_B
+    idf = ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tfnorm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + (F.lit(k1) * (F.lit(1.0 - b) + ((F.lit(b) * F.col("dl"))
+           / (F.col("total_tokens") / F.col("n_docs")))))
+    )
+    from cir_duplicate_detector_spark.operators.kmeans import _sorted_fold
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", (idf * tfnorm).alias("s"))
+    )
+    per = (
+        F.broadcast(panel).join(scored, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+            _sorted_fold(
+                F.collect_list(F.struct("term", "s")), "s"
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    old = sorted(
+        tuple(r)
+        for r in per.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .where(F.col("rank") <= textops.BM25_TOPK)
+        .select("query_id", "doc_id", "rank", "n_terms_hit", "score")
+        .collect()
+    )
+    assert new == old

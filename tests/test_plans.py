@@ -1021,3 +1021,31 @@ def test_coverage_counts_match_registry():
             f"has {len(ALL_QUERIES)} — update the doc (and re-run the "
             "tri-scale parity for any new registrations)"
         )
+
+
+def test_tmp_normalization_preserves_family_prefix():
+    # ADVICE r14 (medium): the two ANN recall rows' plans differed ONLY
+    # by their shared-artifact parquet dir, and blanket /TMP collapsing
+    # made their fingerprints identical — a cross-wired shared cache
+    # would have produced NO fingerprint change. The normalizer now
+    # keeps the deterministic mkdtemp family prefix (and still drops
+    # the random suffix + everything after the first path segment).
+    from cir_duplicate_detector_spark.plans.fingerprint import (
+        _TMP_PATH,
+        _tmp_repl,
+    )
+
+    def norm(s):
+        return _TMP_PATH.sub(_tmp_repl, s)
+
+    a = norm("file:/tmp/knn_bf_9ac3m1x2/topk.parquet")
+    b = norm("file:/tmp/knn_lsh_0q2w3e4r/topk.parquet")
+    assert a == "file:/TMP/knn_bf_"
+    assert b == "file:/TMP/knn_lsh_"
+    assert a != b  # family identity is plan-visible
+    # same family, different mkdtemp suffix -> same canonical token
+    assert norm("/tmp/knn_bf_11aa22bb/topk.parquet") == "/TMP/knn_bf_"
+    # non-family paths (no prefix_ + 8-char suffix shape) still
+    # collapse fully, including session-random subdirs
+    assert norm("/tmp/blockmgr-06f1a2b3-c4d5/sub") == "/TMP/"
+    assert norm("/tmp/tmpab12cd34/x") == "/TMP/"
