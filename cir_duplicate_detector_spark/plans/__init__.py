@@ -50,12 +50,31 @@ try:  # extension registries appear as they are built
 except ImportError:
     pass
 
-# Rows whose FINGERPRINT (not plan, not results) moved solely because
-# the round-15 canonicalizer preserves shared-artifact family prefixes
-# (see _PLAN_CHANGED (c)); populated from the regenerated
-# PLANS_r15.json diff. Kept as a named list so the mechanical churn is
-# visibly separate from the real plan edits above it.
-_CANONICALIZER_ONLY: list[str] = []
+# Rows whose FINGERPRINT (not results) moved solely because round 15
+# added identity-tag SubqueryAliases to shared-artifact reads and
+# twin-row outputs (ADVICE r14 medium, see _PLAN_CHANGED (c)):
+# analyzed logical plans do not print parquet locations, so eight twin
+# pairs hashed IDENTICALLY in PLANS_r14 (ann_recall_lsh==ann_recall_ivf,
+# hybrid_recall==hybrid_fresh_recall, pq_recall_skewed==_opq,
+# dup_labels_roundtrip==dup_labels_upsert, sem/decon cells roundtrips
+# == their serving twins, image_near_dup==_capped, ivf_index_roundtrip
+# ==ivf_upsert_assign) and a cross-wired shared cache would have
+# produced NO fingerprint change for this lint to catch. The aliases
+# are metadata-only — no expression, join or filter changed.
+_CANONICALIZER_ONLY: list[str] = [
+    "ann_recall_lsh",
+    "ann_recall_ivf",
+    "hybrid_recall",
+    "hybrid_fresh_recall",
+    "pq_recall",
+    "pq_recall_skewed",
+    "pq_recall_skewed_opq",
+    "dup_labels_roundtrip",
+    "semantic_cells_roundtrip",
+    "decon_cells_roundtrip",
+    "image_near_dup_capped",
+    "ivf_index_roundtrip",
+]
 
 # Queries whose ROUND-15 edits change their PLAN. The builder's
 # evidence says results are identical (or the query is brand-new), but
@@ -112,14 +131,15 @@ _PLAN_CHANGED: list[str] = [
     "bm25_route",
     "bm25_index_roundtrip",
     "bm25_route_streaming",
-    # (c) Fingerprint canonicalizer change (ADVICE r14 medium): tmp
-    # paths now normalize to /TMP/<family_prefix> instead of blanket
-    # /TMP, so shared-artifact identity is plan-visible (the two ANN
-    # recall rows previously hashed identically). NO plan or result
-    # changed for the rows listed below — only their canonical TEXT
-    # (and so their fingerprint) changed, because their plans embed a
-    # family-prefixed temp path. Enumerated from the r14→r15
-    # fingerprint diff after the regex change:
+    # (c) Shared-artifact identity tags (ADVICE r14 medium): the rows
+    # in _CANONICALIZER_ONLY gained SubqueryAlias tags on their
+    # artifact/roundtrip reads (or, where the difference lives wholly
+    # in eager builds, on their output) so twin rows no longer hash
+    # identically and a cross-wired shared cache re-fingerprints.
+    # Metadata-only — NO expression, join, filter or result changed.
+    # (The companion /TMP/<family_prefix> canonicalizer change guards
+    # any future plan that does print a family temp path; it produced
+    # zero churn on its own because analyzed plans omit locations.)
     *_CANONICALIZER_ONLY,
 ]
 
@@ -148,21 +168,42 @@ _ROUND_EDITS: dict[str, "tuple[str, ...] | str"] = {
         "dup_labels_compact",
         "dedup_minhash",
         "minhash_recall",
+        "dup_labels_roundtrip",
     ),  # round-15 optimization (VERDICT r14 item 4): the agreement and
     # compaction rows consume dup_labels_upsert's output from one
     # pair-shared parquet (_shared_wave_labels — builder calls the
     # registered function) instead of re-running its full stack (see
     # _PLAN_CHANGED (a))
-    f"{_PKG}/plans/ext_ann.py": ("knn_ivf_pq_refined",),
-    # round-15 optimization (VERDICT r14 item 1): shortlist
+    f"{_PKG}/plans/ext_ann.py": (
+        "knn_ivf_pq_refined",
+        "ann_recall_lsh",
+        "ann_recall_ivf",
+        "semantic_cells_roundtrip",
+        "ivf_index_roundtrip",
+    ),  # round-15 optimization (VERDICT r14 item 1): shortlist
     # materialized before pq_refine so the ADC probe subtree executes
-    # once per query, not per reference (see _PLAN_CHANGED (b))
+    # once per query, not per reference (see _PLAN_CHANGED (b));
+    # plus identity-tag aliases on the shared knn top-k reads and the
+    # two roundtrip twins (see _PLAN_CHANGED (c))
+    f"{_PKG}/plans/ext_ann_recall.py": (
+        "pq_recall",
+        "pq_recall_skewed",
+        "pq_recall_skewed_opq",
+    ),  # round-15 identity tags on the materialized recall shortlists
+    # (see _PLAN_CHANGED (c)); no expression changed
+    f"{_PKG}/plans/ext_multimodal.py": ("image_near_dup_capped",),
+    # round-15 identity tag on the capped row's output (see
+    # _PLAN_CHANGED (c)); no expression changed
     f"{_PKG}/plans/ext_pipeline.py": (
         "hybrid_search_served",
         "hybrid_search_fresh",
+        "hybrid_recall",
+        "hybrid_fresh_recall",
+        "decon_cells_roundtrip",
     ),  # round-15 optimization (VERDICT r14 item 1): same shortlist
     # materialize on the two hybrid serving rows (see _PLAN_CHANGED
-    # (b))
+    # (b)); plus identity-tag aliases on the shared hybrid artifacts
+    # and the decon-cells roundtrip read (see _PLAN_CHANGED (c))
     f"{_PKG}/operators/textops.py": (
         "bm25_search",
         "hybrid_search",

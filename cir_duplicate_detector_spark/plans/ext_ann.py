@@ -144,7 +144,14 @@ def _shared_knn_topk(cache, prefix, fn, spark, sf_dir):
         fn(spark, sf_dir).select("query_id", "neighbor_id").write.parquet(
             f"{d}/topk.parquet"
         )
-        return spark.read.parquet(f"{d}/topk.parquet")
+        # Family-tag the served scan (round 15, ADVICE r14 medium):
+        # analyzed logical plans do not print parquet locations, so
+        # without the SubqueryAlias the two ANN recall rows' plans were
+        # textually IDENTICAL and a cross-wired shared cache would have
+        # produced no fingerprint change for the lint to catch.
+        return spark.read.parquet(f"{d}/topk.parquet").alias(
+            prefix + "shared"
+        )
 
     return shared_artifact(cache, spark, sf_dir, prefix, build)
 
@@ -1201,9 +1208,14 @@ def q_ivf_index_roundtrip(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     coarse, fine = _shared_upsert_quantizer(spark, sf_dir)
+    # Identity tag (round 15, ADVICE r14): this row deliberately
+    # serves the SAME persisted pair as `ivf_upsert_assign` (the
+    # docstring's build-once story), so their plans are identical by
+    # design; the alias keeps their fingerprints distinct so a future
+    # divergence in either row stays lint-visible.
     return kmeans.ivf_assign_from_index(
         coarse, fine, emb.where("vec_id % 2 = 1")
-    )
+    ).alias("ivf_index_rt")
 
 
 # The upsert family's per-subspace PQ codebook (Lloyd-learned once
@@ -1606,9 +1618,15 @@ def q_semantic_cells_roundtrip(spark, sf_dir):
     cells = _shared_semantic_cells(spark, sf_dir)
     d = tracked_mkdtemp("sem_cells_rt_")
     cells.write.mode("overwrite").parquet(f"{d}/cells")
+    # Identity tag (round 15, ADVICE r14): the operator materializes
+    # the member join, so a read-level alias would vanish behind the
+    # checkpoint scan — tag the row's OUTPUT instead, keeping the
+    # roundtrip's fingerprint distinct from the serving twin's.
     return similarity.semantic_near_duplicates_learned(
-        corpus, threshold=0.9, cells=spark.read.parquet(f"{d}/cells")
-    )
+        corpus,
+        threshold=0.9,
+        cells=spark.read.parquet(f"{d}/cells"),
+    ).alias("sem_cells_rt")
 
 
 ANN_QUERIES: dict[str, tuple] = {

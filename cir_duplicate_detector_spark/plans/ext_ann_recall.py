@@ -44,7 +44,11 @@ def q_pq_recall(spark, sf_dir):
     replica under ``% 100``; the panel keeps it linear — the same
     fixed-fraction discipline as `minhash_recall`'s probe sample)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return _pq_recall_over(emb, index=_shared_ivfpq_index(spark, sf_dir))
+    return _pq_recall_over(
+        emb,
+        index=_shared_ivfpq_index(spark, sf_dir),
+        tag="pqr_shared_index",
+    )
 
 
 def _sql_pq_recall() -> str:
@@ -206,7 +210,7 @@ def _shared_skewed_truth(spark, sf_dir):
     )
 
 
-def _pq_recall_over(corpus, index=None, truth=None):
+def _pq_recall_over(corpus, index=None, truth=None, tag=None):
     """`pq_recall`'s exact shape (fixed 32-probe panel, shared ADC
     shortlist, brute-force L2 truth) over an arbitrary corpus — ONE
     definition serving `pq_recall` (pass the family-shared persisted
@@ -232,6 +236,15 @@ def _pq_recall_over(corpus, index=None, truth=None):
     short = materialize(
         pq.knn_ivf_pq_from_index(index, corpus, probe, k=PQ_REFINE)
     )
+    if tag is not None:
+        # Identity tag (round 15, ADVICE r14): the three recall rows'
+        # final plans are checkpoint/parquet scans whose differences
+        # (which index built the shortlist — shared, skewed-identity,
+        # skewed-OPQ) live in EAGER build jobs the analyzed plan never
+        # shows; the SubqueryAlias makes the consumed shortlist's
+        # provenance plan-visible so a cross-wired index would
+        # re-fingerprint.
+        short = short.alias(tag)
     adc = short.where(F.col("rank") <= 5).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit_adc")
     )
@@ -284,7 +297,10 @@ def q_pq_recall_skewed(spark, sf_dir):
         emb, coarse_cents=_shared_skewed_coarse(spark, sf_dir)
     )
     return _pq_recall_over(
-        emb, index=index, truth=_shared_skewed_truth(spark, sf_dir)
+        emb,
+        index=index,
+        truth=_shared_skewed_truth(spark, sf_dir),
+        tag="pqr_skewed_identity",
     )
 
 
@@ -317,7 +333,10 @@ def q_pq_recall_skewed_opq(spark, sf_dir):
         coarse_cents=_shared_skewed_coarse(spark, sf_dir),
     )
     return _pq_recall_over(
-        emb, index=index, truth=_shared_skewed_truth(spark, sf_dir)
+        emb,
+        index=index,
+        truth=_shared_skewed_truth(spark, sf_dir),
+        tag="pqr_skewed_opq",
     )
 
 

@@ -1258,7 +1258,13 @@ def q_dup_labels_roundtrip(spark, sf_dir):
     return dedup.label_upsert(
         existing,
         docs.where(split == 1),
-        labels=spark.read.parquet(f"{d}/labels"),
+        # Identity tag (round 15, ADVICE r14): the roundtrip's fresh
+        # on-clock build read is plan-distinguished from the serving
+        # twin's shared snapshot, so a future edit silently swapping
+        # one for the other re-fingerprints.
+        labels=spark.read.parquet(f"{d}/labels").alias(
+            "dup_labels_rt"
+        ),
     )
 
 

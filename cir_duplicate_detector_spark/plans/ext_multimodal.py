@@ -406,9 +406,14 @@ def q_image_near_dup_capped(spark, sf_dir):
         (F.col("doc_id") + 3000000).alias("doc_id"),
         F.lit("V" * 192).alias("text"),
     )
+    # Identity tag (round 15, ADVICE r14): the capped and uncapped
+    # rows' final plans are identical checkpoint-scan shapes (the
+    # viral union and the cap pre-pass both run inside the operator's
+    # eager materializes), so without the alias their fingerprints
+    # collide and a cap-dropping edit would be lint-invisible.
     return multimodal.image_near_duplicates(
         _ppm_media(docs.unionAll(viral)), max_group_size=IMG_GROUP_CAP
-    )
+    ).alias("image_near_dup_capped")
 
 
 SQL_IMAGE_NEAR_DUP_CAPPED = f"""

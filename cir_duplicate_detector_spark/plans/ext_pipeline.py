@@ -622,7 +622,9 @@ def _shared_hybrid_truth(spark, sf_dir):
         q_hybrid_search(spark, sf_dir).select(
             "query_id", "doc_id"
         ).write.parquet(f"{d}/truth.parquet")
-        return spark.read.parquet(f"{d}/truth.parquet")
+        return spark.read.parquet(f"{d}/truth.parquet").alias(
+            "hybrid_truth_shared"
+        )
 
     return shared_artifact(
         _HYBRID_TRUTH_SHARED, spark, sf_dir, "hybrid_truth_", build
@@ -649,7 +651,9 @@ def _shared_hybrid_served(spark, sf_dir):
         q_hybrid_search_served(spark, sf_dir).select(
             "query_id", "doc_id"
         ).write.parquet(f"{d}/served.parquet")
-        return spark.read.parquet(f"{d}/served.parquet")
+        return spark.read.parquet(f"{d}/served.parquet").alias(
+            "hybrid_served_shared"
+        )
 
     return shared_artifact(
         _HYBRID_SERVED_SHARED, spark, sf_dir, "hybrid_served_", build
@@ -663,7 +667,9 @@ def _shared_hybrid_fresh(spark, sf_dir):
         q_hybrid_search_fresh(spark, sf_dir).select(
             "query_id", "doc_id"
         ).write.parquet(f"{d}/fresh.parquet")
-        return spark.read.parquet(f"{d}/fresh.parquet")
+        return spark.read.parquet(f"{d}/fresh.parquet").alias(
+            "hybrid_fresh_shared"
+        )
 
     return shared_artifact(
         _HYBRID_FRESH_SHARED, spark, sf_dir, "hybrid_fresh_", build
@@ -1720,12 +1726,16 @@ def q_decon_cells_roundtrip(spark, sf_dir):
     cells = _shared_decon_cells(spark, sf_dir)
     d = tracked_mkdtemp("decon_cells_rt_")
     cells.write.mode("overwrite").parquet(f"{d}/cells")
+    # Identity tag (round 15, ADVICE r14): the operator materializes
+    # the member join, so a read-level alias would vanish behind the
+    # checkpoint scan — tag the row's OUTPUT instead, keeping the
+    # roundtrip's fingerprint distinct from the serving twin's.
     return similarity.semantic_cross_decontaminate(
         corpus,
         pred,
         threshold=0.9,
         cells=spark.read.parquet(f"{d}/cells"),
-    )
+    ).alias("decon_cells_rt")
 
 
 PIPELINE_QUERIES: dict[str, tuple] = {
